@@ -1,0 +1,71 @@
+"""Deterministic hashing — surrogate keys, version hashes, dedup hashes.
+
+Reference contracts reproduced (citations into /root/reference/):
+  - str_to_sha256_hex_digest: sha256 hex of the utf-8 string
+    (dataPipelines/gc_manual_metadata/gc_manual_metadata.py:9-14, duplicated at
+    dataPipelines/gc_ingest/tools/metadata/metadata.py:9-14)
+  - dict_to_sha256_hex_digest: sort (k, v) pairs by str(key), concatenate
+    str(k)+str(v) with no separator, sha256 the result — the version /
+    change-detection hash (gc_manual_metadata.py:16-28)
+  - ES document id: sha256(filename stripped of a trailing '.json')
+    (dataPipelines/gc_elasticsearch_publisher/gc_elasticsearch_publisher.py:81-94)
+
+All Spark-side hashes are native ``F.sha2`` (JVM, codegen) — Python hashlib
+appears only in the pandas oracle mirror used by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sha256_expr(col: Column | str) -> Column:
+    """str_to_sha256_hex_digest as a native expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def dict_hash_expr(pairs: dict[str, Column | str]) -> Column:
+    """dict_to_sha256_hex_digest for a fixed field set.
+
+    Reproduces the reference contract exactly: pairs sorted by str(key),
+    concatenated as str(k)+str(v) with NO separator, sha256 hex. Values are
+    cast to string; the caller is responsible for matching the reference's
+    str() rendering of non-string values where parity matters.
+    """
+    parts: list[Column] = []
+    for k in sorted(pairs, key=str):
+        v = pairs[k]
+        c = F.col(v) if isinstance(v, str) else v
+        parts.append(F.lit(str(k)))
+        parts.append(c.cast("string"))
+    return F.sha2(F.concat(*parts), 256)
+
+
+def es_id_expr(filename: Column | str) -> Column:
+    """Deterministic sink id: sha256(filename minus trailing '.json')."""
+    c = F.col(filename) if isinstance(filename, str) else filename
+    return F.sha2(F.regexp_replace(c, r"\.json$", ""), 256)
+
+
+def dedup_hash_expr(text: Column | str) -> Column:
+    """Content hash of normalized text — the transcript-grain version hash."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(c, 256)
+
+
+# ---- pandas mirrors (test oracle only — NOT used in the Spark pipeline) ----
+
+def sha256_pandas(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: hashlib.sha256(str(x).encode("utf-8")).hexdigest())
+
+
+def dict_hash_python(d: dict) -> str:
+    """Bit-exact mirror of the reference dict_to_sha256_hex_digest."""
+    sorted_pairs = sorted(d.items(), key=lambda kv: str(kv[0]))
+    concat = "".join(f"{k}{v}" for k, v in sorted_pairs)
+    return hashlib.sha256(concat.encode("utf-8")).hexdigest()

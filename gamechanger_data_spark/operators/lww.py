@@ -1,0 +1,115 @@
+"""Last-writer-wins dedup — the engine's correctness kernel.
+
+This is the Spark restatement of the reference's "latest version per
+publication" selection, which appears twice there:
+  * groupwise-max join: SELECT pub_id, MAX(batch_timestamp) GROUP BY pub_id
+    joined back (dataPipelines/gc_crawler_status_tracker/
+    gc_crawler_status_tracker.py:93-132)
+  * window form: MAX(batch_timestamp) OVER (PARTITION BY pub_id) + DISTINCT
+    (dataPipelines/gc_db_utils/orch/sql/create_views.sql:24-31)
+
+The reference's order is batch_timestamp alone (ties possible); we tighten the
+total order to (ts, event_seq) per BASELINE.json north_star.
+
+Three physical strategies for the same logical operator:
+
+  ``lww_window``   row_number() OVER (PARTITION BY keys ORDER BY ts DESC,
+                   event_seq DESC) == 1. One shuffle on the keys. The
+                   canonical form named by the north rule.
+
+  ``lww_max_by``   groupBy(keys).agg(max(struct(ts, event_seq, payload...))).
+                   Same result, but executes as a hash aggregate with
+                   map-side PARTIAL aggregation — each task reduces its local
+                   slice of a hot key before the shuffle, so skew never
+                   concentrates raw rows on one reducer. This is the
+                   preferred strategy at 10^10 events.
+
+  ``lww_salted``   explicit two-phase: repartition on
+                   (keys..., pmod(hash(ts,event_seq), S)) -> per-salt top-1
+                   (window) -> global top-1 over the ≤S survivors per key.
+                   Equivalent to what partial aggregation does, but explicit
+                   — kept because the north rule calls for key-salted
+                   repartitioning and because it generalizes to operators
+                   without an algebraic combiner.
+
+All three are equivalence-tested against each other and a pandas oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_KEYS = ("conv_id", "turn_idx")
+DEFAULT_ORDER = ("ts", "event_seq")
+
+
+def _payload_cols(df: DataFrame, keys, order) -> list[str]:
+    drop = set(keys) | set(order)
+    return [c for c in df.columns if c not in drop]
+
+
+def lww_window(
+    df: DataFrame,
+    keys=DEFAULT_KEYS,
+    order=DEFAULT_ORDER,
+) -> DataFrame:
+    """Canonical row_number form. One shuffle; hot keys land on one reducer
+    (fine at test scale; prefer lww_max_by / lww_salted for skewed feeds)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lww_max_by(
+    df: DataFrame,
+    keys=DEFAULT_KEYS,
+    order=DEFAULT_ORDER,
+) -> DataFrame:
+    """Hash-aggregate form: max over a struct whose leading fields are the
+    order columns. Struct comparison is lexicographic by field position, so
+    max(struct(ts, event_seq, payload...)) IS the LWW winner. Partial
+    aggregation (map-side combine) makes this robust to hot-key skew without
+    explicit salting — Zipf keys are pre-reduced inside each input task.
+    """
+    payload = _payload_cols(df, keys, order)
+    packed = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload])
+    agg = df.groupBy(*keys).agg(F.max(packed).alias("__w"))
+    return agg.select(
+        *keys,
+        *[F.col(f"__w.{c}").alias(c) for c in order],
+        *[F.col(f"__w.{c}").alias(c) for c in payload],
+    )
+
+
+def lww_salted(
+    df: DataFrame,
+    keys=DEFAULT_KEYS,
+    order=DEFAULT_ORDER,
+    salt_buckets: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Explicit two-phase salted dedup (north-rule form).
+
+    Phase 1: shuffle on (keys, salt) — a hot key fans out over
+    ``salt_buckets`` reducers; per-salt winner via row_number.
+    Phase 2: shuffle the ≤salt_buckets survivors per key; global winner.
+    The salt derives from the order columns, so it is deterministic.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
+    salted = df.withColumn("__salt", salt)
+    n = partitions or salted.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    salted = salted.repartition(int(n), *keys, "__salt")
+
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(
+        *[F.col(c).desc_nulls_last() for c in order]
+    )
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return lww_window(survivors, keys, order).drop("__salt")

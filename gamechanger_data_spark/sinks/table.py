@@ -1,0 +1,368 @@
+"""LakeTable — a versioned, bucket-partitioned parquet table with MERGE,
+snapshots/time-travel, schema evolution, and transactional batch-id commit
+markers. The offline stand-in for an Iceberg table (the iceberg-spark-runtime
+jar is not available in this sandbox), preserving the semantics the engine
+needs:
+
+  * MERGE INTO keyed by (conv_id, turn_idx) with an LWW guard — replaces the
+    reference's get-existing-then-insert Postgres upsert
+    (dataPipelines/gc_ingest/tools/load/utils.py:223-278) and idempotent ES
+    indexing by deterministic _id (gc_elasticsearch_publisher.py:84-100);
+  * copy-on-write at BUCKET granularity: the target is hash-bucketed on the
+    merge key (Iceberg ``bucket(conv_id)`` partition spec); a merge rewrites
+    only the buckets the source batch touches and reuses every other data
+    file — at 10^10 rows a micro-batch touching k buckets costs O(k/NB) of
+    the table, not a full rewrite;
+  * atomic commit: a new manifest JSON is written, then the VERSION pointer
+    is swapped with os.replace (atomic on POSIX). Data files land BEFORE the
+    pointer moves, so readers never observe partial commits (the reference's
+    ready-marker discipline, checkpoint/utils.py:77-84, applied to the sink);
+  * exactly-once: each manifest carries the set of applied batch_ids plus
+    per-partition lineage rows, committed in the SAME manifest swap as the
+    data — superseding the reference's non-atomic checkpoint-file advance
+    (checkpoint/utils.py:189-191). Re-applying a seen batch_id is a no-op;
+  * schema evolution: union-by-name; new columns are added to the manifest
+    schema and old files are read with the evolved schema (missing columns
+    null-filled) — the Spark analog of the reference's permissive metadata
+    handling (parsers/policy_analytics/parse.py:132-175);
+  * snapshots: every version is retained until expire_snapshots; rollback is
+    a pointer swap (reference analog: S3 prefix backup/restore,
+    gc_ingest/tools/snapshot/utils.py:158-257).
+
+Single-writer (one streaming driver) is assumed, matching a Structured
+Streaming foreachBatch sink. On a real cluster the same class works on any
+shared POSIX/HDFS-like filesystem path; swapping in Iceberg removes the
+single-writer caveat.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gamechanger_data_spark.operators.lww import lww_max_by
+
+META_DIR = "_meta"
+VERSION_FILE = "VERSION"
+
+
+def _utcnow() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+class LakeTable:
+    """Versioned parquet table with bucket-partitioned copy-on-write MERGE."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        order_cols: tuple[str, ...] = ("ts", "event_seq"),
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key_cols = tuple(key_cols)
+        self.order_cols = tuple(order_cols)
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---------------- manifest / version plumbing ----------------
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.root, META_DIR, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        p = os.path.join(self.root, META_DIR, VERSION_FILE)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {
+                "version": 0,
+                "schema": None,
+                "n_buckets": self.n_buckets,
+                "files": {},
+                "applied_batches": [],
+                "lineage": [],
+                "parent": None,
+            }
+        with open(self._meta_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        """Write manifest v, then atomically swap the VERSION pointer."""
+        v = manifest["version"]
+        manifest["committed_at"] = _utcnow()
+        mp = self._meta_path(v)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mp)
+        vp = os.path.join(self.root, META_DIR, VERSION_FILE)
+        vtmp = vp + f".tmp-{uuid.uuid4().hex}"
+        with open(vtmp, "w") as f:
+            f.write(str(v))
+        os.replace(vtmp, vp)  # atomic on POSIX — the commit point
+
+    def applied_batches(self) -> set[str]:
+        return set(self._load_manifest()["applied_batches"])
+
+    def snapshots(self) -> list[int]:
+        d = os.path.join(self.root, META_DIR)
+        return sorted(
+            int(f[1:9]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def rollback_to_snapshot(self, version: int) -> None:
+        """Time-travel the table pointer (Iceberg rollback_to_snapshot)."""
+        if not os.path.exists(self._meta_path(version)):
+            raise ValueError(f"no snapshot v{version}")
+        vp = os.path.join(self.root, META_DIR, VERSION_FILE)
+        vtmp = vp + f".tmp-{uuid.uuid4().hex}"
+        with open(vtmp, "w") as f:
+            f.write(str(version))
+        os.replace(vtmp, vp)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Delete data files referenced only by expired snapshots."""
+        snaps = self.snapshots()
+        cur = self.current_version()
+        keep = set(snaps[-keep_last:]) | {cur}
+        live: set[str] = set()
+        for v in keep:
+            m = self._load_manifest(v)
+            for files in m["files"].values():
+                live.update(files)
+        removed = 0
+        data_dir = os.path.join(self.root, "data")
+        for sub in os.listdir(data_dir):
+            subdir = os.path.join(data_dir, sub)
+            for fn in os.listdir(subdir):
+                rel = os.path.join("data", sub, fn)
+                if rel not in live:
+                    os.remove(os.path.join(subdir, fn))
+                    removed += 1
+        # manifest JSONs are kept forever: they are tiny and carry the
+        # lineage history + applied-batch markers
+        return removed
+
+    # ---------------- read path ----------------
+
+    def schema(self, version: int | None = None) -> T.StructType | None:
+        m = self._load_manifest(version)
+        return T.StructType.fromJson(m["schema"]) if m["schema"] else None
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read. Old files are read under the evolved schema
+        (missing columns null-filled by the parquet reader)."""
+        m = self._load_manifest(version)
+        schema = self.schema(version)
+        if not m["files"]:
+            return self.spark.createDataFrame(
+                [], schema or T.StructType([T.StructField("conv_id", T.StringType())])
+            )
+        paths = [os.path.join(self.root, p) for fl in m["files"].values() for p in fl]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_buckets(self, buckets: Iterable[int], version: int | None = None) -> DataFrame:
+        """Bucket-pruned snapshot read — only the named buckets' files."""
+        m = self._load_manifest(version)
+        schema = self.schema(version)
+        paths = [
+            os.path.join(self.root, p)
+            for b in buckets
+            for p in m["files"].get(str(b), [])
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def lineage(self) -> DataFrame:
+        """All per-partition lineage rows across snapshots (manifest table)."""
+        from gamechanger_data_spark.schema import MANIFEST_SCHEMA
+
+        rows = []
+        for v in self.snapshots():
+            rows.extend(self._load_manifest(v)["lineage"])
+        if not rows:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        pdf_rows = [
+            {
+                **r,
+                "applied_at": datetime.fromisoformat(r["applied_at"])
+                if isinstance(r.get("applied_at"), str)
+                else r.get("applied_at"),
+            }
+            for r in rows
+        ]
+        return self.spark.createDataFrame(pdf_rows, MANIFEST_SCHEMA)
+
+    # ---------------- write path ----------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+
+    def _evolved_schema(self, old: T.StructType | None, new: T.StructType) -> T.StructType:
+        """Union-by-name, additive only (Iceberg-style schema merge)."""
+        if old is None:
+            return new
+        fields = list(old.fields)
+        names = {f.name for f in fields}
+        for f in new.fields:
+            if f.name not in names:
+                fields.append(T.StructField(f.name, f.dataType, True))
+        return T.StructType(fields)
+
+    def _align(
+        self, df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Project df to exactly ``schema`` (missing -> null), preserving any
+        ``keep`` columns verbatim after the schema columns."""
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        cols += [F.col(k) for k in keep if k in df.columns]
+        return df.select(*cols)
+
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: str,
+        lineage_rows: list[dict] | None = None,
+    ) -> dict:
+        """MERGE INTO this table USING ``source`` ON the key columns.
+
+        ``source`` must carry: key cols, order cols, an ``op`` column in
+        {insert, update, delete, revoke}, and payload columns. Semantics
+        (LWW guard on (order_cols) lexicographic):
+
+            source newer & op in (insert, update) -> upsert row
+            source newer & op = delete            -> row removed
+            source newer & op = revoke            -> upsert + is_revoked=true
+            source older/equal                    -> target row kept
+
+        Idempotence: if ``batch_id`` was already applied, returns without
+        touching the table (exactly-once under replay).
+
+        Physical plan: dedup source to one winner per key (map-side-combining
+        hash aggregate) -> bucket the winners -> read ONLY touched target
+        buckets -> union-by-name target-as-events + winners -> LWW again ->
+        drop deletes -> rewrite touched buckets -> atomic manifest swap.
+        Two shuffles total, both pre-reduced; untouched buckets are never
+        read or written.
+        """
+        if batch_id in self.applied_batches():
+            return {"skipped": True, "batch_id": batch_id, "version": self.current_version()}
+
+        m = self._load_manifest()
+        old_schema = self.schema()
+
+        # 1) one winner per key within the batch
+        src = source
+        if "is_revoked" not in src.columns:
+            src = src.withColumn("is_revoked", F.col("op") == F.lit("revoke"))
+        winners = lww_max_by(src, self.key_cols, self.order_cols)
+
+        # 2) evolve schema (additive union-by-name); target state keeps op
+        #    internally as '__state' marker-free — we store is_revoked, not op.
+        state_schema = self._evolved_schema(
+            old_schema,
+            T.StructType([f for f in winners.schema.fields if f.name != "op"]),
+        )
+
+        winners = winners.withColumn("__bucket", self._bucket_expr().cast("int"))
+        winners.persist()
+        touched = sorted(r[0] for r in winners.select("__bucket").distinct().collect())
+
+        # source side: state columns + op + bucket
+        src_part = self._align(winners, state_schema, keep=("op", "__bucket"))
+
+        if old_schema is not None and touched:
+            # Target rows from ONLY the touched buckets become pseudo-events
+            # competing under the same (ts, event_seq) LWW order. op='update'
+            # keeps them upsert-shaped; their stored order cols defend them
+            # against older source events.
+            target = self.read_buckets(touched)
+            tgt_part = (
+                self._align(target, state_schema)
+                .withColumn("op", F.lit("update"))
+                .withColumn("__bucket", self._bucket_expr().cast("int"))
+            )
+            merged_in = tgt_part.unionByName(src_part)
+        else:
+            merged_in = src_part
+
+        merged = lww_max_by(merged_in, self.key_cols, self.order_cols)
+        merged = merged.filter(
+            (F.col("op").isNull()) | (F.col("op") != F.lit("delete"))
+        ).drop("op")
+
+        # 3) rewrite touched buckets under a new snapshot id
+        new_version = m["version"] + 1
+        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        (
+            merged.repartition(max(1, len(touched)), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+
+        # 4) build new manifest: untouched buckets keep old files
+        files = dict(m["files"])
+        for b in touched:
+            bdir = os.path.join(snap_dir, f"__bucket={b}")
+            rel = os.path.relpath(snap_dir, self.root)
+            if os.path.isdir(bdir):
+                files[str(b)] = [
+                    os.path.join(rel, f"__bucket={b}", fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                ]
+            else:
+                files[str(b)] = []
+        winners.unpersist()
+
+        stored_schema = T.StructType([f for f in state_schema.fields if f.name != "__bucket"])
+        manifest = {
+            "version": new_version,
+            "schema": stored_schema.jsonValue(),
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "applied_batches": m["applied_batches"] + [batch_id],
+            # per-commit lineage only; lineage() concatenates across the
+            # manifest history (manifests are tiny and never expired)
+            "lineage": lineage_rows or [],
+            "parent": m["version"],
+        }
+        self._commit(manifest)
+        return {"skipped": False, "batch_id": batch_id, "version": new_version,
+                "touched_buckets": len(touched)}
+
+    def overwrite(self, df: DataFrame, batch_id: str = "__overwrite__") -> dict:
+        """CREATE OR REPLACE TABLE AS SELECT (reference: truncate-and-reload
+        materialization, gc_ingest/tools/db/utils.py:97-116)."""
+        shutil.rmtree(os.path.join(self.root, "data"), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, META_DIR), ignore_errors=True)
+        os.makedirs(os.path.join(self.root, META_DIR))
+        os.makedirs(os.path.join(self.root, "data"))
+        if "op" not in df.columns:
+            df = df.withColumn("op", F.lit("insert"))
+        return self.merge(df, batch_id)

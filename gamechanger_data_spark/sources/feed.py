@@ -1,0 +1,75 @@
+"""Change-feed source — timestamped, ready-marker-gated batch directories.
+
+Reference semantics reproduced (citations into /root/reference/):
+  * timestamped prefixes listed, filtered to those AFTER the checkpoint ts,
+    sorted ascending (common/utils/s3.py:459-502, regex :34-54;
+    dataPipelines/gc_ingest/tools/checkpoint/utils.py:104-151);
+  * a prefix is eligible only when its ready marker exists
+    (checkpoint/utils.py:77-84 — there: manifest.json; here: _READY);
+  * checkpoint-limit bounds batches consumed per run
+    (checkpoint/utils.py:169; paasJobs/jobs/crawler_ingest.sh:63).
+
+Batch mode lists directories; streaming mode wraps the Structured Streaming
+file source (which supplies its own offset log). In both modes the COMMIT of
+a batch is the sink's manifest swap, not this source — the source is
+stateless and re-listable, so a crash between read and commit replays the
+batch and the sink's batch-id marker makes the replay a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gamechanger_data_spark.datagen import BATCH_PREFIX, READY_MARKER
+
+
+def list_ready_batches(
+    root: str,
+    after: str | None = None,
+    limit: int | None = None,
+) -> list[tuple[str, str]]:
+    """Return [(batch_id, dir_path)] for ready batches, ascending by id,
+    strictly after ``after`` (the checkpoint), at most ``limit``."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        if not name.startswith(BATCH_PREFIX):
+            continue
+        d = os.path.join(root, name)
+        if not os.path.exists(os.path.join(d, READY_MARKER)):
+            continue  # not yet committed upstream — invisible
+        batch_id = name[len(BATCH_PREFIX):]
+        if after is not None and batch_id <= after:
+            continue
+        out.append((batch_id, d))
+    if limit is not None:
+        out = out[:limit]
+    return out
+
+
+def read_batch(spark: SparkSession, batch_dir: str) -> DataFrame:
+    """Read one batch directory. ``mergeSchema`` tolerates additive columns
+    appearing mid-feed (schema-evolution batches)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(batch_dir)
+    )
+
+
+def read_feed_stream(spark: SparkSession, root: str, schema) -> DataFrame:
+    """Structured Streaming file source over the whole feed tree.
+
+    ``pathGlobFilter`` admits only parquet parts (the reference's
+    extension-filtered scan, common/document_parser/process.py:166-168);
+    ``maxFilesPerTrigger`` is left to the caller's trigger config.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )

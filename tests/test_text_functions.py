@@ -1,0 +1,64 @@
+"""Native-expression vs pandas normalization equivalence, and hash contracts."""
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.functions.hashing import (
+    dict_hash_expr,
+    dict_hash_python,
+    sha256_expr,
+)
+from gamechanger_data_spark.functions.text import (
+    normalize_text_expr,
+    normalize_text_pandas,
+    normalize_text_udf,
+)
+
+MESSY = [
+    "  “Héllo” – world’s\ttabs  ",
+    "a\x00b\x07c   d",
+    "‘single’ “double” —dash−  nbsp",
+    "plain",
+    "",
+    "   ",
+    "line1\nline2\r\nline3",
+    "ünïcödé — ‘mixed’ “stuff”  ",
+]
+
+
+def test_expr_matches_pandas(spark):
+    df = spark.createDataFrame([(s,) for s in MESSY], ["text"])
+    got = [r[0] for r in df.select(normalize_text_expr("text")).collect()]
+    want = list(normalize_text_pandas(pd.Series(MESSY)))
+    assert got == want
+
+
+def test_udf_matches_expr(spark):
+    df = spark.createDataFrame([(s,) for s in MESSY], ["text"])
+    both = df.select(
+        normalize_text_expr("text").alias("a"),
+        normalize_text_udf(F.col("text")).alias("b"),
+    ).collect()
+    for r in both:
+        assert r["a"] == r["b"]
+
+
+def test_sha256_matches_hashlib(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("ünïcödé",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", sha256_expr("s").alias("h")).collect()}
+    for s, h in got.items():
+        assert h == hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def test_dict_hash_contract(spark):
+    """Spark dict_hash_expr must reproduce the reference's
+    dict_to_sha256_hex_digest (sorted-by-str(key) k+v concat, no separator) —
+    verified against the bit-exact python mirror."""
+    d = {"conv_id": "c1", "turn_idx": 7, "text": "hello world"}
+    df = spark.createDataFrame([("c1", 7, "hello world")], ["conv_id", "turn_idx", "text"])
+    got = df.select(
+        dict_hash_expr({"conv_id": "conv_id", "turn_idx": "turn_idx", "text": "text"}).alias("h")
+    ).collect()[0]["h"]
+    assert got == dict_hash_python(d)

@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: a seeded multi-batch CDC change
+feed replayed through normalize -> LWW dedup -> bucket-CoW MERGE into a
+versioned transcript table, returning the final state. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 with a
+DuckDB-runnable oracle (see gamechanger_data_spark/plans/catalog.py).
 """
 
 from __future__ import annotations
@@ -15,24 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (exactly-once, schema evolution, LWW) at
+    smoke scale; returns the final transcript state table."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    return CATALOG["transcript_replay"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops,
+    which the driver records as rows-only checks)."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    return {name: spec.sql for name, spec in CATALOG.items() if spec.sql is not None}

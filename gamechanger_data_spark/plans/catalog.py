@@ -1,0 +1,522 @@
+"""Operator/query catalog — the driver-facing coverage of SURVEY.md §2.
+
+Each entry pairs a Spark implementation (DataFrame API, Catalyst-optimized)
+with an ANSI-SQL oracle that DuckDB runs on the same parquet tables. Column
+names are aliased identically on both sides (the driver's compare sorts
+columns by name and hashes values). Aggregate results are cast explicitly:
+DuckDB SUM(int) yields HUGEINT, Spark yields BIGINT — both sides cast.
+
+Tables available (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.functions.hashing import dict_hash_expr, sha256_expr
+from gamechanger_data_spark.functions.text import normalize_text_expr
+from gamechanger_data_spark.operators.lww import lww_max_by, lww_salted, lww_window
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None -> non-SQL-expressible (rows-only check)
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+CATALOG: dict[str, Q] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = Q(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# CDC core: latest-version selection (SURVEY §2.3 J2, §2.4 A1/A2, §2.5)
+# =====================================================================
+
+_LWW_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+@q("lww_latest_window", _LWW_SQL,
+   "J2/A2 latest-version per key, row_number form (create_views.sql:24-31)")
+def lww_latest_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    return lww_window(ev, keys=("user_id",), order=("ts", "event_id"))
+
+
+@q("lww_latest_max_by", _LWW_SQL,
+   "same logical op, hash-aggregate (map-side partial) strategy — the 10^10-scale path")
+def lww_latest_max_by(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    return lww_max_by(ev, keys=("user_id",), order=("ts", "event_id"))
+
+
+@q("lww_latest_salted", _LWW_SQL,
+   "same logical op, explicit two-phase key-salted dedup (north-rule skew form)")
+def lww_latest_salted(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    return lww_salted(ev, keys=("user_id",), order=("ts", "event_id"), salt_buckets=8)
+
+
+@q("groupwise_max_join", """
+SELECT e.user_id, e.event_id, e.ts, e.event_type
+FROM events e
+JOIN (SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id) m
+  ON e.user_id = m.user_id AND e.ts = m.max_ts
+""", "J2 join form: gc_crawler_status_tracker.py:107-132 groupwise-max join")
+def groupwise_max_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").alias("e")
+    mx = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("max_ts"))
+        .select(F.col("user_id").alias("m_user_id"), "max_ts")
+    )
+    return ev.join(
+        mx, (F.col("e.user_id") == F.col("m_user_id")) & (F.col("e.ts") == F.col("max_ts"))
+    ).select("e.user_id", "e.event_id", "e.ts", "e.event_type")
+
+
+@q("window_max_distinct", """
+SELECT DISTINCT user_id, max(ts) OVER (PARTITION BY user_id) AS max_ts FROM events
+""", "A2 window form with DISTINCT (create_views.sql:24-31)")
+def window_max_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return ev.select("user_id", F.max("ts").over(w).alias("max_ts")).distinct()
+
+
+# =====================================================================
+# Anti-join semantics (J3 revoke-by-absence, J4 hash anti-dedup; §2.7)
+# =====================================================================
+
+
+@q("revoke_by_absence", """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28 00:00:00')
+""", "J3: current keys absent from the latest feed window -> revoke set "
+     "(gc_crawler_status_tracker.py:70-76)")
+def revoke_by_absence(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    recent = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-28 00:00:00").cast("timestamp"))
+    ).select("user_id")
+    return ev.select("user_id").distinct().join(recent, "user_id", "left_anti")
+
+
+@q("hash_anti_join_dedup", """
+SELECT DISTINCT md5(concat(event_type, props)) AS vh
+FROM events WHERE event_id >= 500
+  AND md5(concat(event_type, props)) NOT IN (
+    SELECT md5(concat(event_type, props)) FROM events WHERE event_id < 500)
+""", "J4: version-hash set difference vs the cumulative seen-hash manifest "
+     "(rpa/rpa_landing_zone_mover.py:100-128)")
+def hash_anti_join_dedup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "vh", F.md5(F.concat("event_type", "props"))
+    )
+    seen = ev.filter(F.col("event_id") < 500).select("vh")
+    return (
+        ev.filter(F.col("event_id") >= 500)
+        .select("vh")
+        .distinct()
+        .join(seen.distinct(), "vh", "left_anti")
+    )
+
+
+# =====================================================================
+# Joins (J1 equi, J5 broadcast dim lookup, J6 min/max dates, J7 derived key)
+# =====================================================================
+
+
+@q("dim_lookup_join", """
+SELECT r.r_name AS region_name, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.o_totalprice) AS DOUBLE) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""", "J1+J5: fact ⨝ broadcast dimension chain (parse.py:112-126 crawler_info "
+     "lookup, done as one broadcast join instead of per-row SQL)")
+def dim_lookup_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q("minmax_ingest_dates", """
+SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""", "J6: per-key min/max ingest timestamps — one shuffle replaces the "
+     "reference's per-row SQL lookups (parse.py:92-109)")
+def minmax_ingest_dates(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q("derived_key_join", """
+SELECT d.doc_id, d.lang, e.label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.n_chars > 100
+""", "J7: pairing by derived key (load/utils.py:157-221 filename-stem pairing)")
+def derived_key_join(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 100)
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "label")
+
+
+# =====================================================================
+# Projections / filters (P1-P9) and scalar functions (F2-F15)
+# =====================================================================
+
+
+@q("suffix_rename_project", """
+SELECT event_id, event_type AS event_type_s, value AS value_d,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_dt
+FROM events
+""", "P1/P2/F8: ES suffix-typing rename pass + column drop + second-floored "
+     "timestamp format (parse.py:154-203, gc_ingest/config.py:13)")
+def suffix_rename_project(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("event_type_s"),
+        F.col("value").alias("value_d"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_dt"),
+    )
+
+
+@q("producer_filter", """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_type IN ('click', 'view')
+""", "P5: crawler-of-interest filter (gc_crawler_status_tracker.py:60-67)")
+def producer_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@q("defaulting_projection", """
+SELECT event_id,
+       COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_val
+FROM events
+""", "P3/F14: default-fill missing metadata + JSON repair "
+     "(init_doc.py:37-66, load/utils.py:112-130)")
+def defaulting_projection(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("int"), F.lit(0)
+        ).alias("k_val"),
+    )
+
+
+@q("min_length_gate", """
+SELECT doc_id, n_chars FROM documents
+WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 40
+""", "P9: min-token gate before enrichment (lib/topics.py:30-34)")
+def min_length_gate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.filter(F.size(toks) > 40).select("doc_id", "n_chars")
+
+
+@q("text_normalize_chain", """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           translate(text,
+                     chr(8216)||chr(8217)||chr(8218)||chr(8219)||chr(8220)||chr(8221)||chr(8222)||chr(8223)||chr(8211)||chr(8212)||chr(8213)||chr(8722)||chr(160),
+                     repeat(chr(39),4) || repeat(chr(34),4) || repeat(chr(45),4) || ' '),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+         '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+""", "F2/F5: composable normalization chain (common/utils/text_utils.py:5-72)")
+def text_normalize_chain(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text_expr("text").alias("norm_text")
+    )
+
+
+@q("sha256_surrogate_key", """
+SELECT doc_id, sha256(text) AS content_key FROM documents
+""", "F9/F11: deterministic surrogate key enabling idempotent MERGE "
+     "(gc_manual_metadata.py:9-14, gc_elasticsearch_publisher.py:81-94)")
+def sha256_surrogate_key(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", sha256_expr("text").alias("content_key")
+    )
+
+
+@q("dict_hash_contract", """
+SELECT event_id,
+       sha256('event_id' || CAST(event_id AS VARCHAR) || 'event_type' || event_type) AS version_hash
+FROM events
+""", "F10: dict_to_sha256_hex_digest — sorted-by-str(key) k+v concat "
+     "(gc_manual_metadata.py:16-28); keys here sort as event_id < event_type")
+def dict_hash_contract(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        dict_hash_expr({"event_id": "event_id", "event_type": "event_type"}).alias(
+            "version_hash"
+        ),
+    )
+
+
+@q("title_truncate", """
+SELECT doc_id, substr(text, 1, 100) AS title FROM documents
+""", "O4: truncate-to-length (orch/models.py:37)")
+def title_truncate(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 100).alias("title")
+    )
+
+
+# =====================================================================
+# Aggregations (A3-A10), sorts/top-k (O1-O3), set ops (U1-U5)
+# =====================================================================
+
+
+@q("tpch_q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
+       CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
+       CAST(avg(l_extendedprice) AS DOUBLE) AS avg_price,
+       CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""", "headline scan+agg: pushdown-friendly pricing summary (bench anchor)")
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).cast("double").alias("sum_charge"),
+            F.avg("l_quantity").cast("double").alias("avg_qty"),
+            F.avg("l_extendedprice").cast("double").alias("avg_price"),
+            F.avg("l_discount").cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q("top10_keywords", """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY cnt DESC, word LIMIT 10
+""", "A4/O3: keyword count + deterministic top-k (lib/keywords.py:4-11)")
+def top10_keywords(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(10)
+    )
+
+
+@q("topk_per_group", """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 3
+""", "O3 generalized: top-k per group via ranking window (A5 top-5 entities)")
+def topk_per_group(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@q("word_count", """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words
+FROM documents
+""", "A6: word count (lib/text_length.py:1-3)")
+def word_count(spark, sf_dir):
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).alias("n_words")
+    )
+
+
+@q("staleness_filter", """
+SELECT user_id, max(ts) AS last_ts FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id HAVING max(ts) < TIMESTAMP '2024-01-28 00:00:00'
+""", "A3: last 'Ingest Complete' per crawler + staleness gate "
+     "(crawler_monitor.py:14-37) — here: last purchase per user older than cutoff")
+def staleness_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") < F.lit("2024-01-28 00:00:00").cast("timestamp"))
+    )
+
+
+@q("op_type_counters", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""", "A10: per-op success/error tallies -> manifest metrics "
+     "(gc_elasticsearch_publisher.py:105-127)")
+def op_type_counters(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("total_value"))
+    )
+
+
+@q("distinct_union", """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
+""", "U1: set union of key sets across feed slices "
+     "(gc_crawler_status_tracker.py:36-37)")
+def distinct_union(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+@q("case_insensitive_dedup", """
+SELECT upper(event_type) AS event_type_uc, CAST(min(event_id) AS BIGINT) AS first_event
+FROM events GROUP BY upper(event_type)
+""", "U5: case-insensitive entity dedup (neo4j_publisher.py:258-267), made "
+     "deterministic by keeping min event_id per class")
+def case_insensitive_dedup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.upper("event_type").alias("event_type_uc"))
+        .agg(F.min("event_id").alias("first_event"))
+    )
+
+
+@q("collect_set_sorted", """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+FROM events GROUP BY user_id
+""", "A9: distinct sets per key, rendered as sorted CSV for engine-neutral "
+     "comparison (gc_crawler_status_tracker.py:20-37)")
+def collect_set_sorted(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "types_csv"
+            )
+        )
+    )
+
+# =====================================================================
+# CDC apply semantics on the driver `events` table (secondary feed shape
+# per FIXTURES.md §5: user_id -> key, event_type -> op) and the full
+# transcript replay (rows-only: the oracle is the pandas reduction
+# exercised in tests/test_cdc_replay.py, not SQL)
+# =====================================================================
+
+
+@q("cdc_apply_events", """
+SELECT user_id, ts, event_type, value
+FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+""", "CDC changelog apply: LWW winner per key, 'error' = tombstone -> absent "
+     "(the reference's latest-version view + revocation rule in one plan: "
+     "create_views.sql:24-31 + gc_crawler_status_tracker.py:55-82)")
+def cdc_apply_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value", "event_id")
+    latest = lww_max_by(ev, keys=("user_id",), order=("ts", "event_id"))
+    return latest.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_type", "value"
+    )
+
+
+@q("transcript_replay", None,
+   "full engine path (rows-only check): seeded feed -> normalize -> LWW -> "
+   "bucket-CoW MERGE -> final transcript state; SQL cannot express the "
+   "multi-batch exactly-once replay")
+def transcript_replay(spark, sf_dir):
+    import tempfile
+
+    from gamechanger_data_spark.datagen import FeedSpec, write_feed
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    work = tempfile.mkdtemp(prefix="gcspark_replay_")
+    spec = FeedSpec(n_convs=60, n_batches=3, events_per_batch=500, seed=42)
+    write_feed(f"{work}/feed", spec)
+    table = LakeTable(spark, f"{work}/table", n_buckets=8)
+    replay_feed(spark, f"{work}/feed", table)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
+    )

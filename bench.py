@@ -1,0 +1,127 @@
+"""Per-round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {"events": N, "elapsed_sec": s, "events_per_sec": r}}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; the CDC replay benchmark generates a seeded
+multi-batch change feed and replays it through the full engine path
+(normalize -> LWW -> bucket-CoW MERGE), reporting sustained change-events/sec
+— the BASELINE.json metric. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "lww_latest_max_by",
+    "lww_latest_salted",
+    "cdc_apply_events",
+    "dim_lookup_join",
+    "minmax_ingest_dates",
+    "top10_keywords",
+    "hash_anti_join_dedup",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    out = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        fn(spark, sf_dir).collect()  # warm (JIT/codegen, file listing, broadcast)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()  # fresh plan each run (honest steady state)
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sorted(runs)[1], 4)  # median
+    return out
+
+
+def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dict:
+    from gamechanger_data_spark.datagen import FeedSpec, write_feed
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    spec = FeedSpec(
+        n_convs=max(200, events_per_batch // 50),
+        max_turns=50,
+        n_batches=n_batches,
+        events_per_batch=events_per_batch,
+        seed=42,
+        with_version_hash=False,
+    )
+    feed = os.path.join(workdir, "feed")
+    write_feed(feed, spec, parts_per_batch=32)
+    table = LakeTable(spark, os.path.join(workdir, "table"), n_buckets=64)
+
+    n_events = 0
+    t0 = time.perf_counter()
+    results = replay_feed(spark, feed, table, with_lineage=True)
+    elapsed = time.perf_counter() - t0
+    lin = table.lineage().toPandas()
+    n_events = int(lin.rows_in.sum())
+    assert all(not r.get("skipped") for r in results)
+    return {
+        "events": n_events,
+        "batches": n_batches,
+        "elapsed_sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "final_rows": table.read().count(),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_batches = int(os.environ.get("GCSPARK_BENCH_BATCHES", "4"))
+    epb = int(os.environ.get("GCSPARK_BENCH_EVENTS_PER_BATCH", "250000"))
+
+    from gamechanger_data_spark.session import get_spark
+
+    spark = get_spark(
+        "gcspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g")},
+    )
+
+    queries = bench_queries(spark, sf_dir)
+
+    workdir = f"/tmp/gcspark_bench_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    try:
+        cdc = bench_cdc(spark, n_batches, epb, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(queries.values()) + cdc["elapsed_sec"], 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query latency + CDC upsert replay (change-events/sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+tokenization, fingerprinting.
+
+The reference's analogs: word_count (common/document_parser/lib/
+text_length.py:1-3), keyword extraction (lib/keywords.py), min-length
+gating (lib/topics.py:30-34). These generalize them to the standard
+pretraining-data screens. Everything is native column expressions
+(codegen; narrow, shuffle-free) and every formula is reproducible in
+portable SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.operators.dedup import tokens_expr
+
+# Tiny embedded stopword list — deliberately fixed and engine-neutral
+# (a real deployment would broadcast a full per-language table).
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not no"
+).split()
+
+TOKEN_REGEX = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def stopword_ratio_expr(text: Column | str) -> Column:
+    toks = tokens_expr(text)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def lang_id_expr(text: Column | str, threshold: float = 0.08) -> Column:
+    """Heuristic language ID: English iff the stopword ratio clears a
+    threshold (an n-gram/stopword heuristic; no model dependency)."""
+    return F.when(stopword_ratio_expr(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """BPE-ish token count: regex split into lowercase runs, capitalized
+    runs, digit runs, and single punctuation marks."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+      0.4 * min(1, words/50)            (length credit)
+      + 0.4 * distinct_word_ratio       (repetition penalty)
+      + 0.2 * (1 - punct_char_ratio)    (symbol-noise penalty)
+    Rounded to 6dp for engine-neutral comparison."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_expr(c)
+    n = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    length_credit = F.least(F.lit(1.0), n / F.lit(50.0))
+    distinct_ratio = F.when(n > 0, n_distinct / n).otherwise(0.0)
+    n_chars = F.length(c).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    ).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    return F.round(
+        F.lit(0.4) * length_credit + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+
+
+def fingerprint_expr(text: Column | str, k: int = 5) -> Column:
+    """Document fingerprint: the minimum md5 over word k-gram shingles of
+    the normalized token stream (the winnowing/min-shingle scheme reduced
+    to window = whole doc). Stable under duplicate-content reordering of
+    surrounding batches; string-min is engine-neutral."""
+    from gamechanger_data_spark.operators.dedup import shingles_expr
+
+    return F.array_min(F.transform(shingles_expr(text, k), F.md5))

@@ -520,3 +520,6 @@ def transcript_replay(spark, sf_dir):
     return table.read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
     )
+
+# Register part-2 entries (training-data-pipeline suite) into this CATALOG.
+from gamechanger_data_spark.plans import catalog_pipeline  # noqa: E402,F401

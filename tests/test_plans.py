@@ -1,0 +1,82 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, codegen — the
+properties that keep the catalog queries viable at 100 TB."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_dim_join_is_broadcast(spark):
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["dim_lookup_join"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lww_max_by_is_partial_hash_aggregate(spark):
+    """The scale-path LWW must run as a hash aggregate with a partial
+    (map-side) phase before the exchange — the skew defense."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["lww_latest_max_by"].fn(spark, SF))
+    assert "partial_max" in plan
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_normalization(spark):
+    from gamechanger_data_spark.functions.text import normalize_text_expr
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        normalize_text_expr("text").alias("t"), F.sha2(F.col("text"), 256)
+    )
+    # formatted mode marks codegen spans with '[codegen id : N]' (the '*'
+    # operator prefix); the whole normalize+hash projection must be inside one
+    assert "codegen id" in _plan(df)
+
+
+def test_lineage_pass_prunes_text_column(spark, tmp_path):
+    """The fused lineage+touched pass reads only (op, event_seq, keys) —
+    parquet ReadSchema must not include the text payload."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_spark.datagen import FeedSpec, generate_batch
+
+    pdf = generate_batch(FeedSpec(n_convs=10, events_per_batch=100), 0)
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+    df = spark.read.parquet(p)
+
+    bucket = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(8)).cast("int")
+    proj = df.select("op", "event_seq", bucket.alias("__b"))
+    plan = _plan(proj)
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "text" not in read_schema
+    assert "op" in read_schema and "event_seq" in read_schema

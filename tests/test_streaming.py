@@ -1,0 +1,46 @@
+"""Structured Streaming path: file source -> foreachBatch apply with
+checkpointLocation; restart must not double-apply (offset log + batch-id
+markers)."""
+
+import pandas as pd
+
+from gamechanger_data_spark.datagen import (
+    FeedSpec,
+    all_events,
+    pandas_oracle,
+    write_feed,
+)
+from gamechanger_data_spark.functions.text import normalize_text_pandas
+from gamechanger_data_spark.schema import CHANGE_EVENT_SCHEMA
+from gamechanger_data_spark.sinks.table import LakeTable
+from gamechanger_data_spark.streaming.driver import stream_feed
+
+SPEC = FeedSpec(
+    n_convs=60, max_turns=8, n_batches=3, events_per_batch=600, seed=11,
+    evolve_batch=None,  # file-source stream uses one fixed schema
+)
+PARITY = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_stream_feed_parity_and_restart(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    write_feed(feed, SPEC)
+    table = LakeTable(spark, str(tmp_path / "table"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_feed(spark, feed, table, ckpt, CHANGE_EVENT_SCHEMA)
+    q.awaitTermination(120)
+
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    want = pandas_oracle(all_events(SPEC), normalize=normalize_text_pandas)
+    pd.testing.assert_frame_equal(
+        got[PARITY].reset_index(drop=True),
+        want[PARITY].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # restart with the same checkpoint: no new data -> no new versions
+    v = table.current_version()
+    q2 = stream_feed(spark, feed, table, ckpt, CHANGE_EVENT_SCHEMA)
+    q2.awaitTermination(120)
+    assert table.current_version() == v

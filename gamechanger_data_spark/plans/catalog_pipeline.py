@@ -345,3 +345,81 @@ def multimodal_frame_sample_q(spark, sf_dir):
 
     media = synthesize_media(spark, n=200, seed=42)
     return frame_sample_plan(media, every_n=10)
+
+
+# =====================================================================
+# Publish projection, ref extraction, renumbering, time windows
+# =====================================================================
+
+
+@q("es_publish_projection", """
+SELECT doc_id,
+       sha256('doc_' || CAST(doc_id AS VARCHAR)) AS es_id,
+       lang AS lang_s, source AS source_s, n_chars AS n_chars_i
+FROM documents
+""", "S11/P2/F11: the publish projection — deterministic sink id "
+     "sha256(filename minus .json), suffix-typed renames, heavy text column "
+     "dropped (gc_elasticsearch_publisher.py:79-100)")
+def es_publish_projection_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.hashing import es_id_expr
+
+    d = load(spark, sf_dir, "documents")
+    filename = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".json"))
+    return d.select(
+        "doc_id",
+        es_id_expr(filename).alias("es_id"),
+        F.col("lang").alias("lang_s"),
+        F.col("source").alias("source_s"),
+        F.col("n_chars").alias("n_chars_i"),
+    )
+
+
+_REF_PATTERN = "(?:table|scan|merge|join) [a-z]+"
+
+@q("ref_count_map", f"""
+SELECT ref, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '{_REF_PATTERN}')) AS ref FROM documents)
+GROUP BY ref
+""", "F4/A8: reference-extraction regex dictionary + occurrence counts "
+     "(common/document_parser/ref_utils.py:31-1228 single-capture contract, "
+     "lib/ref_list.py:58-80 ref_dict counting) — one combined pattern, one pass")
+def ref_count_map_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all("text", F.lit(_REF_PATTERN), 0)).alias("ref"))
+        .groupBy("ref")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("turn_renumber", """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT)
+         AS turn_no
+FROM events
+""", "A7: running per-key counters (page_count / par_inc_count, "
+     "lib/pages.py:16, document.py:102-128) as a ranking window")
+def turn_renumber_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.row_number().over(w).cast("int").alias("turn_no")
+    )
+
+
+@q("tumbling_window_counts", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""", "streaming-analog tumbling window aggregation (batch form of "
+     "window(ts, '1 hour'); the streaming driver uses the same expression "
+     "under availableNow triggers)")
+def tumbling_window_counts_q(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )

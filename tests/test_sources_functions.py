@@ -1,0 +1,134 @@
+"""JSONL/binary/CSV sources, lenient dates, transform pipeline."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.datagen import FeedSpec, generate_batch
+from gamechanger_data_spark.functions.dates import (
+    canonical_ts,
+    extract_dates,
+    lenient_to_timestamp,
+)
+from gamechanger_data_spark.plans.pipeline import chain, resolve_transform
+from gamechanger_data_spark.schema import CHANGE_EVENT_SCHEMA
+from gamechanger_data_spark.sources.binary import pair_by_stem, scan_binary_dir
+from gamechanger_data_spark.sources.jsonl import read_jsonl_events, write_jsonl
+from gamechanger_data_spark.sources.manifest_csv import read_manifest_csv, split_ops
+
+
+def test_jsonl_roundtrip_with_corrupt_lines(spark, tmp_path):
+    pdf = generate_batch(FeedSpec(n_convs=20, events_per_batch=200, seed=3), 0)
+    pdf = pdf.drop(columns=["tool_version"], errors="ignore")
+    src = spark.createDataFrame(pdf[[f.name for f in CHANGE_EVENT_SCHEMA.fields]])
+    d = str(tmp_path / "jl")
+    write_jsonl(src, d)
+    # inject corrupt + blank lines as an extra feed file (appending to a
+    # Spark-written part would break its .crc sidecar, not the JSON parse)
+    with open(os.path.join(d, "upstream-junk.json"), "w") as f:
+        f.write('{"op": "insert", "conv_id": INVALID}\n\nnot json at all\n')
+    clean, corrupt = read_jsonl_events(spark, d, CHANGE_EVENT_SCHEMA)
+    assert clean.count() == len(pdf)
+    assert corrupt.count() == 2  # blank lines are dropped by the reader itself
+    assert clean.schema.fieldNames() == CHANGE_EVENT_SCHEMA.fieldNames()
+
+
+def test_binary_scan_and_stem_pairing(spark, tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(b"%PDF-fake-a")
+    (d / "a.pdf.metadata").write_text('{"doc_name": "a"}')
+    (d / "b.txt").write_text("hello")
+    (d / "ignore.bin").write_bytes(b"\x00")
+    files = scan_binary_dir(spark, str(d), glob="*.{pdf,txt,metadata}")
+    assert files.count() == 3  # .bin filtered at the source
+    paired = pair_by_stem(files).orderBy("raw_path").toPandas()
+    assert len(paired) == 2
+    a = paired[paired.raw_path.str.endswith("a.pdf")].iloc[0]
+    assert a.sidecar_path.endswith("a.pdf.metadata")
+    b = paired[paired.raw_path.str.endswith("b.txt")].iloc[0]
+    assert b.sidecar_path is None
+
+
+def test_manifest_csv_split(spark, tmp_path):
+    p = tmp_path / "manifest.csv"
+    p.write_text(
+        "Process,conv_id,turn_idx,ts\n"
+        "Insert,c1,0,2024-01-01T00:00:00\n"
+        "Update,c1,1,2024-01-02T00:00:00\n"
+        "Delete,c2,0,2024-01-03T00:00:00\n"
+    )
+    m = read_manifest_csv(spark, str(p))
+    ops = {k: v.count() for k, v in split_ops(m).items()}
+    assert ops == {"insert": 1, "update": 1, "delete": 1}
+
+
+def test_manifest_csv_unknown_op_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("Process,conv_id,turn_idx,ts\nPurge,c1,0,2024-01-01T00:00:00\n")
+    with pytest.raises(Exception):
+        read_manifest_csv(spark, str(p)).collect()
+
+
+def test_lenient_timestamp_parse(spark):
+    rows = [
+        ("2024-01-02T03:04:05",),
+        ("2024-01-02 03:04:05",),
+        ("2024-01-02",),
+        ("01/02/2024",),
+        ("2 January 2024",),
+        ("January 2, 2024",),
+        ("Jan 2, 2024",),
+        ("garbage",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, ["s"])
+    got = df.select(lenient_to_timestamp("s").alias("t")).toPandas()["t"]
+    assert got.iloc[0] == pd.Timestamp("2024-01-02 03:04:05")
+    assert got.iloc[2] == pd.Timestamp("2024-01-02")
+    assert got.iloc[4] == pd.Timestamp("2024-01-02")
+    assert pd.isna(got.iloc[7]) and pd.isna(got.iloc[8])
+
+
+def test_canonical_format_floors_seconds(spark):
+    df = spark.createDataFrame([("2024-03-04 05:06:07.999999",)], ["s"])
+    out = df.select(
+        canonical_ts(F.col("s").cast("timestamp")).alias("c")
+    ).collect()[0]["c"]
+    assert out == "2024-03-04T05:06:07"
+
+
+def test_extract_dates(spark):
+    df = spark.createDataFrame(
+        [("effective 12 January 2024 and revised Mar 3, 2025 end",)], ["text"]
+    )
+    got = df.select(extract_dates("text").alias("d")).collect()[0]["d"]
+    assert got == ["12 January 2024", "Mar 3, 2025"]
+
+
+def _add_flag(df):
+    return df.withColumn("flag", F.lit(1))
+
+
+def test_pipeline_chain_and_dynamic_resolution(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    out = chain(df, [_add_flag])
+    assert out.columns == ["x", "flag"]
+    # dynamic resolution + namespace guard
+    fn = resolve_transform("gamechanger_data_spark.plans.pipeline::chain")
+    assert callable(fn)
+    with pytest.raises(ValueError):
+        resolve_transform("os::system")
+
+
+def test_pipeline_error_isolation(spark):
+    def broken(df):
+        return df.select("no_such_column")
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    out = chain(df, [broken, _add_flag], isolate_errors=True)
+    assert out.columns == ["x", "flag"]  # broken stage skipped, chain continued
+    with pytest.raises(Exception):
+        chain(df, [broken], isolate_errors=False).collect()

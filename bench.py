@@ -64,7 +64,7 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
     )
     feed = os.path.join(workdir, "feed")
     write_feed(feed, spec, parts_per_batch=32)
-    table = LakeTable(spark, os.path.join(workdir, "table"), n_buckets=64)
+    table = LakeTable(spark, os.path.join(workdir, "table"), n_buckets=32)
 
     n_events = 0
     t0 = time.perf_counter()
@@ -86,7 +86,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_batches = int(os.environ.get("GCSPARK_BENCH_BATCHES", "4"))
-    epb = int(os.environ.get("GCSPARK_BENCH_EVENTS_PER_BATCH", "250000"))
+    epb = int(os.environ.get("GCSPARK_BENCH_EVENTS_PER_BATCH", "1000000"))
 
     from gamechanger_data_spark.session import get_spark
 

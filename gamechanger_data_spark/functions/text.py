@@ -88,3 +88,25 @@ def preprocess_refs_expr(col: Column | str) -> Column:
     c = F.translate(c, "–—―−", "----")
     c = F.regexp_replace(c, r"\([^)]*\)", " ")
     return squash_whitespace_expr(c)
+
+
+def filename_safe_expr(col: Column | str, max_len: int = 200) -> Column:
+    """Archive-safe name: bad chars -> underscore, squash underscore runs,
+    trim to length (common/utils/text_utils.py:36-72 translate_bad_characters
+    + squash chains, and the title truncation at orch/models.py:37)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[^A-Za-z0-9.\-]", "_")
+    c = F.regexp_replace(c, r"_+", "_")
+    return F.substring(c, 1, max_len)
+
+
+def format_size_expr(n_bytes: Column | str) -> Column:
+    """Human-readable byte size (common/utils/text_utils.py:74-80) — metrics
+    rendering only, never in a data path."""
+    c = F.col(n_bytes) if isinstance(n_bytes, str) else n_bytes
+    return (
+        F.when(c >= 1024**3, F.concat(F.round(c / 1024**3, 1).cast("string"), F.lit(" GiB")))
+        .when(c >= 1024**2, F.concat(F.round(c / 1024**2, 1).cast("string"), F.lit(" MiB")))
+        .when(c >= 1024, F.concat(F.round(c / 1024, 1).cast("string"), F.lit(" KiB")))
+        .otherwise(F.concat(c.cast("string"), F.lit(" B")))
+    )

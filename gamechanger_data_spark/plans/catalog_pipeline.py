@@ -423,3 +423,24 @@ def tumbling_window_counts_q(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+_ALIAS_MAP = {"click": "interaction", "view": "interaction",
+              "purchase": "conversion", "signup": "conversion",
+              "error": "fault"}
+_ALIAS_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{k}' THEN '{v}'" for k, v in _ALIAS_MAP.items()
+) + " ELSE event_type END"
+
+@q("alias_resolution", f"""
+SELECT event_id, {_ALIAS_CASE} AS event_class FROM events
+""", "J8: entity alias resolution via broadcast map lookup "
+     "(gc_neo4j_publisher/neo4j_publisher.py:370-381 hash-map lookup)")
+def alias_resolution_q(spark, sf_dir):
+    mapping = F.create_map(*[F.lit(x) for kv in _ALIAS_MAP.items() for x in kv])
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(
+            F.element_at(mapping, F.col("event_type")), F.col("event_type")
+        ).alias("event_class"),
+    )

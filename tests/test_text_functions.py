@@ -62,3 +62,19 @@ def test_dict_hash_contract(spark):
         dict_hash_expr({"conv_id": "conv_id", "turn_idx": "turn_idx", "text": "text"}).alias("h")
     ).collect()[0]["h"]
     assert got == dict_hash_python(d)
+
+
+def test_filename_safe(spark):
+    from gamechanger_data_spark.functions.text import filename_safe_expr
+
+    df = spark.createDataFrame([("DoD Dir 5000.01 (Change 2)!.pdf",)], ["s"])
+    got = df.select(filename_safe_expr("s").alias("f")).collect()[0]["f"]
+    assert got == "DoD_Dir_5000.01_Change_2_.pdf"
+
+
+def test_format_size(spark):
+    from gamechanger_data_spark.functions.text import format_size_expr
+
+    df = spark.createDataFrame([(512,), (2048,), (5 * 1024**2,)], ["n"])
+    got = [r[0] for r in df.select(format_size_expr("n")).collect()]
+    assert got == ["512 B", "2.0 KiB", "5.0 MiB"]

@@ -444,3 +444,154 @@ def alias_resolution_q(spark, sf_dir):
             F.element_at(mapping, F.col("event_type")), F.col("event_type")
         ).alias("event_class"),
     )
+
+
+# =====================================================================
+# Beyond-reference analytic breadth: rollup, pivot, percentiles,
+# sessionization, as-of composition, approximate ops
+# =====================================================================
+
+
+@q("rollup_order_counts", """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""", "hierarchical rollup aggregation (subtotals + grand total)")
+def rollup_order_counts_q(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").cast("double").alias("revenue"),
+        )
+    )
+
+
+@q("pivot_value_by_status", """
+SELECT event_type,
+       round(sum(CASE WHEN user_id % 3 = 0 THEN value ELSE 0 END), 4) AS cohort_0,
+       round(sum(CASE WHEN user_id % 3 = 1 THEN value ELSE 0 END), 4) AS cohort_1,
+       round(sum(CASE WHEN user_id % 3 = 2 THEN value ELSE 0 END), 4) AS cohort_2
+FROM events GROUP BY event_type
+""", "pivot (wide conditional aggregation) — df.groupBy().pivot() on a "
+     "derived cohort key")
+def pivot_value_by_status_q(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cohort", F.concat(F.lit("cohort_"), (F.col("user_id") % 3).cast("string"))
+    )
+    out = (
+        ev.groupBy("event_type")
+        .pivot("cohort", ["cohort_0", "cohort_1", "cohort_2"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4))
+    )
+    # pivot leaves null for empty cells; normalize to 0 like the oracle
+    for c in ("cohort_0", "cohort_1", "cohort_2"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out
+
+
+@q("value_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""", "exact interpolated percentiles per group (Spark percentile == DuckDB "
+     "quantile_cont); the approx_percentile path is the 100TB variant")
+def value_percentiles_q(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+@q("sessionize_events", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start
+FROM s GROUP BY user_id, session_no
+""", "sessionization: lag-gap break detection + running sum -> session ids "
+     "(the batch form; streaming uses session_window)")
+def sessionize_events_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    # ts arrives as TIMESTAMP_NTZ; go through LTZ (session tz = UTC) for
+    # epoch-second arithmetic matching the oracle's naive interval math
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    g = ev.withColumn(
+        "brk", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    s = g.withColumn(
+        "session_no",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+@q("asof_last_click_before_purchase", """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, last_click_ts
+FROM t WHERE event_type = 'purchase'
+""", "as-of join composed from window functions (Spark lacks a native as-of "
+     "join): each purchase paired with the user's latest strictly-prior click")
+def asof_last_click_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = load(spark, sf_dir, "events")
+    t = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+@q("approx_distinct_users", None,
+   "approximate ops (HLL approx_count_distinct + approx_percentile) — "
+   "rows-only: sketch values are engine-specific by nature; the exact "
+   "twins are value_percentiles / minmax_ingest_dates")
+def approx_distinct_users_q(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_percentile("value", 0.5).alias("approx_p50"),
+        )
+    )

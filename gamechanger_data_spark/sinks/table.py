@@ -195,10 +195,27 @@ class LakeTable:
                 [], schema or T.StructType([T.StructField("conv_id", T.StringType())])
             )
         paths = [os.path.join(self.root, p) for fl in m["files"].values() for p in fl]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._drop_tombstones(self.spark.read.schema(schema).parquet(*paths))
 
-    def read_buckets(self, buckets: Iterable[int], version: int | None = None) -> DataFrame:
-        """Bucket-pruned snapshot read — only the named buckets' files."""
+    def _drop_tombstones(self, df: DataFrame) -> DataFrame:
+        """Delete-tombstone rows are physical (they defend keys against
+        out-of-order older events) but logically absent: read() hides them.
+        Old snapshots without the column read as null -> kept."""
+        if "__deleted" in df.columns:
+            df = df.filter(
+                F.col("__deleted").isNull() | (~F.col("__deleted"))
+            ).drop("__deleted")
+        return df
+
+    def read_buckets(
+        self,
+        buckets: Iterable[int],
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Bucket-pruned snapshot read — only the named buckets' files.
+        ``include_tombstones=True`` is the merge-internal mode (tombstones
+        must keep competing under LWW)."""
         m = self._load_manifest(version)
         schema = self.schema(version)
         paths = [
@@ -207,8 +224,10 @@ class LakeTable:
             for p in m["files"].get(str(b), [])
         ]
         if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+            out = self.spark.createDataFrame([], schema)
+        else:
+            out = self.spark.read.schema(schema).parquet(*paths)
+        return out if include_tombstones else self._drop_tombstones(out)
 
     def lineage(self) -> DataFrame:
         """All per-partition lineage rows across snapshots (manifest table)."""
@@ -274,7 +293,9 @@ class LakeTable:
         (LWW guard on (order_cols) lexicographic):
 
             source newer & op in (insert, update) -> upsert row
-            source newer & op = delete            -> row removed
+            source newer & op = delete            -> tombstone (hidden from
+                                                     reads, defends the key
+                                                     against older arrivals)
             source newer & op = revoke            -> upsert + is_revoked=true
             source older/equal                    -> target row kept
 
@@ -305,11 +326,15 @@ class LakeTable:
         if "is_revoked" not in src.columns:
             src = src.withColumn("is_revoked", F.col("op") == F.lit("revoke"))
 
-        # evolve schema (additive union-by-name); the table stores is_revoked,
-        # not op — op exists only inside the merge plan.
+        # evolve schema (additive union-by-name); the table stores is_revoked
+        # and the __deleted tombstone flag, not op — op exists only inside
+        # the merge plan.
         state_schema = self._evolved_schema(
             old_schema,
-            T.StructType([f for f in src.schema.fields if f.name != "op"]),
+            T.StructType(
+                [f for f in src.schema.fields if f.name != "op"]
+                + [T.StructField("__deleted", T.BooleanType(), True)]
+            ),
         )
 
         if touched is None:
@@ -328,13 +353,20 @@ class LakeTable:
 
         if old_schema is not None and touched:
             # Target rows from ONLY the touched buckets become pseudo-events
-            # competing under the same (ts, event_seq) LWW order. op='update'
-            # keeps them upsert-shaped; their stored order cols defend them
-            # against older source events.
-            target = self.read_buckets(touched)
+            # competing under the same (ts, event_seq) LWW order; their
+            # stored order cols defend them against older source events.
+            # Tombstones re-enter as op='delete' so a surviving tombstone
+            # stays a tombstone (a delete must keep defending its key
+            # against out-of-order older events in later batches).
+            target = self.read_buckets(touched, include_tombstones=True)
             tgt_part = (
                 self._align(target, state_schema)
-                .withColumn("op", F.lit("update"))
+                .withColumn(
+                    "op",
+                    F.when(F.col("__deleted"), F.lit("delete")).otherwise(
+                        F.lit("update")
+                    ),
+                )
                 .withColumn("__bucket", self._bucket_expr().cast("int"))
             )
             merged_in = tgt_part.unionByName(src_part)
@@ -345,8 +377,11 @@ class LakeTable:
             self.dedup_strategy
         ]
         merged = dedup(merged_in, self.key_cols, self.order_cols)
-        merged = merged.filter(
-            (F.col("op").isNull()) | (F.col("op") != F.lit("delete"))
+        # delete winners persist as tombstones (__deleted=true), hidden by
+        # read() but retained to defend the key; payload columns are kept
+        # only as debugging context.
+        merged = merged.withColumn(
+            "__deleted", F.coalesce(F.col("op") == F.lit("delete"), F.lit(False))
         ).drop("op")
 
         # 3) rewrite touched buckets under a new snapshot id
@@ -388,6 +423,55 @@ class LakeTable:
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version,
                 "touched_buckets": len(touched)}
+
+    def expire_tombstones(self, older_than, batch_id: str = "__tombstone_gc__") -> dict:
+        """Maintenance op: drop tombstones whose order column is older than
+        ``older_than`` (the retention horizon after which out-of-order
+        arrivals are no longer admitted). Rewrites every bucket under a NEW
+        snapshot version (old files stay until expire_snapshots, so the
+        lazy read is safe) — the Iceberg rewrite_data_files pattern."""
+        m = self._load_manifest()
+        if not m["files"]:
+            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+        live = self.read_buckets(range(self.n_buckets), include_tombstones=True)
+        keep = live.filter(
+            (F.col("__deleted").isNull())
+            | (~F.col("__deleted"))
+            | (F.col(self.order_cols[0]) >= F.lit(older_than))
+        ).withColumn("__bucket", self._bucket_expr().cast("int"))
+
+        new_version = m["version"] + 1
+        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        (
+            keep.repartition(self.n_buckets, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        rel = os.path.relpath(snap_dir, self.root)
+        files = {}
+        for b in range(self.n_buckets):
+            bdir = os.path.join(snap_dir, f"__bucket={b}")
+            files[str(b)] = (
+                [
+                    os.path.join(rel, f"__bucket={b}", fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                ]
+                if os.path.isdir(bdir)
+                else []
+            )
+        manifest = {
+            "version": new_version,
+            "schema": m["schema"],
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "applied_batches": m["applied_batches"] + [batch_id],
+            "lineage": [],
+            "parent": m["version"],
+        }
+        self._commit(manifest)
+        return {"skipped": False, "batch_id": batch_id, "version": new_version}
 
     def overwrite(self, df: DataFrame, batch_id: str = "__overwrite__") -> dict:
         """CREATE OR REPLACE TABLE AS SELECT (reference: truncate-and-reload

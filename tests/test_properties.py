@@ -1,0 +1,85 @@
+"""Property tests for the CDC apply semantics.
+
+The load-bearing engine property: the final table state depends ONLY on the
+event set — not on how events are grouped into batches, not on their order
+within batches, not on replays. (This is what makes checkpoint resume,
+backfill, and late-arrival handling safe at 10^10 events.)
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gamechanger_data_spark.datagen import FeedSpec, all_events, pandas_oracle
+from gamechanger_data_spark.functions.text import normalize_text_pandas
+from gamechanger_data_spark.sinks.table import LakeTable
+from gamechanger_data_spark.streaming.driver import apply_batch
+
+SPEC = FeedSpec(n_convs=30, max_turns=5, n_batches=3, events_per_batch=400,
+                seed=23, evolve_batch=None)
+PARITY = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _replay_grouping(spark, tmp_path, events: pd.DataFrame, groups: list[np.ndarray],
+                     name: str) -> pd.DataFrame:
+    table = LakeTable(spark, str(tmp_path / name), n_buckets=4)
+    for i, idx in enumerate(groups):
+        batch = events.iloc[idx]
+        if len(batch) == 0:
+            continue
+        apply_batch(table, spark.createDataFrame(batch), f"{name}-b{i}")
+    return (
+        table.read()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[PARITY]
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("regroup_seed", [1, 2, 3])
+def test_final_state_invariant_under_batching(spark, tmp_path, regroup_seed):
+    events = all_events(SPEC)
+    want = pandas_oracle(events, normalize=normalize_text_pandas)[PARITY].reset_index(
+        drop=True
+    )
+
+    rng = np.random.default_rng(regroup_seed)
+    n = len(events)
+    # random number of batches, random assignment, shuffled order inside
+    n_batches = int(rng.integers(1, 6))
+    assign = rng.integers(0, n_batches, n)
+    groups = [rng.permutation(np.flatnonzero(assign == b)) for b in range(n_batches)]
+
+    got = _replay_grouping(spark, tmp_path, events, groups, f"g{regroup_seed}")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_single_batch_equals_multi_batch(spark, tmp_path):
+    events = all_events(SPEC)
+    one = _replay_grouping(spark, tmp_path, events, [np.arange(len(events))], "one")
+    thirds = np.array_split(np.arange(len(events)), 3)
+    many = _replay_grouping(spark, tmp_path, events, list(thirds), "many")
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_delete_tombstone_defends_against_late_arrival(spark, tmp_path):
+    """delete at t2 applied before a late insert at t1: row stays deleted
+    (the bug class the tombstone design exists for)."""
+    import datetime as dt
+
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    from gamechanger_data_spark.schema import CHANGE_EVENT_SCHEMA
+
+    ins = [("insert", "c1", 0, "user", "hello", None, t1, 1, "p", None)]
+    dele = [("delete", "c1", 0, None, None, None, t2, 2, "p", None)]
+    table = LakeTable(spark, str(tmp_path / "tomb"), n_buckets=2)
+    apply_batch(table, spark.createDataFrame(dele, CHANGE_EVENT_SCHEMA), "b-del")
+    apply_batch(table, spark.createDataFrame(ins, CHANGE_EVENT_SCHEMA), "b-late-ins")
+    assert table.read().count() == 0  # late insert must NOT resurrect
+
+    # tombstone GC after retention: row space reclaimed, state unchanged
+    table.expire_tombstones(older_than=dt.datetime(2024, 1, 3))
+    assert table.read().count() == 0
+    raw = table.read_buckets(range(2), include_tombstones=True)
+    assert raw.count() == 0  # tombstone physically gone after GC

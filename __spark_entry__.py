@@ -3,8 +3,10 @@
 ``entry(spark)`` runs the flagship pipeline: a seeded multi-batch CDC change
 feed replayed through normalize -> LWW dedup -> bucket-CoW MERGE into a
 versioned transcript table, returning the final state. ``queries()`` /
-``oracle_sql()`` expose every implemented operator from SURVEY.md §2 with a
-DuckDB-runnable oracle (see gamechanger_data_spark/plans/catalog.py).
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline suite (dedup / similarity / text analysis /
+chunking / multimodal) with DuckDB-runnable oracles
+(gamechanger_data_spark/plans/catalog.py and catalog_pipeline.py).
 """
 
 from __future__ import annotations

@@ -38,6 +38,13 @@ assert len(_SRC) == len(_DST)
 
 _PANDAS_TRANS = str.maketrans(_SRC, _DST)
 
+# Control characters stripped outright (translate-with-delete is ~3x cheaper
+# than a character-class regex in the hot path).
+_CTRL = "".join(
+    chr(c) for c in [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F]
+)
+_PANDAS_CTRL = {ord(c): None for c in _CTRL}
+
 
 def normalize_text_expr(col: Column | str) -> Column:
     """Native Spark normalization chain (JVM-side, codegen).
@@ -47,7 +54,7 @@ def normalize_text_expr(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.translate(c, _SRC, _DST)
-    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.translate(c, _CTRL, "")  # delete control chars (no regex cost)
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 
@@ -55,7 +62,7 @@ def normalize_text_expr(col: Column | str) -> Column:
 def normalize_text_pandas(s: pd.Series) -> pd.Series:
     """Vectorized pandas implementation of exactly the same transform."""
     out = s.str.translate(_PANDAS_TRANS)
-    out = out.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", regex=True)
+    out = out.str.translate(_PANDAS_CTRL)
     out = out.str.replace(r"\s+", " ", regex=True)
     return out.str.strip()
 

@@ -595,3 +595,27 @@ def approx_distinct_users_q(spark, sf_dir):
             F.approx_percentile("value", 0.5).alias("approx_p50"),
         )
     )
+
+
+@q("chunk_documents", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(toks[i*32+1 : i*32+32], ' ') AS chunk_text
+FROM t, (SELECT unnest(range(64)) AS i)
+WHERE i * 32 < len(toks)
+""", "fixed-size token chunking for training-context windows (the engine "
+     "analog of page/paragraph segmentation, lib/pages.py / document.py:79-130"
+     " — posexplode over computed chunk offsets, no Python)")
+def chunk_documents_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    from gamechanger_data_spark.operators.dedup import tokens_expr
+
+    toks = tokens_expr("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(32)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 32 + 1, 32), " "),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")

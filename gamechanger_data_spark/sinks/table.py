@@ -285,6 +285,8 @@ class LakeTable:
         batch_id: str,
         lineage_rows: list[dict] | None = None,
         touched: list[int] | None = None,
+        transform_winners=None,
+        observe_ops: bool = False,
     ) -> dict:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -315,6 +317,18 @@ class LakeTable:
         ``touched`` (bucket ids the source touches) can be supplied by the
         caller when it already computed them in its lineage pass — saves a
         scan; otherwise derived here with a column-pruned distinct.
+
+        ``transform_winners``: optional DataFrame->DataFrame applied AFTER
+        the LWW dedup and before the write. Rows expose a boolean ``__src``
+        marker (true = row came from this batch's source, false = existing
+        target row), so expensive per-row work (normalization, hashing) can
+        be confined to fresh rows — losers and already-processed state rows
+        never pay for it.
+
+        ``observe_ops``: attach an Observation to the source side and record
+        batch-level op counts (upserted/deleted/revoked/rows_in) as an extra
+        lineage summary row (partition_id = -1) in the SAME commit — the op
+        counts come for free out of the merge job instead of a second scan.
         """
         if batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id, "version": self.current_version()}
@@ -347,8 +361,29 @@ class LakeTable:
         else:
             touched = sorted(set(int(b) for b in touched))
 
-        src_part = self._align(src, state_schema, keep=("op",)).withColumn(
-            "__bucket", self._bucket_expr().cast("int")
+        obs = None
+        if observe_ops:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge-{batch_id}")
+            src = src.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(F.col("op").isin("insert", "update"), 1).otherwise(0)).alias(
+                    "rows_upserted"
+                ),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias(
+                    "rows_deleted"
+                ),
+                F.sum(F.when(F.col("op") == "revoke", 1).otherwise(0)).alias(
+                    "rows_revoked"
+                ),
+            )
+
+        src_part = (
+            self._align(src, state_schema, keep=("op",))
+            .withColumn("__bucket", self._bucket_expr().cast("int"))
+            .withColumn("__src", F.lit(True))
         )
 
         if old_schema is not None and touched:
@@ -368,6 +403,7 @@ class LakeTable:
                     ),
                 )
                 .withColumn("__bucket", self._bucket_expr().cast("int"))
+                .withColumn("__src", F.lit(False))
             )
             merged_in = tgt_part.unionByName(src_part)
         else:
@@ -383,6 +419,9 @@ class LakeTable:
         merged = merged.withColumn(
             "__deleted", F.coalesce(F.col("op") == F.lit("delete"), F.lit(False))
         ).drop("op")
+        if transform_winners is not None:
+            merged = transform_winners(merged)
+        merged = merged.drop("__src")
 
         # 3) rewrite touched buckets under a new snapshot id
         new_version = m["version"] + 1
@@ -408,6 +447,27 @@ class LakeTable:
             else:
                 files[str(b)] = []
 
+        all_lineage = list(lineage_rows or [])
+        if obs is not None:
+            # Observation metrics resolve after the write action above;
+            # recorded as a batch-level summary row in the same commit.
+            got = obs.get
+            all_lineage.append(
+                {
+                    "batch_id": batch_id,
+                    "partition_id": -1,
+                    "offset_min": None,
+                    "offset_max": None,
+                    # rows_in lives on the per-file rows (footer lineage);
+                    # repeating the observed total here would double-count
+                    "rows_in": None,
+                    "rows_upserted": int(got["rows_upserted"] or 0),
+                    "rows_deleted": int(got["rows_deleted"] or 0),
+                    "rows_revoked": int(got["rows_revoked"] or 0),
+                    "applied_at": _utcnow(),
+                }
+            )
+
         stored_schema = T.StructType([f for f in state_schema.fields if f.name != "__bucket"])
         manifest = {
             "version": new_version,
@@ -417,7 +477,7 @@ class LakeTable:
             "applied_batches": m["applied_batches"] + [batch_id],
             # per-commit lineage only; lineage() concatenates across the
             # manifest history (manifests are tiny and never expired)
-            "lineage": lineage_rows or [],
+            "lineage": all_lineage,
             "parent": m["version"],
         }
         self._commit(manifest)

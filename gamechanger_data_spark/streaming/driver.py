@@ -21,6 +21,7 @@ Streaming foreachBatch with a checkpointLocation.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,83 @@ def prepare_events(events: DataFrame, use_pandas_udf: bool = False) -> DataFrame
     return events.withColumn("text", norm).withColumn(
         "dedup_hash", dedup_hash_expr(F.col("text"))
     )
+
+
+def finalize_winners(use_pandas_udf: bool = False):
+    """Winner-only normalization + hashing for LakeTable.merge.
+
+    Applied AFTER the LWW dedup: only rows that (a) came from this batch's
+    source (``__src``) and (b) won their key pay the normalize+sha cost.
+    Target rows were normalized when they were first written — conditional
+    evaluation short-circuits per row in codegen, so at steady state the
+    text pipeline cost scales with the batch's winner count, not with
+    (batch + touched-state) size.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        norm = (
+            normalize_text_udf(F.col("text"))
+            if use_pandas_udf
+            else normalize_text_expr("text")
+        )
+        df = df.withColumn(
+            "text", F.when(F.col("__src"), norm).otherwise(F.col("text"))
+        )
+        return df.withColumn(
+            "dedup_hash",
+            F.when(F.col("__src"), dedup_hash_expr(F.col("text"))).otherwise(
+                F.col("dedup_hash")
+            ),
+        )
+
+    return _t
+
+
+def lineage_from_footers(batch_dir: str, batch_id: str) -> list[dict] | None:
+    """Per-FILE lineage from parquet footers — zero data scanned.
+
+    offset_min/offset_max come from the event_seq column statistics,
+    rows_in from the row counts. Returns None when footers/stats are
+    unavailable (JSONL feeds, stats disabled) — callers fall back to the
+    scanning path. Op-count columns are left null here; the batch-level op
+    split is observed for free inside the merge job (observe_ops)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(batch_dir, "*.parquet")))
+    if not files:
+        return None
+    now = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+    rows = []
+    try:
+        for i, f in enumerate(files):
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            col_idx = pf.schema_arrow.names.index("event_seq")
+            omin = omax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                omin = st.min if omin is None else min(omin, st.min)
+                omax = st.max if omax is None else max(omax, st.max)
+            rows.append(
+                {
+                    "batch_id": batch_id,
+                    "partition_id": i,
+                    "offset_min": int(omin) if omin is not None else None,
+                    "offset_max": int(omax) if omax is not None else None,
+                    "rows_in": int(md.num_rows),
+                    "rows_upserted": None,
+                    "rows_deleted": None,
+                    "rows_revoked": None,
+                    "applied_at": now,
+                }
+            )
+    except (ValueError, KeyError, OSError):
+        return None
+    return rows
 
 
 def lineage_for(
@@ -102,15 +180,49 @@ def apply_batch(
     batch_id: str,
     use_pandas_udf: bool = False,
     with_lineage: bool = True,
+    batch_dir: str | None = None,
 ) -> dict:
-    """Normalize + hash + merge one micro-batch (idempotent on batch_id)."""
+    """Merge one micro-batch (idempotent on batch_id).
+
+    Normalization + dedup-hash run INSIDE the merge on winner rows only
+    (finalize_winners). Lineage strategy, cheapest first:
+
+      1. ``batch_dir`` given and parquet footers carry event_seq stats ->
+         per-file lineage from metadata (zero scan) + op counts observed
+         inside the merge job (observe_ops). Touched buckets: every bucket
+         when the batch is clearly dense (rows >> n_buckets), else left for
+         merge to derive with a column-pruned distinct.
+      2. fallback -> one column-pruned scan (lineage_for) fused with
+         touched-bucket collection.
+    """
     if batch_id in table.applied_batches():
         return {"skipped": True, "batch_id": batch_id, "version": table.current_version()}
-    touched, lineage = (
-        lineage_for(events, batch_id, table) if with_lineage else (None, [])
+
+    touched: list[int] | None = None
+    lineage: list[dict] = []
+    observe_ops = False
+    if with_lineage:
+        rows = lineage_from_footers(batch_dir, batch_id) if batch_dir else None
+        if rows is not None:
+            lineage = rows
+            observe_ops = True  # op split measured for free in the merge job
+            total = sum(r["rows_in"] for r in rows)
+            if total >= 50 * table.n_buckets:
+                touched = list(range(table.n_buckets))  # dense batch: all buckets
+        else:
+            touched, lineage = lineage_for(events, batch_id, table)
+
+    src = events
+    if "dedup_hash" not in src.columns:
+        src = src.withColumn("dedup_hash", F.lit(None).cast("string"))
+    return table.merge(
+        src,
+        batch_id,
+        lineage_rows=lineage,
+        touched=touched,
+        transform_winners=finalize_winners(use_pandas_udf=use_pandas_udf),
+        observe_ops=observe_ops,
     )
-    prepared = prepare_events(events, use_pandas_udf=use_pandas_udf)
-    return table.merge(prepared, batch_id, lineage_rows=lineage, touched=touched)
 
 
 def replay_feed(
@@ -133,7 +245,8 @@ def replay_feed(
         events = read_batch(spark, d)
         results.append(
             apply_batch(table, events, batch_id,
-                        use_pandas_udf=use_pandas_udf, with_lineage=with_lineage)
+                        use_pandas_udf=use_pandas_udf, with_lineage=with_lineage,
+                        batch_dir=d)
         )
     return results
 

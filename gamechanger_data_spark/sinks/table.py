@@ -409,6 +409,15 @@ class LakeTable:
         else:
             merged_in = src_part
 
+        # Two-exchange plan, deliberately: dedup exchanges on the KEY
+        # columns first, then the (much smaller) winner set re-exchanges by
+        # bucket for the write. A single bucket-clustered exchange looks
+        # cheaper on paper but loses Spark 4's PARTIAL WindowGroupLimit —
+        # with the key-hash exchange, each map task pre-reduces to its
+        # local top-1 per key BEFORE shuffling, collapsing shuffle bytes
+        # ~10x (measured: 1425 MB -> ~150 MB on a 21M-event batch) and
+        # moving the big sort to the pre-reduced map side. The second
+        # exchange only carries final winners.
         dedup = {"window": lww_window, "max_by": lww_max_by, "salted": lww_salted}[
             self.dedup_strategy
         ]

@@ -92,6 +92,11 @@ class LakeTable:
         if dedup_strategy not in ("window", "max_by", "salted"):
             raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
         self.dedup_strategy = dedup_strategy
+        # An existing table's bucket spec is authoritative — a constructor
+        # mismatch would silently mis-prune future merges.
+        existing = self._load_manifest()
+        if existing["version"] > 0:
+            self.n_buckets = int(existing["n_buckets"])
         os.makedirs(os.path.join(root, META_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -492,6 +497,94 @@ class LakeTable:
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version,
                 "touched_buckets": len(touched)}
+
+    def changelog(self, version: int | None = None) -> DataFrame:
+        """CDC-out: the rows CHANGED by the commit that produced ``version``
+        (default: current) — derived purely from metadata + time travel, no
+        write-path cost. A row changed in commit v iff (a) it lives in a
+        bucket whose file list differs from the parent snapshot and (b) its
+        winning event_seq falls inside the commit's offset range (from the
+        lineage rows committed with it). ``change_op`` classifies
+        delete / revoke / upsert. Reference analog: the append-only
+        versioned_docs table (SURVEY §1.1) — here it is a view, not a copy.
+        """
+        m = self._load_manifest(version)
+        if m["version"] == 0 or m["parent"] is None:
+            raise ValueError("no commit at this version")
+        pm = self._load_manifest(m["parent"])
+        changed = [
+            int(b) for b in m["files"] if m["files"][b] != pm["files"].get(b)
+        ]
+        offsets = [
+            (r["offset_min"], r["offset_max"])
+            for r in m["lineage"]
+            if r.get("offset_min") is not None
+        ]
+        if not offsets:
+            raise ValueError(
+                "changelog requires lineage offset ranges (batch applied "
+                "with with_lineage=True)"
+            )
+        lo = min(o[0] for o in offsets)
+        hi = max(o[1] for o in offsets)
+        seq = self.order_cols[-1]
+        df = self.read_buckets(changed, version=m["version"], include_tombstones=True)
+        out = df.filter(F.col(seq).between(lo, hi))
+        change_op = F.when(F.col("__deleted"), F.lit("delete"))
+        if "is_revoked" in df.columns:
+            change_op = change_op.when(F.col("is_revoked"), F.lit("revoke"))
+        return out.withColumn("change_op", change_op.otherwise(F.lit("upsert"))).drop(
+            "__deleted"
+        )
+
+    def rebucket(self, new_n_buckets: int, batch_id: str = "__rebucket__") -> dict:
+        """Bucket-count evolution: full rewrite under a new bucket spec
+        (run when the table outgrows its bucket count — DESIGN.md sizes
+        NB ~ table_bytes / 512 MB). New snapshot; old snapshots stay
+        readable under their own spec; future merges prune with the new
+        one. The Iceberg analog is replacing the bucket partition spec."""
+        m = self._load_manifest()
+        live = self.read_buckets(range(self.n_buckets), include_tombstones=True)
+        old_nb = self.n_buckets
+        self.n_buckets = int(new_n_buckets)
+        try:
+            keep = live.withColumn("__bucket", self._bucket_expr().cast("int"))
+            new_version = m["version"] + 1
+            snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+            (
+                keep.repartition(self.n_buckets, "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(snap_dir)
+            )
+            rel = os.path.relpath(snap_dir, self.root)
+            files = {}
+            for b in range(self.n_buckets):
+                bdir = os.path.join(snap_dir, f"__bucket={b}")
+                files[str(b)] = (
+                    [
+                        os.path.join(rel, f"__bucket={b}", fn)
+                        for fn in os.listdir(bdir)
+                        if fn.endswith(".parquet")
+                    ]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+            manifest = {
+                "version": new_version,
+                "schema": m["schema"],
+                "n_buckets": self.n_buckets,
+                "files": files,
+                "applied_batches": m["applied_batches"] + [batch_id],
+                "lineage": [],
+                "parent": m["version"],
+            }
+            self._commit(manifest)
+            return {"skipped": False, "batch_id": batch_id, "version": new_version,
+                    "n_buckets": self.n_buckets}
+        except Exception:
+            self.n_buckets = old_nb
+            raise
 
     def expire_tombstones(self, older_than, batch_id: str = "__tombstone_gc__") -> dict:
         """Maintenance op: drop tombstones whose order column is older than

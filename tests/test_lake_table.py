@@ -76,3 +76,50 @@ def test_bucket_pruned_read_is_partition_of_full(spark, tmp_path):
     full = table.read().count()
     parts = sum(table.read_buckets([b]).count() for b in range(4))
     assert parts == full
+
+
+def test_changelog_matches_winners(spark, tmp_path):
+    """changelog(v) returns exactly the rows whose state was set by that
+    commit, classified delete/revoke/upsert."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    _apply(spark, table, 1)
+    v2 = table.current_version()
+
+    ch = table.changelog(v2).toPandas()
+    # every changed row's winning event came from batch 1's offset range
+    b1 = generate_batch(SPEC, 1)
+    lo, hi = b1.event_seq.min(), b1.event_seq.max()
+    assert ((ch.event_seq >= lo) & (ch.event_seq <= hi)).all()
+    assert set(ch.change_op.unique()) <= {"upsert", "delete", "revoke"}
+    # cross-check against the oracle: state rows whose winner is from b1
+    ev = pd.concat([generate_batch(SPEC, 0), b1], ignore_index=True)
+    ordered = ev.sort_values(["ts", "event_seq"], kind="mergesort")
+    winners = ordered.drop_duplicates(subset=["conv_id", "turn_idx"], keep="last")
+    from_b1 = winners[(winners.event_seq >= lo) & (winners.event_seq <= hi)]
+    assert len(ch) == len(from_b1)
+    deletes = from_b1[from_b1.op == "delete"]
+    assert (ch.change_op == "delete").sum() == len(deletes)
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    before = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    table.rebucket(16)
+    after = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    # future merges use the new spec; reopening the table adopts it too
+    _apply(spark, table, 1)
+    reopened = LakeTable(spark, str(tmp_path / "t"), n_buckets=999)
+    assert reopened.n_buckets == 16
+    ev = pd.concat([generate_batch(SPEC, 0), generate_batch(SPEC, 1)], ignore_index=True)
+    want = pandas_oracle(ev, normalize=normalize_text_pandas)
+    got = reopened.read().orderBy("conv_id", "turn_idx").toPandas()
+    cols = ["conv_id", "turn_idx", "text", "ts"]
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True), want[cols].reset_index(drop=True),
+        check_dtype=False,
+    )

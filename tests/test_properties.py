@@ -83,3 +83,33 @@ def test_delete_tombstone_defends_against_late_arrival(spark, tmp_path):
     assert table.read().count() == 0
     raw = table.read_buckets(range(2), include_tombstones=True)
     assert raw.count() == 0  # tombstone physically gone after GC
+
+
+def test_extreme_hot_key_skew_strategies_agree(spark, tmp_path):
+    """One conversation owns ~60% of all events (hot-key pathology): all
+    three dedup strategies must still produce identical, oracle-correct
+    state."""
+    import numpy as np
+
+    base = all_events(FeedSpec(n_convs=20, max_turns=4, n_batches=1,
+                               events_per_batch=500, seed=41, evolve_batch=None))
+    hot = base.sample(n=800, replace=True, random_state=7).copy()
+    hot["conv_id"] = "conv_hot"
+    hot["turn_idx"] = (np.arange(len(hot)) % 3).astype("int32")
+    hot["event_seq"] = np.arange(1_000_000, 1_000_000 + len(hot))
+    events = pd.concat([base, hot], ignore_index=True)
+
+    states = {}
+    for strat in ("window", "max_by", "salted"):
+        table = LakeTable(spark, str(tmp_path / f"skew_{strat}"), n_buckets=4,
+                          dedup_strategy=strat)
+        apply_batch(table, spark.createDataFrame(events), "b0")
+        states[strat] = (
+            table.read().orderBy("conv_id", "turn_idx").toPandas()[PARITY]
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(states["window"], states["max_by"])
+    pd.testing.assert_frame_equal(states["window"], states["salted"])
+    want = pandas_oracle(events, normalize=normalize_text_pandas)[PARITY]
+    pd.testing.assert_frame_equal(states["window"], want.reset_index(drop=True),
+                                  check_dtype=False)

@@ -234,6 +234,24 @@ class LakeTable:
             out = self.spark.read.schema(schema).parquet(*paths)
         return out if include_tombstones else self._drop_tombstones(out)
 
+    def lookup_key(self, **key_values) -> DataFrame:
+        """Point lookup: computes the key's bucket and reads ONLY that
+        bucket's files (1/NB of the table), then filters — the filter is
+        pushed into the parquet scan where the sorted-by-key row groups
+        let min/max stats skip pages. At 10^10 rows with NB=4096 a lookup
+        touches ~0.02% of the data before pushdown."""
+        missing = [c for c in self.key_cols if c not in key_values]
+        if missing:
+            raise ValueError(f"lookup requires all key columns; missing {missing}")
+        probe = self.spark.createDataFrame(
+            [tuple(key_values[c] for c in self.key_cols)], list(self.key_cols)
+        )
+        bucket = probe.select(self._bucket_expr().cast("int").alias("b")).collect()[0]["b"]
+        out = self.read_buckets([bucket])
+        for c in self.key_cols:
+            out = out.filter(F.col(c) == F.lit(key_values[c]))
+        return out
+
     def lineage(self) -> DataFrame:
         """All per-partition lineage rows across snapshots (manifest table)."""
         from gamechanger_data_spark.schema import MANIFEST_SCHEMA
@@ -440,8 +458,13 @@ class LakeTable:
         # 3) rewrite touched buckets under a new snapshot id
         new_version = m["version"] + 1
         snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        # sortWithinPartitions by key: parquet row-group min/max stats then
+        # support key-range/point pruning inside each bucket (lookup_key
+        # reads one bucket and skips row groups) — the Z-order-lite for a
+        # single-key-prefix access pattern.
         (
             merged.repartition(max(1, len(touched)), "__bucket")
+            .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(snap_dir)

@@ -123,3 +123,17 @@ def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
         got[cols].reset_index(drop=True), want[cols].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_lookup_key_point_read(spark, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    full = table.read().toPandas()
+    row = full.iloc[7]
+    got = table.lookup_key(conv_id=row.conv_id, turn_idx=int(row.turn_idx)).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0].text == row.text
+    # missing key component is rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        table.lookup_key(conv_id=row.conv_id)

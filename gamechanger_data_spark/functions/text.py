@@ -117,3 +117,26 @@ def format_size_expr(n_bytes: Column | str) -> Column:
         .when(c >= 1024, F.concat(F.round(c / 1024, 1).cast("string"), F.lit(" KiB")))
         .otherwise(F.concat(c.cast("string"), F.lit(" B")))
     )
+
+
+# ES dynamic-template suffix typing (SURVEY §1.3): field-name suffix -> type.
+# configuration/elasticsearch-config/prod.json dynamic_templates in the
+# reference; here: a schema-driven rename builder.
+_SUFFIX_BY_TYPE = {
+    "string": "_s", "int": "_i", "bigint": "_l", "boolean": "_b",
+    "double": "_d", "float": "_f", "timestamp": "_dt", "timestamp_ntz": "_dt",
+}
+
+
+def suffix_rename_map(schema, keep: tuple[str, ...] = ()) -> dict[str, str]:
+    """Build the suffix-typing rename map for a DataFrame schema
+    (parse.py:154-169 did this by hand for 7 fields; this derives it from
+    the schema so it stays correct under schema evolution)."""
+    out = {}
+    for f in schema.fields:
+        if f.name in keep:
+            continue
+        suffix = _SUFFIX_BY_TYPE.get(f.dataType.simpleString())
+        if suffix and not f.name.endswith(suffix):
+            out[f.name] = f.name + suffix
+    return out

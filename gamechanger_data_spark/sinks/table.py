@@ -243,8 +243,18 @@ class LakeTable:
         missing = [c for c in self.key_cols if c not in key_values]
         if missing:
             raise ValueError(f"lookup requires all key columns; missing {missing}")
+        # xxhash64 is TYPE-sensitive: the probe must carry exactly the
+        # table's key column types (a python int would infer LONG and hash
+        # into the wrong bucket for an INT key column).
+        schema = self.schema()
+        if schema is None:
+            raise ValueError("empty table")
+        key_fields = T.StructType([f for f in schema.fields if f.name in self.key_cols])
+        ordered = T.StructType(
+            [next(f for f in key_fields if f.name == c) for c in self.key_cols]
+        )
         probe = self.spark.createDataFrame(
-            [tuple(key_values[c] for c in self.key_cols)], list(self.key_cols)
+            [tuple(key_values[c] for c in self.key_cols)], ordered
         )
         bucket = probe.select(self._bucket_expr().cast("int").alias("b")).collect()[0]["b"]
         out = self.read_buckets([bucket])

@@ -129,11 +129,17 @@ def test_lookup_key_point_read(spark, tmp_path):
     table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
     _apply(spark, table, 0)
     full = table.read().toPandas()
-    row = full.iloc[7]
-    got = table.lookup_key(conv_id=row.conv_id, turn_idx=int(row.turn_idx)).toPandas()
-    assert len(got) == 1
-    assert got.iloc[0].text == row.text
+    # many probes so a wrong-bucket bug cannot pass by 1/n_buckets luck
+    # (python int probes infer LONG; the stored key is INT — regression
+    # guard for the type-sensitive xxhash64 bucket computation)
+    for i in range(0, min(len(full), 40), 2):
+        row = full.iloc[i]
+        got = table.lookup_key(
+            conv_id=row.conv_id, turn_idx=int(row.turn_idx)
+        ).toPandas()
+        assert len(got) == 1, f"lookup missed row {i}"
+        assert got.iloc[0].text == row.text
     # missing key component is rejected
     import pytest as _pt
     with _pt.raises(ValueError):
-        table.lookup_key(conv_id=row.conv_id)
+        table.lookup_key(conv_id=full.iloc[0].conv_id)

@@ -78,3 +78,13 @@ def test_format_size(spark):
     df = spark.createDataFrame([(512,), (2048,), (5 * 1024**2,)], ["n"])
     got = [r[0] for r in df.select(format_size_expr("n")).collect()]
     assert got == ["512 B", "2.0 KiB", "5.0 MiB"]
+
+
+def test_suffix_rename_map(spark):
+    from gamechanger_data_spark.functions.text import suffix_rename_map
+
+    df = spark.createDataFrame([(1, "x", 2.5, True)], ["n", "s", "d", "b"])
+    m = suffix_rename_map(df.schema, keep=("n",))
+    assert m == {"s": "s_s", "d": "d_d", "b": "b_b"}
+    renamed = df.withColumnsRenamed(m)
+    assert set(renamed.columns) == {"n", "s_s", "d_d", "b_b"}

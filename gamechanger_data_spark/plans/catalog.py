@@ -24,6 +24,10 @@ from gamechanger_data_spark.operators.lww import lww_max_by, lww_salted, lww_win
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may run these queries in its own session: pin UTC at call
+    # time (runtime-settable) so NTZ<->LTZ casts match the naive-UTC DuckDB
+    # oracle regardless of the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

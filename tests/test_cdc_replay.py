@@ -135,3 +135,20 @@ def test_dedup_strategies_same_final_state(spark, feed_dir, tmp_path_factory):
         )
     pd.testing.assert_frame_equal(states["window"], states["max_by"])
     pd.testing.assert_frame_equal(states["window"], states["salted"])
+
+
+def test_batch_missing_column_null_filled(spark, tmp_path):
+    """A batch missing an existing column (upstream dropped it) must apply
+    cleanly with nulls — the reverse direction of additive evolution."""
+    from gamechanger_data_spark.datagen import FeedSpec, generate_batch
+    from gamechanger_data_spark.streaming.driver import apply_batch
+
+    spec = FeedSpec(n_convs=20, events_per_batch=200, seed=9, evolve_batch=None)
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b0 = generate_batch(spec, 0)
+    apply_batch(table, spark.createDataFrame(b0), "b0")
+    b1 = generate_batch(spec, 1).drop(columns=["tool"])  # column vanished
+    apply_batch(table, spark.createDataFrame(b1), "b1")
+    df = table.read()
+    assert "tool" in df.columns  # schema retained
+    assert df.count() > 0

@@ -143,3 +143,16 @@ def test_lookup_key_point_read(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         table.lookup_key(conv_id=full.iloc[0].conv_id)
+
+
+def test_snapshot_isolation_reader_during_write(spark, tmp_path):
+    """A reader holding version v keeps a consistent view while a new
+    commit lands (old files are immutable until expire_snapshots)."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    v1 = table.current_version()
+    reader = table.read(version=v1)  # lazy plan pinned to v1 files
+    n_before = reader.count()
+    _apply(spark, table, 1)  # concurrent-ish commit
+    assert table.current_version() == v1 + 1
+    assert reader.count() == n_before  # unchanged view, files intact

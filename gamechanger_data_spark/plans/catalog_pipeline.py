@@ -619,3 +619,15 @@ def chunk_documents_q(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")
+
+
+@q("cube_order_stats", """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""", "cube / grouping-sets aggregation (all subtotal combinations)")
+def cube_order_stats_q(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

@@ -77,3 +77,15 @@ def running_conv_state(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_window_counts(stream: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via the native session_window (gap-based
+    dynamic windows); the batch twin is the catalog's lag+cumsum
+    `sessionize_events`."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).start.alias("session_start"), "producer")
+        .agg(F.count("*").alias("n_events"))
+    )

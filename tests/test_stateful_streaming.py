@@ -72,3 +72,25 @@ def test_running_conv_state_final_counts(spark, tmp_path):
     pd.testing.assert_series_equal(
         final.sort_index(), want.sort_index(), check_names=False, check_dtype=False
     )
+
+
+def test_session_window_counts_runs(spark, tmp_path):
+    from gamechanger_data_spark.streaming.stateful import session_window_counts
+
+    feed = str(tmp_path / "feed_sw")
+    write_feed(feed, SPEC)
+    stream = read_feed_stream(spark, feed, CHANGE_EVENT_SCHEMA)
+    q = (
+        session_window_counts(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess").toPandas()
+    assert len(got) > 0
+    assert (got.n_events > 0).all()
+    # total events conserved across sessions
+    assert got.n_events.sum() == len(all_events(SPEC))

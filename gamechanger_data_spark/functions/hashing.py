@@ -4,8 +4,10 @@ Reference contracts reproduced (citations into /root/reference/):
   - str_to_sha256_hex_digest: sha256 hex of the utf-8 string
     (dataPipelines/gc_manual_metadata/gc_manual_metadata.py:9-14, duplicated at
     dataPipelines/gc_ingest/tools/metadata/metadata.py:9-14)
-  - dict_to_sha256_hex_digest: sort (k, v) pairs by str(key), concatenate
-    str(k)+str(v) with no separator, sha256 the result — the version /
+  - dict_to_sha256_hex_digest: sort (k, v) pairs by str(key), then reduce
+    with ``"".join(map(str, (acc, pair)))`` — i.e. concatenate the *tuple
+    reprs* ``str((k, v))`` of each sorted pair (``"('event_id', 7)"
+    "('event_type', 'click')"``), sha256 the result — the version /
     change-detection hash (gc_manual_metadata.py:16-28)
   - ES document id: sha256(filename stripped of a trailing '.json')
     (dataPipelines/gc_elasticsearch_publisher/gc_elasticsearch_publisher.py:81-94)
@@ -29,20 +31,33 @@ def sha256_expr(col: Column | str) -> Column:
     return F.sha2(c, 256)
 
 
-def dict_hash_expr(pairs: dict[str, Column | str]) -> Column:
+def dict_hash_expr(
+    pairs: dict[str, Column | str], string_cols: frozenset[str] | set[str] = frozenset()
+) -> Column:
     """dict_to_sha256_hex_digest for a fixed field set.
 
-    Reproduces the reference contract exactly: pairs sorted by str(key),
-    concatenated as str(k)+str(v) with NO separator, sha256 hex. Values are
-    cast to string; the caller is responsible for matching the reference's
-    str() rendering of non-string values where parity matters.
+    Reproduces the reference contract: pairs sorted by str(key), each pair
+    rendered as its Python tuple repr ``str((k, v))`` and concatenated with
+    NO separator, sha256 hex. String-typed values (named in ``string_cols``)
+    are rendered inside single quotes like Python repr; other values via
+    plain string cast.
+
+    Parity caveat (documented, not hidden): the single-quote rendering
+    matches Python ``repr`` only for strings free of backslashes, single
+    quotes, and control characters — the shape of the reference's metadata
+    fields. Values whose repr escapes characters (or floats, whose repr is
+    shortest-round-trip) need the Python mirror ``dict_hash_python``.
     """
     parts: list[Column] = []
     for k in sorted(pairs, key=str):
         v = pairs[k]
         c = F.col(v) if isinstance(v, str) else v
-        parts.append(F.lit(str(k)))
-        parts.append(c.cast("string"))
+        parts.append(F.lit(f"({k!r}, "))
+        if k in string_cols:
+            parts.append(F.concat(F.lit("'"), c.cast("string"), F.lit("'")))
+        else:
+            parts.append(c.cast("string"))
+        parts.append(F.lit(")"))
     return F.sha2(F.concat(*parts), 256)
 
 
@@ -65,7 +80,18 @@ def sha256_pandas(s: pd.Series) -> pd.Series:
 
 
 def dict_hash_python(d: dict) -> str:
-    """Bit-exact mirror of the reference dict_to_sha256_hex_digest."""
+    """Bit-exact mirror of the reference dict_to_sha256_hex_digest.
+
+    The reference's ``reduce(lambda t1, t2: "".join(map(str, (t1, t2))),
+    sorted(d.items(), key=lambda t: str(t[0])), "")`` folds the accumulator
+    string with each (k, v) tuple, which is exactly the concatenation of the
+    tuple reprs ``str((k, v))`` in sorted-key order. Numpy scalar values are
+    unboxed first (their repr differs from the Python scalars the reference
+    feeds in).
+    """
+    def _unbox(v):
+        return v.item() if hasattr(v, "item") else v
+
     sorted_pairs = sorted(d.items(), key=lambda kv: str(kv[0]))
-    concat = "".join(f"{k}{v}" for k, v in sorted_pairs)
+    concat = "".join(str((k, _unbox(v))) for k, v in sorted_pairs)
     return hashlib.sha256(concat.encode("utf-8")).hexdigest()

@@ -95,35 +95,44 @@ def _decode_image(payload: bytes) -> tuple[int, int, bool]:
 
 
 def extract_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Feature extraction over binary payloads — native where possible.
 
-    mapInPandas keeps payload bytes in Arrow buffers; per batch the work is
-    vectorized pandas except the (stubbed) codec call, which a real
-    deployment replaces with a vectorized decode (e.g. pillow-simd,
-    torchvision.io) per the same signature.
+    Byte-level metadata (n_bytes, payload_sha256) is computed JVM-side with
+    ``F.length`` / ``F.sha2`` directly on the binary column (codegen, no
+    Python in that path). Only the DECODE step — the part that genuinely
+    needs a codec — goes through mapInPandas, where Arrow keeps payload
+    bytes in columnar buffers; a real deployment swaps ``_decode_image``
+    for a vectorized codec (pillow-simd / torchvision.io) with the same
+    signature.
     """
+    with_meta = df.select(
+        "media_id",
+        "media_type",
+        "payload",
+        F.coalesce(F.length("payload"), F.lit(0)).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256)).alias(
+            "payload_sha256"
+        ),
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            payloads = pdf["payload"]
-            dims = [_decode_image(p if p is not None else b"") for p in payloads]
+            dims = [
+                _decode_image(p if p is not None else b"") for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
-                    "payload_sha256": payloads.map(
-                        lambda p: hashlib.sha256(bytes(p or b"")).hexdigest()
-                    ),
+                    "n_bytes": pdf["n_bytes"],
+                    "payload_sha256": pdf["payload_sha256"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "decoded": [d[2] for d in dims],
                 }
             )
 
-    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return with_meta.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

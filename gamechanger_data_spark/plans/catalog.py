@@ -12,6 +12,7 @@ lineitem events documents embeddings.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -24,10 +25,12 @@ from gamechanger_data_spark.operators.lww import lww_max_by, lww_salted, lww_win
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver may run these queries in its own session: pin UTC at call
-    # time (runtime-settable) so NTZ<->LTZ casts match the naive-UTC DuckDB
-    # oracle regardless of the host session's timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver may run these queries in its own session: oracle parity
+    # requires UTC (NTZ<->LTZ casts vs the naive-UTC DuckDB oracle). Our own
+    # session factory pins it (session.py); for foreign sessions set it once
+    # rather than mutating conf on every load call.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -299,16 +302,19 @@ def sha256_surrogate_key(spark, sf_dir):
 
 @q("dict_hash_contract", """
 SELECT event_id,
-       sha256('event_id' || CAST(event_id AS VARCHAR) || 'event_type' || event_type) AS version_hash
+       sha256('(''event_id'', ' || CAST(event_id AS VARCHAR)
+              || ')(''event_type'', ''' || event_type || ''')') AS version_hash
 FROM events
-""", "F10: dict_to_sha256_hex_digest — sorted-by-str(key) k+v concat "
-     "(gc_manual_metadata.py:16-28); keys here sort as event_id < event_type")
+""", "F10: dict_to_sha256_hex_digest — sorted-by-str(key) tuple-repr concat "
+     "(gc_manual_metadata.py:16-28 reduce over str((k, v))); keys here sort "
+     "as event_id < event_type")
 def dict_hash_contract(spark, sf_dir):
     return load(spark, sf_dir, "events").select(
         "event_id",
-        dict_hash_expr({"event_id": "event_id", "event_type": "event_type"}).alias(
-            "version_hash"
-        ),
+        dict_hash_expr(
+            {"event_id": "event_id", "event_type": "event_type"},
+            string_cols={"event_type"},
+        ).alias("version_hash"),
     )
 
 
@@ -505,25 +511,89 @@ def cdc_apply_events(spark, sf_dir):
     )
 
 
-@q("transcript_replay", None,
-   "full engine path (rows-only check): seeded feed -> normalize -> LWW -> "
-   "bucket-CoW MERGE -> final transcript state; SQL cannot express the "
-   "multi-batch exactly-once replay")
+# The flagship replay is hash-checked against a SQL oracle: the feed is a
+# DETERMINISTIC seeded corpus published once to a stable path (so DuckDB can
+# read the very same parquet files), and the engine's multi-batch
+# exactly-once replay must converge to the state the single SQL expression
+# below computes (LWW winner per key, deletes absent, revokes flagged,
+# winner text normalized).
+_REPLAY_ROOT = "/tmp/gcspark_replay_oracle_v1"
+_REPLAY_FEED = os.path.join(_REPLAY_ROOT, "feed")
+
+_NORM_CHAIN_SQL = """trim(regexp_replace(
+  regexp_replace(
+    translate({col},
+      chr(8216)||chr(8217)||chr(8218)||chr(8219)||chr(8220)||chr(8221)||chr(8222)||chr(8223)||chr(8211)||chr(8212)||chr(8213)||chr(8722)||chr(160),
+      repeat(chr(39),4) || repeat(chr(34),4) || repeat(chr(45),4) || ' '),
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+  '\\s+', ' ', 'g'))"""
+
+
+def _ensure_replay_feed() -> str:
+    """Publish the seeded replay feed once (atomic dir rename; concurrent
+    builders race benignly — first publish wins, content is identical)."""
+    if os.path.exists(os.path.join(_REPLAY_ROOT, "_READY_ALL")):
+        return _REPLAY_FEED
+    import shutil
+    import uuid as _uuid
+
+    from gamechanger_data_spark.datagen import FeedSpec, write_feed
+
+    tmp = f"{_REPLAY_ROOT}-build-{_uuid.uuid4().hex}"
+    write_feed(os.path.join(tmp, "feed"), FeedSpec(
+        n_convs=60, n_batches=3, events_per_batch=500, seed=42))
+    with open(os.path.join(tmp, "_READY_ALL"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, _REPLAY_ROOT)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _REPLAY_FEED
+
+
+_TRANSCRIPT_REPLAY_SQL = f"""
+WITH ev AS (
+  SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')
+),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role,
+       {_NORM_CHAIN_SQL.format(col='text')} AS text,
+       tool, ts, (op = 'revoke') AS is_revoked
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@q("transcript_replay", _TRANSCRIPT_REPLAY_SQL,
+   "full engine path, HASH-checked: seeded feed -> normalize -> LWW -> "
+   "bucket CoW/MOR MERGE (multi-batch, exactly-once) -> final transcript "
+   "state must equal the oracle's one-shot LWW reduction over the same "
+   "parquet feed")
 def transcript_replay(spark, sf_dir):
     import tempfile
 
-    from gamechanger_data_spark.datagen import FeedSpec, write_feed
     from gamechanger_data_spark.sinks.table import LakeTable
     from gamechanger_data_spark.streaming.driver import replay_feed
 
+    feed = _ensure_replay_feed()
     work = tempfile.mkdtemp(prefix="gcspark_replay_")
-    spec = FeedSpec(n_convs=60, n_batches=3, events_per_batch=500, seed=42)
-    write_feed(f"{work}/feed", spec)
     table = LakeTable(spark, f"{work}/table", n_buckets=8)
-    replay_feed(spark, f"{work}/feed", table)
+    replay_feed(spark, feed, table)
     return table.read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
     )
+
+
+# Publish the feed at import so the oracle side can run even if the driver
+# evaluates SQL before (or without) invoking the Spark query.
+try:  # pragma: no cover - trivial guard
+    _ensure_replay_feed()
+except OSError:
+    pass
 
 # Register part-2 entries (training-data-pipeline suite) into this CATALOG.
 from gamechanger_data_spark.plans import catalog_pipeline  # noqa: E402,F401

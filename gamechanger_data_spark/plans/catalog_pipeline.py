@@ -612,10 +612,16 @@ def chunk_documents_q(spark, sf_dir):
 
     toks = tokens_expr("text")
     n_chunks = F.ceil(F.size(toks) / F.lit(32)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * 32 + 1, 32), " "),
-    )
+    # Empty/whitespace-only doc: n_chunks = 0 and sequence(0, -1) would
+    # auto-DESCEND to [0, -1], emitting bogus chunks the oracle (i*32 <
+    # len(toks)) never produces — guard to an empty array instead.
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * 32 + 1, 32), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return d.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")

@@ -13,6 +13,14 @@ needs:
     only the buckets the source batch touches and reuses every other data
     file — at 10^10 rows a micro-batch touching k buckets costs O(k/NB) of
     the table, not a full rewrite;
+  * merge-on-READ for trickle batches: when a batch is small relative to
+    the buckets it touches, merge appends per-bucket DELTA files (the
+    batch's own LWW winners, tombstones included) instead of rewriting the
+    buckets — write cost ∝ batch size, not bucket size (Iceberg v2
+    delete/delta files). Readers resolve base+delta with the same LWW
+    kernel; ``compact()`` folds deltas back into the base, and a bucket
+    whose delta stack exceeds ``mor_max_deltas`` is auto-compacted by the
+    next CoW merge that touches it;
   * atomic commit: a new manifest JSON is written, then the VERSION pointer
     is swapped with os.replace (atomic on POSIX). Data files land BEFORE the
     pointer moves, so readers never observe partial commits (the reference's
@@ -52,6 +60,10 @@ from gamechanger_data_spark.operators.lww import lww_max_by, lww_salted, lww_win
 
 META_DIR = "_meta"
 VERSION_FILE = "VERSION"
+# applied-batch markers kept inline in the manifest before being rolled into
+# an immutable chained segment file — keeps manifest size O(1) per commit
+# instead of rewriting the full batch history every commit.
+BATCH_SEGMENT_SIZE = 64
 
 
 def _utcnow() -> str:
@@ -69,6 +81,9 @@ class LakeTable:
         order_cols: tuple[str, ...] = ("ts", "event_seq"),
         n_buckets: int = 32,
         dedup_strategy: str = "window",
+        merge_mode: str = "auto",
+        mor_fraction: float = 0.2,
+        mor_max_deltas: int = 8,
     ):
         """``dedup_strategy`` picks the physical LWW form used by merge:
 
@@ -83,6 +98,19 @@ class LakeTable:
           adversarial/heavily-duplicated feeds.
         * ``salted``  — explicit two-phase key-salted repartition + window;
           for extreme single-key skew (one conversation dominating a batch).
+
+        ``merge_mode`` picks the physical write strategy per merge:
+
+        * ``cow``  — always rewrite touched buckets (round-1 behavior; best
+          for dense batches where the batch is a large fraction of the
+          buckets it touches).
+        * ``mor``  — always append delta files (merge-on-read).
+        * ``auto`` — delta when the batch is < ``mor_fraction`` of the
+          touched buckets' resident rows AND no touched bucket's delta
+          stack has reached ``mor_max_deltas``; CoW (folding any deltas)
+          otherwise. The 10^10-row design point: a trickle CDC batch pays
+          O(batch), a backfill pays O(touched buckets) — never both worst
+          cases.
         """
         self.spark = spark
         self.root = root
@@ -92,6 +120,13 @@ class LakeTable:
         if dedup_strategy not in ("window", "max_by", "salted"):
             raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
         self.dedup_strategy = dedup_strategy
+        if merge_mode not in ("cow", "mor", "auto"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        self.merge_mode = merge_mode
+        self.mor_fraction = float(mor_fraction)
+        self.mor_max_deltas = int(mor_max_deltas)
+        # chained batch-id segments are immutable once written -> memoize
+        self._segment_cache: dict[str, frozenset[str]] = {}
         # An existing table's bucket spec is authoritative — a constructor
         # mismatch would silently mis-prune future merges.
         existing = self._load_manifest()
@@ -120,12 +155,22 @@ class LakeTable:
                 "schema": None,
                 "n_buckets": self.n_buckets,
                 "files": {},
+                "deltas": {},
+                "base_rows": {},
+                "delta_rows": {},
                 "applied_batches": [],
+                "batches_segment": None,
                 "lineage": [],
                 "parent": None,
             }
         with open(self._meta_path(v)) as f:
-            return json.load(f)
+            m = json.load(f)
+        # round-1 manifests predate the MOR / segment fields
+        m.setdefault("deltas", {})
+        m.setdefault("base_rows", {})
+        m.setdefault("delta_rows", {})
+        m.setdefault("batches_segment", None)
+        return m
 
     def _commit(self, manifest: dict) -> None:
         """Write manifest v, then atomically swap the VERSION pointer."""
@@ -143,7 +188,58 @@ class LakeTable:
         os.replace(vtmp, vp)  # atomic on POSIX — the commit point
 
     def applied_batches(self) -> set[str]:
-        return set(self._load_manifest()["applied_batches"])
+        """All applied batch ids: the manifest's inline tail plus the chain
+        of immutable segment files it points at. The manifest itself stays
+        O(1) per commit (round 1 rewrote the full id list into every
+        manifest — O(commits) bloat at 10^5+ commits); segments are
+        memoized, so a replay loop pays the chain walk once."""
+        m = self._load_manifest()
+        return set(m["applied_batches"]) | self._segment_ids(m.get("batches_segment"))
+
+    def _segment_ids(self, seg_rel: str | None) -> frozenset[str]:
+        if seg_rel is None:
+            return frozenset()
+        if seg_rel in self._segment_cache:
+            return self._segment_cache[seg_rel]
+        with open(os.path.join(self.root, seg_rel)) as f:
+            seg = json.load(f)
+        ids = frozenset(seg["batch_ids"]) | self._segment_ids(seg.get("prev"))
+        self._segment_cache[seg_rel] = ids
+        return ids
+
+    def _advance_batches(self, m: dict, batch_id: str) -> tuple[list[str], str | None]:
+        """Append ``batch_id`` to the applied set; roll the inline tail into
+        a new chained segment file once it reaches BATCH_SEGMENT_SIZE. The
+        segment is written BEFORE the manifest swap (an orphan segment from
+        a crash is harmless)."""
+        tail = list(m.get("applied_batches", [])) + [batch_id]
+        seg = m.get("batches_segment")
+        if len(tail) >= BATCH_SEGMENT_SIZE:
+            seg_rel = os.path.join(META_DIR, f"batchseg-{uuid.uuid4().hex}.json")
+            with open(os.path.join(self.root, seg_rel), "w") as f:
+                json.dump({"batch_ids": tail, "prev": seg}, f)
+            return [], seg_rel
+        return tail, seg
+
+    def _count_rows(self, relpaths: list[str]) -> int:
+        """Row count from parquet footers (no data scan). Driver-side
+        O(#files-written-this-commit); the Iceberg analog keeps these in
+        per-file manifest stats."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
+            for p in relpaths
+        )
+
+    def _next_version(self) -> int:
+        """Allocate snapshot ids past the MAX existing manifest, not
+        current+1: after rollback_to_snapshot(v), manifests v+1.. of the
+        abandoned branch still exist and reference their data dirs — a
+        commit must never reuse their names (divergent writes would
+        silently corrupt time travel to those versions)."""
+        snaps = self.snapshots()
+        return (max(snaps) if snaps else 0) + 1
 
     def snapshots(self) -> list[int]:
         d = os.path.join(self.root, META_DIR)
@@ -169,8 +265,9 @@ class LakeTable:
         live: set[str] = set()
         for v in keep:
             m = self._load_manifest(v)
-            for files in m["files"].values():
-                live.update(files)
+            for src in (m["files"], m.get("deltas", {})):
+                for files in src.values():
+                    live.update(files)
         removed = 0
         data_dir = os.path.join(self.root, "data")
         for dirpath, _dirnames, filenames in os.walk(data_dir):
@@ -192,15 +289,17 @@ class LakeTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read. Old files are read under the evolved schema
-        (missing columns null-filled by the parquet reader)."""
+        (missing columns null-filled by the parquet reader). Buckets with
+        outstanding delta files are resolved base+delta under the same LWW
+        kernel merge uses; delta-free buckets stream straight off parquet
+        with no shuffle — the MOR read cost is ∝ un-compacted data only."""
         m = self._load_manifest(version)
         schema = self.schema(version)
-        if not m["files"]:
+        if not m["files"] and not m.get("deltas"):
             return self.spark.createDataFrame(
                 [], schema or T.StructType([T.StructField("conv_id", T.StringType())])
             )
-        paths = [os.path.join(self.root, p) for fl in m["files"].values() for p in fl]
-        return self._drop_tombstones(self.spark.read.schema(schema).parquet(*paths))
+        return self._read_resolved(m, schema, buckets=None, include_tombstones=False)
 
     def _drop_tombstones(self, df: DataFrame) -> DataFrame:
         """Delete-tombstone rows are physical (they defend keys against
@@ -217,21 +316,73 @@ class LakeTable:
         buckets: Iterable[int],
         version: int | None = None,
         include_tombstones: bool = False,
+        resolve: bool = True,
     ) -> DataFrame:
         """Bucket-pruned snapshot read — only the named buckets' files.
         ``include_tombstones=True`` is the merge-internal mode (tombstones
-        must keep competing under LWW)."""
+        must keep competing under LWW). ``resolve=False`` skips the
+        base+delta LWW resolution and returns the raw union of base and
+        delta rows — ONLY for callers that feed the result into their own
+        LWW pass (merge does; resolving twice would waste a shuffle)."""
         m = self._load_manifest(version)
         schema = self.schema(version)
-        paths = [
-            os.path.join(self.root, p)
-            for b in buckets
-            for p in m["files"].get(str(b), [])
+        if not resolve:
+            paths = [
+                os.path.join(self.root, p)
+                for b in buckets
+                for src in (m["files"], m.get("deltas", {}))
+                for p in src.get(str(b), [])
+            ]
+            if not paths:
+                out = self.spark.createDataFrame([], schema)
+            else:
+                out = self.spark.read.schema(schema).parquet(*paths)
+            return out if include_tombstones else self._drop_tombstones(out)
+        return self._read_resolved(m, schema, list(buckets), include_tombstones)
+
+    def _read_resolved(
+        self,
+        m: dict,
+        schema: T.StructType,
+        buckets: list[int] | None,
+        include_tombstones: bool,
+    ) -> DataFrame:
+        """Base+delta read: buckets WITHOUT deltas are read as plain parquet
+        (no shuffle); buckets WITH deltas union their base and delta files
+        and resolve the winner per key with the map-side-combining LWW
+        aggregate (same kernel as merge). Only un-compacted buckets pay the
+        resolution shuffle."""
+        deltas = m.get("deltas", {})
+        if buckets is None:
+            keys = set(m["files"]) | set(deltas)
+        else:
+            keys = {str(b) for b in buckets}
+        clean = [b for b in keys if not deltas.get(b)]
+        dirty = [b for b in keys if deltas.get(b)]
+
+        parts: list[DataFrame] = []
+        clean_paths = [
+            os.path.join(self.root, p) for b in clean for p in m["files"].get(b, [])
         ]
-        if not paths:
+        if clean_paths:
+            parts.append(self.spark.read.schema(schema).parquet(*clean_paths))
+        if dirty:
+            dirty_paths = [
+                os.path.join(self.root, p)
+                for b in dirty
+                for src in (m["files"], deltas)
+                for p in src.get(b, [])
+            ]
+            raw = self.spark.read.schema(schema).parquet(*dirty_paths)
+            parts.append(lww_max_by(raw, self.key_cols, self.order_cols))
+        if not parts:
             out = self.spark.createDataFrame([], schema)
         else:
-            out = self.spark.read.schema(schema).parquet(*paths)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # lww_max_by emits keys+order+payload order; restore schema order
+            out = out.select(*[F.col(f.name) for f in schema.fields])
         return out if include_tombstones else self._drop_tombstones(out)
 
     def lookup_key(self, **key_values) -> DataFrame:
@@ -320,6 +471,8 @@ class LakeTable:
         touched: list[int] | None = None,
         transform_winners=None,
         observe_ops: bool = False,
+        src_rows: int | None = None,
+        mode: str | None = None,
     ) -> dict:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -362,6 +515,19 @@ class LakeTable:
         batch-level op counts (upserted/deleted/revoked/rows_in) as an extra
         lineage summary row (partition_id = -1) in the SAME commit — the op
         counts come for free out of the merge job instead of a second scan.
+
+        ``src_rows``: caller's row-count estimate for the batch (lineage
+        passes already have it); feeds the auto CoW-vs-MOR decision. Unknown
+        -> CoW (conservative). ``mode`` overrides the table's merge_mode for
+        this one merge.
+
+        Merge-on-read variant: when the decision lands on ``mor``, the
+        target buckets are NOT read — the batch alone is LWW-deduped,
+        normalized, and appended as per-bucket delta files (tombstones
+        included, so deletes keep defending their keys). Readers resolve
+        base+delta with the same LWW kernel; cost ∝ batch, the round-1
+        write-amplification killer for trickle feeds (reference semantics
+        preserved: per-doc upsert, load/utils.py:223-278).
         """
         if batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id, "version": self.current_version()}
@@ -383,16 +549,6 @@ class LakeTable:
                 + [T.StructField("__deleted", T.BooleanType(), True)]
             ),
         )
-
-        if touched is None:
-            touched = sorted(
-                r[0]
-                for r in src.select(self._bucket_expr().cast("int").alias("b"))
-                .distinct()
-                .collect()
-            )
-        else:
-            touched = sorted(set(int(b) for b in touched))
 
         obs = None
         if observe_ops:
@@ -419,14 +575,32 @@ class LakeTable:
             .withColumn("__src", F.lit(True))
         )
 
-        if old_schema is not None and touched:
+        if touched is None:
+            # Derived from the SCHEMA-ALIGNED source: xxhash64 is
+            # type-sensitive, so a batch whose key column arrives as a wider
+            # type (long turn_idx vs stored int) must be hashed under the
+            # table's types or its buckets fall outside `touched` and the
+            # written winners never reach the manifest.
+            touched = sorted(
+                r[0] for r in src_part.select("__bucket").distinct().collect()
+            )
+        else:
+            touched = sorted(set(int(b) for b in touched))
+
+        write_mode = self._decide_mode(m, old_schema, touched, src_rows, mode)
+
+        if old_schema is not None and touched and write_mode == "cow":
             # Target rows from ONLY the touched buckets become pseudo-events
             # competing under the same (ts, event_seq) LWW order; their
             # stored order cols defend them against older source events.
             # Tombstones re-enter as op='delete' so a surviving tombstone
             # stays a tombstone (a delete must keep defending its key
             # against out-of-order older events in later batches).
-            target = self.read_buckets(touched, include_tombstones=True)
+            # resolve=False: any outstanding delta rows join the union RAW —
+            # the single LWW pass below resolves base, deltas, and the new
+            # batch together (a CoW merge doubles as compaction of the
+            # buckets it touches).
+            target = self.read_buckets(touched, include_tombstones=True, resolve=False)
             tgt_part = (
                 self._align(target, state_schema)
                 .withColumn(
@@ -465,9 +639,11 @@ class LakeTable:
             merged = transform_winners(merged)
         merged = merged.drop("__src")
 
-        # 3) rewrite touched buckets under a new snapshot id
-        new_version = m["version"] + 1
-        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        # 3) write under a new snapshot id: CoW rewrites the touched
+        # buckets' base files; MOR appends per-bucket delta files.
+        new_version = self._next_version()
+        kind = "snap" if write_mode == "cow" else "delta"
+        snap_dir = os.path.join(self.root, "data", f"{kind}-{new_version:08d}")
         # sortWithinPartitions by key: parquet row-group min/max stats then
         # support key-range/point pruning inside each bucket (lookup_key
         # reads one bucket and skips row groups) — the Z-order-lite for a
@@ -482,17 +658,31 @@ class LakeTable:
 
         # 4) build new manifest: untouched buckets keep old files
         files = dict(m["files"])
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        base_rows = dict(m.get("base_rows", {}))
+        delta_rows = dict(m.get("delta_rows", {}))
+        rel = os.path.relpath(snap_dir, self.root)
         for b in touched:
+            bk = str(b)
             bdir = os.path.join(snap_dir, f"__bucket={b}")
-            rel = os.path.relpath(snap_dir, self.root)
-            if os.path.isdir(bdir):
-                files[str(b)] = [
+            new_files = (
+                [
                     os.path.join(rel, f"__bucket={b}", fn)
                     for fn in os.listdir(bdir)
                     if fn.endswith(".parquet")
                 ]
+                if os.path.isdir(bdir)
+                else []
+            )
+            if write_mode == "cow":
+                files[bk] = new_files
+                base_rows[bk] = self._count_rows(new_files)
+                # the CoW rewrite folded any outstanding deltas in
+                deltas[bk] = []
+                delta_rows[bk] = 0
             else:
-                files[str(b)] = []
+                deltas[bk] = deltas.get(bk, []) + new_files
+                delta_rows[bk] = delta_rows.get(bk, 0) + self._count_rows(new_files)
 
         all_lineage = list(lineage_rows or [])
         if obs is not None:
@@ -516,12 +706,17 @@ class LakeTable:
             )
 
         stored_schema = T.StructType([f for f in state_schema.fields if f.name != "__bucket"])
+        tail, seg = self._advance_batches(m, batch_id)
         manifest = {
             "version": new_version,
             "schema": stored_schema.jsonValue(),
             "n_buckets": self.n_buckets,
             "files": files,
-            "applied_batches": m["applied_batches"] + [batch_id],
+            "deltas": deltas,
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "applied_batches": tail,
+            "batches_segment": seg,
             # per-commit lineage only; lineage() concatenates across the
             # manifest history (manifests are tiny and never expired)
             "lineage": all_lineage,
@@ -529,7 +724,111 @@ class LakeTable:
         }
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version,
-                "touched_buckets": len(touched)}
+                "touched_buckets": len(touched), "mode": write_mode}
+
+    def _decide_mode(
+        self,
+        m: dict,
+        old_schema: T.StructType | None,
+        touched: list[int],
+        src_rows: int | None,
+        mode: str | None,
+    ) -> str:
+        """CoW vs MOR for one merge. Forced modes pass through; ``auto``
+        appends deltas only when (a) the batch is provably small relative
+        to the resident rows of the buckets it touches and (b) no touched
+        bucket's delta stack has hit mor_max_deltas (read amplification
+        bound — the next CoW there folds the stack)."""
+        chosen = self.merge_mode if mode is None else mode
+        if chosen not in ("cow", "mor", "auto"):
+            raise ValueError(f"unknown merge mode {chosen!r}")
+        if chosen != "auto":
+            return chosen
+        if old_schema is None or not touched:
+            return "cow"
+        deltas = m.get("deltas", {})
+        if any(len(deltas.get(str(b), [])) >= self.mor_max_deltas for b in touched):
+            return "cow"
+        if src_rows is None:
+            return "cow"
+        base_rows = m.get("base_rows", {})
+        delta_rows = m.get("delta_rows", {})
+        resident = 0
+        for b in touched:
+            bk = str(b)
+            if bk not in base_rows and m["files"].get(bk):
+                return "cow"  # round-1 manifest without counts: be conservative
+            resident += base_rows.get(bk, 0) + delta_rows.get(bk, 0)
+        return "mor" if src_rows < self.mor_fraction * resident else "cow"
+
+    def compact(
+        self, buckets: Iterable[int] | None = None, batch_id: str = "__compact__"
+    ) -> dict:
+        """Fold outstanding delta files back into base files (Iceberg
+        rewrite_data_files). Default: every bucket with deltas. Reads
+        base+delta raw, resolves with the LWW kernel, rewrites ONLY those
+        buckets; delta-free buckets are untouched. Run on a maintenance
+        cadence so the read-side resolution shuffle stays bounded."""
+        m = self._load_manifest()
+        dirty = sorted(
+            int(b) for b, fl in m.get("deltas", {}).items()
+            if fl and (buckets is None or int(b) in set(buckets))
+        )
+        if not dirty:
+            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+        schema = self.schema()
+        raw = self.read_buckets(dirty, include_tombstones=True, resolve=False)
+        resolved = lww_max_by(raw, self.key_cols, self.order_cols).select(
+            *[F.col(f.name) for f in schema.fields]
+        )
+        keep = resolved.withColumn("__bucket", self._bucket_expr().cast("int"))
+
+        new_version = self._next_version()
+        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        (
+            keep.repartition(max(1, len(dirty)), "__bucket")
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        rel = os.path.relpath(snap_dir, self.root)
+        files = dict(m["files"])
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        base_rows = dict(m.get("base_rows", {}))
+        delta_rows = dict(m.get("delta_rows", {}))
+        for b in dirty:
+            bk = str(b)
+            bdir = os.path.join(snap_dir, f"__bucket={b}")
+            files[bk] = (
+                [
+                    os.path.join(rel, f"__bucket={b}", fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                ]
+                if os.path.isdir(bdir)
+                else []
+            )
+            base_rows[bk] = self._count_rows(files[bk])
+            deltas[bk] = []
+            delta_rows[bk] = 0
+        tail, seg = self._advance_batches(m, batch_id)
+        manifest = {
+            "version": new_version,
+            "schema": m["schema"],
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "deltas": deltas,
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+        }
+        self._commit(manifest)
+        return {"skipped": False, "batch_id": batch_id, "version": new_version,
+                "compacted_buckets": len(dirty)}
 
     def changelog(self, version: int | None = None) -> DataFrame:
         """CDC-out: the rows CHANGED by the commit that produced ``version``
@@ -545,8 +844,12 @@ class LakeTable:
         if m["version"] == 0 or m["parent"] is None:
             raise ValueError("no commit at this version")
         pm = self._load_manifest(m["parent"])
+        md, pd_ = m.get("deltas", {}), pm.get("deltas", {})
         changed = [
-            int(b) for b in m["files"] if m["files"][b] != pm["files"].get(b)
+            int(b)
+            for b in set(m["files"]) | set(md)
+            if m["files"].get(b) != pm["files"].get(b)
+            or md.get(b, []) != pd_.get(b, [])
         ]
         offsets = [
             (r["offset_min"], r["offset_max"])
@@ -582,7 +885,7 @@ class LakeTable:
         self.n_buckets = int(new_n_buckets)
         try:
             keep = live.withColumn("__bucket", self._bucket_expr().cast("int"))
-            new_version = m["version"] + 1
+            new_version = self._next_version()
             snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
             (
                 keep.repartition(self.n_buckets, "__bucket")
@@ -603,12 +906,20 @@ class LakeTable:
                     if os.path.isdir(bdir)
                     else []
                 )
+            tail, seg = self._advance_batches(m, batch_id)
             manifest = {
                 "version": new_version,
                 "schema": m["schema"],
                 "n_buckets": self.n_buckets,
                 "files": files,
-                "applied_batches": m["applied_batches"] + [batch_id],
+                # the full-rewrite read resolved and folded all deltas
+                "deltas": {},
+                "base_rows": {
+                    b: self._count_rows(fl) for b, fl in files.items() if fl
+                },
+                "delta_rows": {},
+                "applied_batches": tail,
+                "batches_segment": seg,
                 "lineage": [],
                 "parent": m["version"],
             }
@@ -635,7 +946,7 @@ class LakeTable:
             | (F.col(self.order_cols[0]) >= F.lit(older_than))
         ).withColumn("__bucket", self._bucket_expr().cast("int"))
 
-        new_version = m["version"] + 1
+        new_version = self._next_version()
         snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
         (
             keep.repartition(self.n_buckets, "__bucket")
@@ -656,12 +967,18 @@ class LakeTable:
                 if os.path.isdir(bdir)
                 else []
             )
+        tail, seg = self._advance_batches(m, batch_id)
         manifest = {
             "version": new_version,
             "schema": m["schema"],
             "n_buckets": self.n_buckets,
             "files": files,
-            "applied_batches": m["applied_batches"] + [batch_id],
+            # full rewrite: all deltas folded into the new base
+            "deltas": {},
+            "base_rows": {b: self._count_rows(fl) for b, fl in files.items() if fl},
+            "delta_rows": {},
+            "applied_batches": tail,
+            "batches_segment": seg,
             "lineage": [],
             "parent": m["version"],
         }

@@ -145,9 +145,17 @@ def lineage_for(
         F.sum(F.when(F.col("op") == "revoke", 1).otherwise(0)).alias("rows_revoked"),
     ]
     if table is not None:
-        bucket = F.pmod(
-            F.xxhash64(*[F.col(c) for c in table.key_cols]), F.lit(table.n_buckets)
-        ).cast("int")
+        # Hash under the TABLE's key-column types, not the raw feed's:
+        # xxhash64 is type-sensitive, so a feed delivering e.g. a long
+        # turn_idx against a stored int column would bucket outside the
+        # touched set and its winners would never reach the manifest.
+        stored = table.schema()
+        stored_types = {f.name: f.dataType for f in stored.fields} if stored else {}
+        key_exprs = [
+            F.col(c).cast(stored_types[c]) if c in stored_types else F.col(c)
+            for c in table.key_cols
+        ]
+        bucket = F.pmod(F.xxhash64(*key_exprs), F.lit(table.n_buckets)).cast("int")
         proj = events.select("op", "event_seq", bucket.alias("__b"))
         aggs.append(F.collect_set("__b").alias("__buckets"))
     else:
@@ -201,16 +209,18 @@ def apply_batch(
     touched: list[int] | None = None
     lineage: list[dict] = []
     observe_ops = False
+    src_rows: int | None = None
     if with_lineage:
         rows = lineage_from_footers(batch_dir, batch_id) if batch_dir else None
         if rows is not None:
             lineage = rows
             observe_ops = True  # op split measured for free in the merge job
-            total = sum(r["rows_in"] for r in rows)
-            if total >= 50 * table.n_buckets:
+            src_rows = sum(r["rows_in"] for r in rows)
+            if src_rows >= 50 * table.n_buckets:
                 touched = list(range(table.n_buckets))  # dense batch: all buckets
         else:
             touched, lineage = lineage_for(events, batch_id, table)
+            src_rows = sum(r["rows_in"] for r in lineage)
 
     src = events
     if "dedup_hash" not in src.columns:
@@ -222,6 +232,7 @@ def apply_batch(
         touched=touched,
         transform_winners=finalize_winners(use_pandas_udf=use_pandas_udf),
         observe_ops=observe_ops,
+        src_rows=src_rows,
     )
 
 
@@ -268,8 +279,33 @@ def stream_feed(
     """
     stream = read_feed_stream(spark, feed_root, schema)
 
+    # Exactly-once markers must be namespaced per STREAM IDENTITY: epoch ids
+    # restart at 0 when a checkpoint directory is recreated (and collide when
+    # a second stream writes the same table), so a bare "epoch-N" id would
+    # skip genuinely new micro-batches. The StreamingQuery id persisted in
+    # the checkpoint's metadata file is the stable identity — it survives
+    # restarts with the same checkpoint and changes when the checkpoint is
+    # recreated (recreation then re-applies, which the LWW merge absorbs
+    # idempotently — the safe direction).
+    identity: dict[str, str] = {}
+
+    def _stream_identity() -> str:
+        if "id" not in identity:
+            import hashlib
+            import json as _json
+
+            meta = os.path.join(checkpoint_dir, "metadata")
+            try:
+                with open(meta) as f:
+                    identity["id"] = _json.load(f)["id"][:8]
+            except (OSError, KeyError, ValueError):
+                identity["id"] = hashlib.sha256(
+                    os.path.abspath(checkpoint_dir).encode()
+                ).hexdigest()[:8]
+        return identity["id"]
+
     def _apply(df: DataFrame, epoch_id: int) -> None:
-        apply_batch(table, df, batch_id=f"epoch-{epoch_id:08d}",
+        apply_batch(table, df, batch_id=f"{_stream_identity()}-epoch-{epoch_id:08d}",
                     use_pandas_udf=use_pandas_udf)
 
     return (

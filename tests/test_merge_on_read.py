@@ -1,0 +1,197 @@
+"""Merge-on-read delta files: parity with CoW, tombstone defense, auto mode
+decision, compaction, exactly-once, batch-segment chaining, and the
+rollback-branch snapshot-id fix."""
+
+import pandas as pd
+import pytest
+
+from gamechanger_data_spark.datagen import FeedSpec, generate_batch, pandas_oracle
+from gamechanger_data_spark.functions.text import normalize_text_pandas
+from gamechanger_data_spark.sinks import table as table_mod
+from gamechanger_data_spark.sinks.table import LakeTable
+from gamechanger_data_spark.streaming.driver import apply_batch
+
+SPEC = FeedSpec(n_convs=40, max_turns=6, n_batches=3, events_per_batch=400, seed=11,
+                evolve_batch=2)
+
+
+def _apply(spark, table, b, **kw):
+    pdf = generate_batch(SPEC, b)
+    return apply_batch(table, spark.createDataFrame(pdf), f"b{b}", **kw)
+
+
+def _final_state(n_batches=SPEC.n_batches):
+    ev = pd.concat(
+        [generate_batch(SPEC, b) for b in range(n_batches)], ignore_index=True
+    )
+    return pandas_oracle(ev, normalize=normalize_text_pandas)
+
+
+def _assert_matches_oracle(table, want):
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_mor_matches_cow_and_oracle(spark, tmp_path):
+    """The same feed (dupes, deletes, revokes, out-of-order ts, schema
+    evolution in batch 2) must converge to the same state whether every
+    batch is CoW or every batch is a delta append."""
+    cow = LakeTable(spark, str(tmp_path / "cow"), n_buckets=4, merge_mode="cow")
+    mor = LakeTable(spark, str(tmp_path / "mor"), n_buckets=4, merge_mode="mor")
+    for b in range(SPEC.n_batches):
+        assert _apply(spark, cow, b)["mode"] == "cow"
+        assert _apply(spark, mor, b)["mode"] == "mor"
+    want = _final_state()
+    _assert_matches_oracle(cow, want)
+    _assert_matches_oracle(mor, want)
+    # MOR never rewrote the (empty) base: all data lives in delta files
+    m = mor._load_manifest()
+    assert any(m["deltas"].values())
+    # evolved column present through the delta-resolve read path
+    assert "tool_version" in mor.read().columns
+
+
+def test_mor_tombstone_defends_key_against_late_arrival(spark, tmp_path):
+    """delete (ts=20) in one delta batch must defend the key against an
+    out-of-order older update (ts=15) arriving in a LATER delta batch."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2, merge_mode="mor")
+    schema = ("op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp, event_seq long")
+
+    def ev(op, ts, seq, text):
+        return (op, "c1", 0, "user", text, None,
+                pd.Timestamp(ts).to_pydatetime(), seq)
+
+    b0 = spark.createDataFrame([ev("insert", "2024-01-01 00:00:10", 1, "v1")], schema)
+    b1 = spark.createDataFrame([ev("delete", "2024-01-01 00:00:20", 2, "")], schema)
+    b2 = spark.createDataFrame([ev("update", "2024-01-01 00:00:15", 3, "zombie")], schema)
+    apply_batch(t, b0, "b0")
+    apply_batch(t, b1, "b1")
+    apply_batch(t, b2, "b2")
+    assert t.read().count() == 0  # the zombie must not resurrect
+    # and compaction preserves the tombstone's defense
+    t.compact()
+    assert t.read().count() == 0
+
+
+def test_auto_mode_dense_then_trickle(spark, tmp_path):
+    """auto: a dense first batch seeds via CoW; a tiny follow-up batch is a
+    delta append; state still matches the oracle."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)  # merge_mode=auto
+    r0 = _apply(spark, t, 0)
+    assert r0["mode"] == "cow"
+    # trickle: 3 rows against a 400-event base
+    b1 = generate_batch(SPEC, 1).head(3)
+    r1 = apply_batch(t, spark.createDataFrame(b1), "trickle")
+    assert r1["mode"] == "mor"
+    ev = pd.concat([generate_batch(SPEC, 0), b1], ignore_index=True)
+    _assert_matches_oracle(t, pandas_oracle(ev, normalize=normalize_text_pandas))
+
+
+def test_compact_folds_deltas(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    for b in range(SPEC.n_batches):
+        _apply(spark, t, b)
+    before = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    r = t.compact()
+    assert not r["skipped"] and r["compacted_buckets"] > 0
+    m = t._load_manifest()
+    assert not any(m["deltas"].values())
+    assert sum(m["delta_rows"].values()) == 0
+    after = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+    # double-compact is a no-op
+    assert t.compact()["skipped"]
+
+
+def test_delta_cap_forces_cow_fold(spark, tmp_path):
+    """auto mode bounds read amplification: once a bucket stacks
+    mor_max_deltas delta files, the next merge touching it goes CoW."""
+    t = LakeTable(
+        spark, str(tmp_path / "t"), n_buckets=1, mor_max_deltas=2, mor_fraction=0.9
+    )
+    big = generate_batch(SPEC, 0)
+    apply_batch(t, spark.createDataFrame(big), "seed")
+    modes = []
+    for i in range(3):
+        small = generate_batch(SPEC, 1).iloc[i * 3: i * 3 + 3]
+        modes.append(
+            apply_batch(t, spark.createDataFrame(small), f"s{i}")["mode"]
+        )
+    assert modes[:2] == ["mor", "mor"]
+    assert modes[2] == "cow"  # cap reached -> fold
+    m = t._load_manifest()
+    assert not any(m["deltas"].values())
+
+
+def test_exactly_once_under_mor(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2, merge_mode="mor")
+    _apply(spark, t, 0)
+    n = t.read().count()
+    r = _apply(spark, t, 0)  # replay
+    assert r["skipped"]
+    assert t.read().count() == n
+
+
+def test_batch_segment_chaining(spark, tmp_path, monkeypatch):
+    """Manifests stay O(1): the inline applied-batch tail rolls into chained
+    immutable segment files; membership is preserved across the roll."""
+    monkeypatch.setattr(table_mod, "BATCH_SEGMENT_SIZE", 3)
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=1)
+    small = generate_batch(SPEC, 0).head(4)
+    for i in range(8):
+        apply_batch(t, spark.createDataFrame(small.iloc[[i % 4]]), f"seg{i}")
+    m = t._load_manifest()
+    assert len(m["applied_batches"]) < 3
+    assert m["batches_segment"] is not None
+    assert t.applied_batches() >= {f"seg{i}" for i in range(8)}
+    # idempotence still holds for an id that lives in a segment, not the tail
+    assert apply_batch(t, spark.createDataFrame(small.iloc[[0]]), "seg0")["skipped"]
+    # a fresh handle (cold segment cache) sees the same set
+    t2 = LakeTable(spark, str(tmp_path / "t"), n_buckets=1)
+    assert t2.applied_batches() >= {f"seg{i}" for i in range(8)}
+
+
+def test_rollback_branch_does_not_clobber_snapshots(spark, tmp_path):
+    """After rollback_to_snapshot(v), a new commit must allocate PAST the
+    abandoned branch's manifests — time travel to those versions must keep
+    returning their original data (round-1 ADVICE: snap dir collision)."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2)
+    _apply(spark, t, 0)
+    _apply(spark, t, 1)
+    v2 = t.current_version()
+    v2_state = t.read(version=v2).orderBy("conv_id", "turn_idx").toPandas()
+    t.rollback_to_snapshot(1)
+    r = _apply(spark, t, 2)  # divergent commit
+    assert r["version"] > v2  # allocated past the abandoned branch
+    # the abandoned branch's snapshot is still intact
+    again = t.read(version=v2).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(v2_state, again)
+
+
+def test_lookup_key_through_deltas(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    _apply(spark, t, 0)
+    _apply(spark, t, 1)
+    full = t.read().toPandas()
+    for i in range(0, min(len(full), 20), 5):
+        row = full.iloc[i]
+        got = t.lookup_key(conv_id=row.conv_id, turn_idx=int(row.turn_idx)).toPandas()
+        assert len(got) == 1
+        assert got.iloc[0].text == row.text
+
+
+def test_changelog_after_mor_commit(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    _apply(spark, t, 0)
+    _apply(spark, t, 1)
+    ch = t.changelog(t.current_version()).toPandas()
+    b1 = generate_batch(SPEC, 1)
+    lo, hi = b1.event_seq.min(), b1.event_seq.max()
+    assert len(ch) > 0
+    assert ((ch.event_seq >= lo) & (ch.event_seq <= hi)).all()

@@ -54,14 +54,37 @@ def test_sha256_matches_hashlib(spark):
 
 def test_dict_hash_contract(spark):
     """Spark dict_hash_expr must reproduce the reference's
-    dict_to_sha256_hex_digest (sorted-by-str(key) k+v concat, no separator) —
-    verified against the bit-exact python mirror."""
+    dict_to_sha256_hex_digest (sorted-by-str(key) tuple-repr concat, no
+    separator) — verified against the bit-exact python mirror."""
     d = {"conv_id": "c1", "turn_idx": 7, "text": "hello world"}
     df = spark.createDataFrame([("c1", 7, "hello world")], ["conv_id", "turn_idx", "text"])
     got = df.select(
-        dict_hash_expr({"conv_id": "conv_id", "turn_idx": "turn_idx", "text": "text"}).alias("h")
+        dict_hash_expr(
+            {"conv_id": "conv_id", "turn_idx": "turn_idx", "text": "text"},
+            string_cols={"conv_id", "text"},
+        ).alias("h")
     ).collect()[0]["h"]
     assert got == dict_hash_python(d)
+
+
+def test_dict_hash_python_matches_reference_reduce():
+    """dict_hash_python must equal the reference's literal reduce fold
+    (ref_utils-era contract: gc_manual_metadata.py:16-28) — including numpy
+    scalar unboxing, which the reference never sees but our datagen feeds."""
+    import hashlib as _hl
+    from functools import reduce
+
+    import numpy as np
+
+    d = {"event_id": 7, "event_type": "click", "z": "a b"}
+    value_string = reduce(
+        lambda t1, t2: "".join(map(str, (t1, t2))),
+        sorted(d.items(), key=lambda t: str(t[0])),
+        "",
+    )
+    want = _hl.sha256(value_string.encode("utf-8")).hexdigest()
+    assert dict_hash_python(d) == want
+    assert dict_hash_python({**d, "event_id": np.int32(7)}) == want
 
 
 def test_filename_safe(spark):

@@ -50,7 +50,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dict:
-    from gamechanger_data_spark.datagen import FeedSpec, write_feed
+    from gamechanger_data_spark.datagen import FeedSpec, generate_batch, write_feed
     from gamechanger_data_spark.sinks.table import LakeTable
     from gamechanger_data_spark.streaming.driver import replay_feed
 
@@ -71,22 +71,44 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
     results = replay_feed(spark, feed, table, with_lineage=True)
     elapsed = time.perf_counter() - t0
     lin = table.lineage().toPandas()
-    n_events = int(lin.rows_in.sum())
+    n_events = int(lin[lin.partition_id >= 0].rows_in.sum())
     assert all(not r.get("skipped") for r in results)
+
+    # Trickle-merge probe: a 2k-event batch against the multi-million-row
+    # table, once as a merge-on-read delta append and once as a forced
+    # bucket-CoW rewrite — the MOR write amplification evidence (wall time
+    # ∝ batch under MOR, ∝ touched buckets under CoW).
+    tiny = generate_batch(spec, n_batches + 1).head(2000).drop(
+        columns=["version_hash"]
+    )
+    trickle = {}
+    for mode in ("mor", "cow"):
+        df = spark.createDataFrame(tiny)
+        t1 = time.perf_counter()
+        r = table.merge(df, batch_id=f"__trickle_{mode}__", mode=mode,
+                        src_rows=len(tiny))
+        trickle[f"{mode}_sec"] = round(time.perf_counter() - t1, 3)
+        assert r["mode"] == mode
+    trickle["speedup"] = round(trickle["cow_sec"] / max(trickle["mor_sec"], 1e-9), 2)
+
     return {
         "events": n_events,
         "batches": n_batches,
         "elapsed_sec": round(elapsed, 3),
         "events_per_sec": round(n_events / elapsed, 1),
         "final_rows": table.read().count(),
+        "trickle_2k": trickle,
     }
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_batches = int(os.environ.get("GCSPARK_BENCH_BATCHES", "4"))
-    epb = int(os.environ.get("GCSPARK_BENCH_EVENTS_PER_BATCH", "1000000"))
+    # Batch sizing: per-batch fixed driver cost is ~2-3 s, so small batches
+    # measure batch granularity, not the engine (round-1 lesson). Default
+    # 2 x 3M events keeps the replay overhead share < ~15%.
+    n_batches = int(os.environ.get("GCSPARK_BENCH_BATCHES", "2"))
+    epb = int(os.environ.get("GCSPARK_BENCH_EVENTS_PER_BATCH", "3000000"))
 
     from gamechanger_data_spark.session import get_spark
 
@@ -99,7 +121,10 @@ def main():
 
     queries = bench_queries(spark, sf_dir)
 
-    workdir = f"/tmp/gcspark_bench_{os.getpid()}"
+    # /dev/shm when available: a single spinning/virtual disk serializes
+    # concurrent readers and would contaminate the throughput number
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+    workdir = f"{base}/gcspark_bench_{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     try:

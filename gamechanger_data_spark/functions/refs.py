@@ -154,17 +154,17 @@ def extract_refs(
     explode. Whole plan is JVM codegen — no UDFs.
     """
     pre = preprocess_refs_expr(text_col)
+
+    # closure FACTORY, not a default-arg lambda: pyspark passes the array
+    # index as a second lambda argument when the signature has two params,
+    # which would silently override a default.
+    def _tag(ref_type: str):
+        return lambda x: F.struct(F.lit(ref_type).alias("ref_type"), x.alias("num"))
+
     arrays = []
     for p in patterns:
         caps = F.regexp_extract_all(pre, F.lit(p.regex), 1)
-        arrays.append(
-            F.transform(
-                caps,
-                lambda x, _t=p.ref_type: F.struct(
-                    F.lit(_t).alias("ref_type"), x.alias("num")
-                ),
-            )
-        )
+        arrays.append(F.transform(caps, _tag(p.ref_type)))
     refs = df.select(F.explode(F.flatten(F.array(*arrays))).alias("r")).select(
         F.col("r.ref_type").alias("ref_type"), F.trim(F.col("r.num")).alias("num")
     )

@@ -72,13 +72,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def capped_shingles_expr(
+    col: Column | str, k: int = 3, max_shingles: int | None = None
+) -> Column:
+    """Distinct shingles, optionally capped to the ``max_shingles``
+    lexicographically-smallest — a DETERMINISTIC, SQL-portable truncation
+    (sort + slice) that bounds per-doc signature/verification cost against
+    degenerate giant documents."""
+    sh = F.array_distinct(shingles_expr(col, k))
+    if max_shingles is not None:
+        sh = F.slice(F.array_sort(sh), 1, max_shingles)
+    return sh
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", k_shingle: int = 3,
-                      n_hashes: int = 12) -> DataFrame:
+                      n_hashes: int = 12,
+                      max_shingles: int | None = None) -> DataFrame:
     """Append minhash_0..n-1 columns: min over shingles of portable_hash64.
 
     Narrow, shuffle-free; n_hashes independent min-aggregations over the
     shingle array happen inside one projection (whole-stage codegen)."""
-    sh = F.array_distinct(shingles_expr(text_col, k_shingle))
+    sh = capped_shingles_expr(text_col, k_shingle, max_shingles)
 
     def hasher(seed: int):
         # one-arg lambda: a two-arg lambda would make pyspark bind the
@@ -100,6 +114,8 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
+    max_shingles: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band of
     rows_per_band consecutive minhashes collide. Output: (id_a, id_b) with
@@ -108,9 +124,19 @@ def minhash_lsh_pairs(
     Physical plan: projection (signatures) -> explode bands (xrows) ->
     groupBy-free self-join on (band, band_key) -> distinct. The join is the
     only shuffle; band_key is a composed string so the join key is one
-    column."""
+    column.
+
+    Skew caps (both off by default for round-1 catalog compatibility):
+    ``max_shingles`` bounds per-doc shingle sets (degenerate repeated-token
+    docs); ``max_bucket`` drops LSH buckets with more members than the cap
+    BEFORE the self-join — a degenerate bucket of B docs would emit O(B^2)
+    pairs and concentrate them on one reducer; at corpus scale such buckets
+    are boilerplate/junk collisions, the textbook LSH skew guard."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, k_shingle, n_hashes)
+    sig = minhash_signature(
+        df.select(id_col, text_col), text_col, k_shingle, n_hashes,
+        max_shingles=max_shingles,
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -123,6 +149,15 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", "bk.band", "bk.band_key")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -134,6 +169,55 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.4,
+    max_shingles: int | None = 512,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """LSH candidates + EXACT-Jaccard verification (the stage round-1
+    lacked): emits only CONFIRMED near-dup pairs (jaccard >= threshold),
+    not raw band collisions.
+
+    Plan: candidate pairs (capped, see minhash_lsh_pairs) are joined back
+    to the per-doc capped shingle sets — two broadcast-or-shuffle hash
+    joins keyed by doc id — and exact Jaccard over the (bounded) shingle
+    arrays filters false positives. Verification cost ∝ candidates, never
+    O(n^2): the 100 TB shape. Output: (id_a, id_b, jaccard)."""
+    sh_t = df.select(
+        F.col(id_col).alias("__vid"),
+        capped_shingles_expr(text_col, k_shingle, max_shingles).alias("__sh"),
+    )
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k_shingle, n_hashes, bands,
+        max_shingles=max_shingles, max_bucket=max_bucket,
+    )
+    j = (
+        cand.join(
+            sh_t.select(F.col("__vid"), F.col("__sh").alias("__sh_a")),
+            cand.id_a == F.col("__vid"),
+        )
+        .drop("__vid")
+        .join(
+            sh_t.select(F.col("__vid"), F.col("__sh").alias("__sh_b")),
+            cand.id_b == F.col("__vid"),
+        )
+        .drop("__vid")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -133,6 +133,61 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     )
 
 
+# verified variant: capped shingles (lex-smallest 512), bucket-size cap 64,
+# exact-Jaccard confirmation at 0.4 — the complete LSH pipeline
+_MH_CAP, _MH_BUCKET_CAP, _MH_THRESH = 512, 64, 0.4
+_CAPPED_SH_SQL = f"list_sort(list_distinct({_SHINGLE3_SQL}))[1:{_MH_CAP}]"
+_V_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"(minhash_{b * _RPB}::VARCHAR || '_' || minhash_{b * _RPB + 1}::VARCHAR) AS band_key "
+    "FROM sig"
+    for b in range(_BANDS)
+)
+
+@q("dedup_minhash_verified", f"""
+WITH sh_t AS (
+  SELECT doc_id, {_CAPPED_SH_SQL} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id,
+       {_MINHASH_COLS}
+  FROM sh_t
+),
+banded AS (
+{_V_BAND_SELECTS}
+),
+sized AS (SELECT band, band_key, count(*) AS c FROM banded GROUP BY 1, 2),
+kept AS (
+  SELECT b.doc_id, b.band, b.band_key FROM banded b
+  JOIN sized s ON b.band = s.band AND b.band_key = s.band_key
+  WHERE s.c <= {_MH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE, 6) AS jaccard
+  FROM cand c
+  JOIN sh_t x ON c.id_a = x.doc_id
+  JOIN sh_t y ON c.id_b = y.doc_id
+) WHERE jaccard >= {_MH_THRESH}
+""", "MinHash LSH with the full pipeline: capped shingle sets, "
+     "bucket-size skew cap, exact-Jaccard candidate VERIFICATION — emits "
+     "confirmed near-dup pairs, not raw band collisions")
+def dedup_minhash_verified_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.dedup import minhash_lsh_verified
+
+    return minhash_lsh_verified(
+        load(spark, sf_dir, "documents"),
+        n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESH,
+        max_shingles=_MH_CAP, max_bucket=_MH_BUCKET_CAP,
+    )
+
+
 @q("dedup_simhash", f"""
 WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
@@ -160,8 +215,10 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """, "embedding-cosine near-dup pairs (exact all-pairs form, id-capped; "
      "scale path = LSH blocking)")
 def embedding_neardup_q(spark, sf_dir):
+    # exact=True: the id-capped all-pairs exactness baseline; the default
+    # (LSH-blocked) scale path is the embedding_neardup_lsh entry below
     return cosine_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.2, max_id=300
+        load(spark, sf_dir, "embeddings"), threshold=0.2, max_id=300, exact=True
     )
 
 
@@ -238,6 +295,84 @@ def ann_lsh_bucketed_q(spark, sf_dir):
     )
     out = lsh_bucketed_topk(emb, queries, k=10, n_planes=4, dim=64, seed=42)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+from gamechanger_data_spark.operators.similarity import probe_masks as _probe_masks
+
+_PLANES8 = random_hyperplanes(dim=64, n_planes=8, seed=42)
+_BUCKET8_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane!r}::DOUBLE[]) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p, plane in enumerate(_PLANES8)
+)
+_MASKS_8_2 = _probe_masks(8, 2)  # 37 probes: Hamming<=2 of the home bucket
+_PROBE_LIST_SQL = "[" + ", ".join(f"xor(bucket, {m})" for m in _MASKS_8_2) + "]"
+
+_ANN_MP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, ({_BUCKET8_SQL}) AS bucket FROM embeddings),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, ({_BUCKET8_SQL}) AS bucket
+  FROM embeddings WHERE vec_id < 5
+),
+qe AS (SELECT q_id, q_vec, unnest({_PROBE_LIST_SQL}) AS pb FROM qs),
+scored AS (
+  SELECT DISTINCT qe.q_id, v.vec_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], qe.q_vec::DOUBLE[]) AS cos
+  FROM v JOIN qe ON v.bucket = qe.pb
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@q("ann_lsh_multiprobe", _ANN_MP_SQL,
+   "multi-probe LSH ANN: 8 hyperplanes, Hamming<=2 probe expansion (37 "
+   "buckets of 256) — the recall-recovery path measured in "
+   "tests/test_ann_recall.py (planted near-dup recall 1.0)")
+def ann_lsh_multiprobe_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_bucketed_topk(
+        emb, queries, k=10, n_planes=8, dim=64, seed=42, probe_hamming=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_ND_MASKS = _probe_masks(4, 1)  # [0, 1, 2, 4, 8]
+_ND_PROBES_SQL = "[" + ", ".join(f"xor(bucket, {m})" for m in _ND_MASKS) + "]"
+
+@q("embedding_neardup_lsh", f"""
+WITH v AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+e AS (SELECT vec_id, unnest({_ND_PROBES_SQL}) AS pb FROM v),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN v b ON a.pb = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6)
+           AS cos_sim
+  FROM cand c
+  JOIN embeddings x ON c.id_a = x.vec_id
+  JOIN embeddings y ON c.id_b = y.vec_id
+) WHERE cos_sim >= 0.2
+""", "embedding near-dup pairs, LSH-BLOCKED (the default scale path: "
+     "candidate degree = bucket size + Hamming-1 probes, never N; the "
+     "capped all-pairs form is the exactness baseline embedding_neardup)")
+def embedding_neardup_lsh_q(spark, sf_dir):
+    return cosine_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.2,
+        n_planes=4, probe_hamming=1,
+    )
 
 
 # =====================================================================
@@ -372,6 +507,50 @@ def es_publish_projection_q(spark, sf_dir):
         F.col("source").alias("source_s"),
         F.col("n_chars").alias("n_chars_i"),
     )
+
+
+# ---- F4 at reference breadth: the full config-driven citation dictionary
+# (functions/refs.py, ~55 patterns with capture contracts + numeric guards,
+# re-expressing ref_utils.py:31-1228 + ref_list.py:10-86). The synthetic
+# corpus contains no citations, so both sides deterministically prepend a
+# doc_id-derived citation sentence — this exercises real matches, multi-hit
+# docs, the preprocess chain (en dash, parens), and BOTH guard edges
+# (Title 0 and 54-59 are generated and must be rejected).
+
+def _inject_case(cast_fmt: str) -> str:
+    n60 = cast_fmt.format("doc_id % 60")
+    return (
+        "CASE CAST(doc_id % 6 AS INT) "
+        "WHEN 0 THEN 'Per DoD Directive 5000.01 and Title ' || " + n60 + " || ', U.S.C.' "
+        "WHEN 1 THEN 'IAW DoD Instruction 8500.01, see EO 13526 and 32 CFR' "
+        "WHEN 2 THEN 'Ref: CJCSI 3170.01H, JP 3-0, DTM 17-007' "
+        "WHEN 3 THEN 'See AFI 36-2903 and AR 25-2 (Change 2)' "
+        "WHEN 4 THEN 'Under 10 U.S.C. and OMB Memorandum M-19-21; MCO 5215.1K' "
+        "ELSE 'Notes – SECNAVINST 5210.8, ICD 203, Public Law 115-232' END"
+    )
+
+
+def _refs_sql() -> str:
+    from gamechanger_data_spark.functions.refs import refs_oracle_sql
+
+    inject = _inject_case("CAST({} AS VARCHAR)")
+    src = f"(SELECT {inject} || ' ' || text AS text FROM documents) AS d"
+    return refs_oracle_sql(src)
+
+
+@q("ref_extract_dictionary", _refs_sql(),
+   "F4 at breadth: full citation-pattern dictionary (single-capture "
+   "contract, Title<=53 / CFR<=50 guards, preprocess chain) -> per-ref "
+   "occurrence counts; one codegen projection, no UDFs "
+   "(ref_utils.py:31-1228, ref_list.py:10-86)")
+def ref_extract_dictionary_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.refs import count_refs
+
+    inject = _inject_case("CAST({} AS STRING)")
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(f"{inject} || ' ' || text").alias("text")
+    )
+    return count_refs(d)
 
 
 _REF_PATTERN = "(?:table|scan|merge|join) [a-z]+"

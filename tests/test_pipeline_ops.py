@@ -116,3 +116,25 @@ def test_frame_sample_plan(spark):
     assert (plan.frame_idx % 10 == 0).all()
     vids = media.filter("media_type = 'video'").count()
     assert plan.media_id.nunique() == vids
+
+
+def test_minhash_verified_confirms_and_caps(spark):
+    """minhash_lsh_verified must (a) confirm genuine near-dups with exact
+    Jaccard, (b) reject band-collision false positives below threshold, and
+    (c) survive a degenerate corpus: 200 identical repeated-token docs form
+    one giant LSH bucket that the bucket cap drops instead of exploding
+    into ~20k pairs on one reducer."""
+    from gamechanger_data_spark.operators.dedup import minhash_lsh_verified
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    rows = [(1, base), (2, near), (3, "completely different words about spark engines")]
+    rows += [(100 + i, "spam " * 50) for i in range(200)]  # degenerate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = minhash_lsh_verified(df, threshold=0.4, max_bucket=64).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (1, 2) in pairs  # confirmed near-dup
+    # no degenerate-bucket pair survived (they'd be ~20k rows)
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+    assert (got.jaccard >= 0.4).all()

@@ -1,0 +1,101 @@
+"""F4 citation dictionary — unit cases modeled on the reference's pattern /
+guard behavior (ref_utils.py make_dict + ref_list.py look_for_general)."""
+
+import pytest
+
+from gamechanger_data_spark.functions.refs import (
+    REF_PATTERNS,
+    count_refs,
+    extract_refs,
+)
+
+
+def _refs(spark, text: str) -> list[str]:
+    df = spark.createDataFrame([(text,)], "text string")
+    return sorted(r["ref"] for r in extract_refs(df).collect())
+
+
+def test_single_capture_contract():
+    """Every pattern carries exactly one capture group (the reference's
+    look_for_general contract, ref_list.py:27-39)."""
+    import re
+
+    for p in REF_PATTERNS:
+        n_groups = re.compile(p.regex).groups
+        assert n_groups == 1, f"{p.ref_type}: {n_groups} capture groups"
+
+
+def test_dod_issuance_family(spark):
+    got = _refs(spark, "per DoD Directive 5000.01 and DoDI 8500.01, "
+                       "see also DoD Manual 5200.01 and DTM 17-007")
+    assert "DoDD 5000.01" in got
+    assert "DoDI 8500.01" in got
+    assert "DoDM 5200.01" in got
+    assert "DTM 17-007" in got
+
+
+def test_title_guard_bounds(spark):
+    # reference rule: Title kept only for 1..53 (ref_list.py:41-48)
+    assert _refs(spark, "10 U.S.C. applies") == ["Title 10"]
+    assert _refs(spark, "Title 53, U.S.C.") == ["Title 53"]
+    assert _refs(spark, "Title 54, U.S.C.") == []
+    assert _refs(spark, "Title 0, United States Code") == []
+
+
+def test_cfr_guard_bounds(spark):
+    assert _refs(spark, "under 32 CFR part 310") == ["CFR Title 32"]
+    assert _refs(spark, "under 51 CFR") == []
+
+
+def test_preprocess_parens_and_dash(spark):
+    # reference preprocess_text removes parens and maps en dash to '-'
+    assert "EO 13526" in _refs(spark, "(Executive Order 13526)")
+    got = _refs(spark, "DTM 17–007")  # en dash inside the number
+    assert "DTM 17-007" in got
+
+
+def test_whitespace_normalization(spark):
+    got = _refs(spark, "CJCSI   3170.01H\nand JP  3-0")
+    assert "CJCSI 3170.01H" in got
+    assert "JP 3-0" in got
+
+
+def test_counting_multiple_occurrences(spark):
+    df = spark.createDataFrame(
+        [("ICD 203 cites ICD 203 and ICD 731",), ("MCO 5215.1K",)],
+        "text string",
+    )
+    counts = {r["ref"]: r["n"] for r in count_refs(df).collect()}
+    assert counts["ICD 203"] == 2
+    assert counts["ICD 731"] == 1
+    assert counts["MCO 5215.1K"] == 1
+
+
+def test_service_families(spark):
+    got = _refs(
+        spark,
+        "AFI 36-2903, AR 25-2, SECNAVINST 5210.8, OPNAVINST 3100.6J, "
+        "OMB Memorandum M-19-21, OMB Circular A-130, Public Law 115-232, "
+        "COMDTINST M5215.6, FM 3-0, MCWP 3-11.2",
+    )
+    for want in [
+        "AFI 36-2903", "AR 25-2", "SECNAVINST 5210.8", "OPNAVINST 3100.6J",
+        "OMBM M-19-21", "OMBC A-130", "PL 115-232", "COMDTINST M5215.6",
+        "FM 3-0", "MCWP 3-11.2",
+    ]:
+        assert want in got, f"missing {want} in {got}"
+
+
+def test_plan_is_udf_free(spark):
+    """The extraction plan must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([("10 U.S.C.",)], "text string")
+    out = extract_refs(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan

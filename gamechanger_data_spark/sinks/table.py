@@ -414,24 +414,36 @@ class LakeTable:
         return out
 
     def lineage(self) -> DataFrame:
-        """All per-partition lineage rows across snapshots (manifest table)."""
+        """All per-partition lineage rows across snapshots (manifest table).
+
+        Read DISTRIBUTED: the manifest JSONs are themselves a (tiny) table —
+        Spark's JSON source scans ``_meta/v*.json`` with an explicit schema
+        and explodes the per-commit lineage arrays, so driver cost stays
+        O(1) at 10^5+ commits (the round-1 python loop over every snapshot
+        was a driver hotspot at that scale)."""
         from gamechanger_data_spark.schema import MANIFEST_SCHEMA
 
-        rows = []
-        for v in self.snapshots():
-            rows.extend(self._load_manifest(v)["lineage"])
-        if not rows:
+        meta_dir = os.path.join(self.root, META_DIR)
+        has_any = any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(meta_dir)
+        )
+        if not has_any:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
-        pdf_rows = [
-            {
-                **r,
-                "applied_at": datetime.fromisoformat(r["applied_at"])
-                if isinstance(r.get("applied_at"), str)
-                else r.get("applied_at"),
-            }
-            for r in rows
-        ]
-        return self.spark.createDataFrame(pdf_rows, MANIFEST_SCHEMA)
+        # applied_at is an ISO string on disk; everything else maps 1:1
+        row_t = T.StructType(
+            [
+                f if f.name != "applied_at" else T.StructField("applied_at", T.StringType(), True)
+                for f in MANIFEST_SCHEMA.fields
+            ]
+        )
+        raw_schema = T.StructType([T.StructField("lineage", T.ArrayType(row_t), True)])
+        raw = self.spark.read.schema(raw_schema).json(
+            meta_dir, pathGlobFilter="v*.json"
+        )
+        out = raw.select(F.explode("lineage").alias("r")).select("r.*")
+        return out.withColumn(
+            "applied_at", F.to_timestamp("applied_at")
+        ).select(*[F.col(f.name).cast(f.dataType) for f in MANIFEST_SCHEMA.fields])
 
     # ---------------- write path ----------------
 

@@ -236,6 +236,49 @@ def apply_batch(
     )
 
 
+def synthesize_revocations(
+    table: LakeTable,
+    present_keys: DataFrame,
+    revoke_ts,
+    batch_id: str,
+    event_seq: int,
+    producer: str | None = None,
+) -> dict:
+    """Revoke-by-absence, wired into the engine (reference:
+    gc_crawler_status_tracker.py:55-82 handle_revocations — keys live in
+    the table but ABSENT from the latest complete feed window are revoked).
+
+    Compiled as ONE left-anti join from current non-revoked state to the
+    present-key set, emitting synthetic ``op='revoke'`` events through the
+    normal merge — so LWW ordering, lineage, idempotent batch markers, and
+    MOR/CoW write selection all apply unchanged. ``revoke_ts`` must be the
+    feed window's close time (it has to out-order the rows it revokes);
+    ``event_seq`` may be one constant for the whole batch — each key gets
+    exactly ONE synthetic event, so no within-key tie is possible, and a
+    global ordering window (a single-partition scale-killer) is avoided.
+    ``producer`` scopes the absence rule to one source shard, matching the
+    reference's per-crawler loop.
+    """
+    state = table.read()
+    if producer is not None and "producer" in state.columns:
+        state = state.filter(F.col("producer") == producer)
+    if "is_revoked" in state.columns:
+        state = state.filter(~F.coalesce(F.col("is_revoked"), F.lit(False)))
+    keys = list(table.key_cols)
+    absent = state.join(
+        present_keys.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    events = (
+        absent.withColumn("op", F.lit("revoke"))
+        .withColumn("ts", F.lit(revoke_ts).cast(dict(state.dtypes)["ts"]))
+        .withColumn("event_seq", F.lit(int(event_seq)).cast("long"))
+        # the state rows carried is_revoked=False; the synthetic event must
+        # assert the flag itself (merge only derives it when absent)
+        .withColumn("is_revoked", F.lit(True))
+    )
+    return apply_batch(table, events, batch_id)
+
+
 def replay_feed(
     spark: SparkSession,
     feed_root: str,

@@ -152,3 +152,52 @@ def test_batch_missing_column_null_filled(spark, tmp_path):
     df = table.read()
     assert "tool" in df.columns  # schema retained
     assert df.count() > 0
+
+
+def test_synthesize_revocations_by_absence(spark, tmp_path):
+    """Keys live in the table but absent from the latest feed window get a
+    synthetic revoke through the normal merge (LWW + exactly-once apply);
+    present keys are untouched; a second run is idempotent."""
+    from pyspark.sql import functions as F
+
+    from gamechanger_data_spark.datagen import FeedSpec, generate_batch
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import (
+        apply_batch,
+        synthesize_revocations,
+    )
+
+    spec = FeedSpec(n_convs=30, max_turns=4, n_batches=1, events_per_batch=300,
+                    seed=3, delete_frac=0.0, revoke_frac=0.0, evolve_batch=None)
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    pdf = generate_batch(spec, 0)
+    apply_batch(table, spark.createDataFrame(pdf), "seed")
+
+    state = table.read().toPandas()
+    present = state.iloc[: len(state) // 2][["conv_id", "turn_idx"]]
+    absent_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in state.iloc[len(state) // 2:].itertuples()
+    }
+
+    r = synthesize_revocations(
+        table,
+        spark.createDataFrame(present),
+        revoke_ts=pdf.ts.max() + pd.Timedelta(hours=1),
+        batch_id="revoke-w1",
+        event_seq=10_000_000_000,
+    )
+    assert not r["skipped"]
+
+    after = table.read().toPandas()
+    revoked = {
+        (r.conv_id, r.turn_idx) for r in after[after.is_revoked].itertuples()
+    }
+    assert revoked == absent_keys
+    # present keys untouched (still not revoked), nothing dropped
+    assert len(after) == len(state)
+    # idempotent on batch_id
+    assert synthesize_revocations(
+        table, spark.createDataFrame(present),
+        revoke_ts=pdf.ts.max(), batch_id="revoke-w1", event_seq=1,
+    )["skipped"]

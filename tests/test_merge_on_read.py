@@ -195,3 +195,32 @@ def test_changelog_after_mor_commit(spark, tmp_path):
     lo, hi = b1.event_seq.min(), b1.event_seq.max()
     assert len(ch) > 0
     assert ((ch.event_seq >= lo) & (ch.event_seq <= hi)).all()
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_read_plan_shuffle_free_when_compacted(spark, tmp_path):
+    """A delta-free table's read() must be a plain parquet scan — no
+    Exchange, no aggregate; after MOR commits the read resolves via the
+    LWW aggregate; after compact() the plan is shuffle-free again."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="cow")
+    _apply(spark, t, 0)
+    p = _plan(t.read())
+    assert "Exchange" not in p and "Aggregate" not in p
+
+    t2 = LakeTable(spark, str(tmp_path / "t2"), n_buckets=4, merge_mode="mor")
+    _apply(spark, t2, 0)
+    p2 = _plan(t2.read())
+    # base+delta LWW resolution (max-of-struct compiles to SortAggregate)
+    assert "Aggregate" in p2
+    t2.compact()
+    p3 = _plan(t2.read())
+    assert "Exchange" not in p3 and "Aggregate" not in p3

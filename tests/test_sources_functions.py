@@ -132,3 +132,54 @@ def test_pipeline_error_isolation(spark):
     assert out.columns == ["x", "flag"]  # broken stage skipped, chain continued
     with pytest.raises(Exception):
         chain(df, [broken], isolate_errors=False).collect()
+
+
+def test_jdbc_option_plumbing_contract():
+    """No DB exists in the sandbox; the JDBC wrapper's contract — format,
+    partitioned-read options, fetchsize cursor window, custom passthrough,
+    loud failure on missing bounds — is verified against a reader double."""
+    import pytest
+
+    from gamechanger_data_spark.sources.jdbc import read_jdbc_table
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+            self.loaded = False
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            self.loaded = True
+            return self
+
+    class FakeSpark:
+        def __init__(self):
+            self.read = FakeReader()
+
+    fs = FakeSpark()
+    out = read_jdbc_table(
+        fs, "jdbc:postgresql://host/db", "versioned_docs",
+        partition_column="id", lower_bound=0, upper_bound=10_000_000,
+        num_partitions=64, fetchsize=5000, user="u",
+    )
+    r = fs.read
+    assert out is r and r.loaded
+    assert r.fmt == "jdbc"
+    assert r.opts["url"].startswith("jdbc:postgresql")
+    assert r.opts["dbtable"] == "versioned_docs"
+    assert r.opts["partitionColumn"] == "id"
+    assert (r.opts["lowerBound"], r.opts["upperBound"]) == ("0", "10000000")
+    assert r.opts["numPartitions"] == "64"
+    assert r.opts["fetchsize"] == "5000"
+    assert r.opts["user"] == "u"
+
+    with pytest.raises(ValueError):
+        read_jdbc_table(FakeSpark(), "jdbc:x", "t", partition_column="id")

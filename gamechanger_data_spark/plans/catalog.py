@@ -595,5 +595,112 @@ try:  # pragma: no cover - trivial guard
 except OSError:
     pass
 
+
+# ---------------------------------------------------------------------
+# Engine-machinery oracles: changelog, lineage, time travel. Each runs the
+# REAL engine (replayed table, cached once per host under an atomic
+# publish) and is hash-compared against SQL that recomputes the same fact
+# from the raw feed alone — DuckDB derives batch membership from the
+# parquet FILE PATHS (filename=true), the engine from its own metadata.
+# ---------------------------------------------------------------------
+
+_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v1"
+
+
+def _ensure_replay_table(spark):
+    """Replay the published feed into a LakeTable once; reuse thereafter
+    (deterministic content — only query RESULTS are compared)."""
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    done = os.path.join(_REPLAY_TABLE_ROOT, "_READY_ALL")
+    if not os.path.exists(done):
+        import shutil
+        import uuid as _uuid
+
+        feed = _ensure_replay_feed()
+        tmp = f"{_REPLAY_TABLE_ROOT}-build-{_uuid.uuid4().hex}"
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        with open(os.path.join(tmp, "_READY_ALL"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, _REPLAY_TABLE_ROOT)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return LakeTable(spark, os.path.join(_REPLAY_TABLE_ROOT, "table"), n_buckets=8)
+
+
+# event_seq = batch_idx * 10_000_000 + i (datagen contract), so batch
+# boundaries are expressible as seq ranges in pure SQL.
+_B2_LO = 2 * 10_000_000
+
+
+@q("replay_changelog", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, ts, event_seq, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, ts, event_seq,
+       CASE WHEN op = 'delete' THEN 'delete'
+            WHEN op = 'revoke' THEN 'revoke'
+            ELSE 'upsert' END AS change_op
+FROM w WHERE rn = 1 AND event_seq >= {_B2_LO}
+""", "derived CDC-out: the engine's changelog() of the LAST commit (rows "
+     "whose winning event came from batch 2) vs a pure-SQL recomputation "
+     "from the raw feed — verifies bucket-diff + offset-range metadata")
+def replay_changelog_q(spark, sf_dir):
+    t = _ensure_replay_table(spark)
+    ch = t.changelog(t.current_version())
+    return ch.select(
+        "conv_id", "turn_idx", "ts", "event_seq", "change_op"
+    )
+
+
+@q("replay_lineage_counts", f"""
+SELECT regexp_extract(filename, 'batch=([^/]+)', 1) AS batch_id,
+       CAST(count(*) AS BIGINT) AS rows_in
+FROM read_parquet('{_REPLAY_FEED}/*/*.parquet', filename=true)
+GROUP BY 1
+""", "lineage machinery: per-batch rows_in totals from the engine's "
+     "manifest lineage rows vs DuckDB counting the same feed files by "
+     "PATH — verifies the footer/observe lineage capture end to end")
+def replay_lineage_counts_q(spark, sf_dir):
+    t = _ensure_replay_table(spark)
+    lin = t.lineage()
+    return (
+        lin.filter(F.col("partition_id") >= 0)
+        .groupBy("batch_id")
+        .agg(F.sum("rows_in").alias("rows_in"))
+    )
+
+
+@q("replay_time_travel", f"""
+WITH ev AS (
+  SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')
+  WHERE event_seq < {_B2_LO}
+),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role,
+       {_NORM_CHAIN_SQL.format(col='text')} AS text,
+       ts, (op = 'revoke') AS is_revoked
+FROM w WHERE rn = 1 AND op <> 'delete'
+""", "snapshot time travel: read(version=2) — the state after replaying "
+     "only batches 0-1 — vs a pure-SQL LWW over the seq-bounded feed "
+     "prefix; verifies manifest versioning + snapshot isolation")
+def replay_time_travel_q(spark, sf_dir):
+    t = _ensure_replay_table(spark)
+    return t.read(version=2).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "is_revoked"
+    )
+
 # Register part-2 entries (training-data-pipeline suite) into this CATALOG.
 from gamechanger_data_spark.plans import catalog_pipeline  # noqa: E402,F401

@@ -224,3 +224,38 @@ def test_read_plan_shuffle_free_when_compacted(spark, tmp_path):
     t2.compact()
     p3 = _plan(t2.read())
     assert "Exchange" not in p3 and "Aggregate" not in p3
+
+
+def test_expire_snapshots_gcs_folded_delta_files(spark, tmp_path):
+    """After compact() + expire_snapshots, the physical delta files of
+    expired snapshots are removed, and the current state stays intact."""
+    import os
+
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2, merge_mode="mor")
+    _apply(spark, t, 0)
+    _apply(spark, t, 1)
+    n_before = t.read().count()
+    t.compact()
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    # no delta files remain on disk anywhere
+    leftovers = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "t" / "data"))
+        for f in fs
+        if "delta-" in dp and f.endswith(".parquet")
+    ]
+    assert leftovers == []
+    assert t.read().count() == n_before
+
+
+def test_rebucket_folds_deltas(spark, tmp_path):
+    """rebucket() must resolve outstanding deltas while rewriting under the
+    new bucket spec — state parity against the oracle afterwards."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2, merge_mode="mor")
+    for b in range(SPEC.n_batches):
+        _apply(spark, t, b)
+    t.rebucket(8)
+    m = t._load_manifest()
+    assert not any(m.get("deltas", {}).values())
+    _assert_matches_oracle(t, _final_state())

@@ -21,8 +21,8 @@ PARITY = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def _replay_grouping(spark, tmp_path, events: pd.DataFrame, groups: list[np.ndarray],
-                     name: str) -> pd.DataFrame:
-    table = LakeTable(spark, str(tmp_path / name), n_buckets=4)
+                     name: str, merge_mode: str = "auto") -> pd.DataFrame:
+    table = LakeTable(spark, str(tmp_path / name), n_buckets=4, merge_mode=merge_mode)
     for i, idx in enumerate(groups):
         batch = events.iloc[idx]
         if len(batch) == 0:
@@ -36,8 +36,13 @@ def _replay_grouping(spark, tmp_path, events: pd.DataFrame, groups: list[np.ndar
     )
 
 
-@pytest.mark.parametrize("regroup_seed", [1, 2, 3])
-def test_final_state_invariant_under_batching(spark, tmp_path, regroup_seed):
+@pytest.mark.parametrize("regroup_seed,merge_mode",
+                         [(1, "auto"), (2, "auto"), (3, "auto"),
+                          (1, "mor"), (3, "mor")])
+def test_final_state_invariant_under_batching(spark, tmp_path, regroup_seed,
+                                              merge_mode):
+    """The final state depends only on the EVENT SET — not on batch
+    grouping, in-batch order, or the CoW/MOR write path chosen."""
     events = all_events(SPEC)
     want = pandas_oracle(events, normalize=normalize_text_pandas)[PARITY].reset_index(
         drop=True
@@ -50,7 +55,10 @@ def test_final_state_invariant_under_batching(spark, tmp_path, regroup_seed):
     assign = rng.integers(0, n_batches, n)
     groups = [rng.permutation(np.flatnonzero(assign == b)) for b in range(n_batches)]
 
-    got = _replay_grouping(spark, tmp_path, events, groups, f"g{regroup_seed}")
+    got = _replay_grouping(
+        spark, tmp_path, events, groups, f"g{regroup_seed}{merge_mode}",
+        merge_mode=merge_mode,
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

@@ -408,10 +408,17 @@ class LakeTable:
             [tuple(key_values[c] for c in self.key_cols)], ordered
         )
         bucket = probe.select(self._bucket_expr().cast("int").alias("b")).collect()[0]["b"]
-        out = self.read_buckets([bucket])
+        # Key filter BELOW the base+delta resolution: LWW partitions by the
+        # same key, so the predicate pushes through it — the parquet scans
+        # prune row groups on the sorted key, and only the handful of
+        # matching rows (not the whole bucket) pay the resolve.
+        out = self.read_buckets([bucket], include_tombstones=True, resolve=False)
         for c in self.key_cols:
             out = out.filter(F.col(c) == F.lit(key_values[c]))
-        return out
+        m = self._load_manifest()
+        if m.get("deltas", {}).get(str(bucket)):
+            out = lww_max_by(out, self.key_cols, self.order_cols)
+        return self._drop_tombstones(out)
 
     def lineage(self) -> DataFrame:
         """All per-partition lineage rows across snapshots (manifest table).

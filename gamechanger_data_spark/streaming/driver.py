@@ -286,12 +286,19 @@ def replay_feed(
     limit: int | None = None,
     use_pandas_udf: bool = False,
     with_lineage: bool = True,
+    compact_every: int | None = None,
 ) -> list[dict]:
     """Batch-mode replay of all ready, not-yet-applied batch directories in
     commit order (reference: checkpointed prefix consumption loop,
-    checkpoint/utils.py:154-190, with checkpoint-limit)."""
+    checkpoint/utils.py:154-190, with checkpoint-limit).
+
+    ``compact_every=k``: fold outstanding merge-on-read deltas back into
+    base files after every k applied batches — the maintenance cadence that
+    bounds read-side resolution cost on a trickle feed (merge's own
+    mor_max_deltas cap is the hard backstop)."""
     results = []
     applied = table.applied_batches()
+    applied_count = 0
     for batch_id, d in list_ready_batches(feed_root, limit=limit):
         if batch_id in applied:
             results.append({"skipped": True, "batch_id": batch_id})
@@ -302,6 +309,9 @@ def replay_feed(
                         use_pandas_udf=use_pandas_udf, with_lineage=with_lineage,
                         batch_dir=d)
         )
+        applied_count += 1
+        if compact_every and applied_count % compact_every == 0:
+            table.compact(batch_id=f"__compact__-{batch_id}")
     return results
 
 

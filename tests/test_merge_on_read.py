@@ -259,3 +259,17 @@ def test_rebucket_folds_deltas(spark, tmp_path):
     m = t._load_manifest()
     assert not any(m.get("deltas", {}).values())
     _assert_matches_oracle(t, _final_state())
+
+
+def test_replay_feed_compact_cadence(spark, tmp_path):
+    """replay_feed(compact_every=1) folds deltas after every applied batch;
+    final state parity holds and no deltas remain."""
+    from gamechanger_data_spark.datagen import write_feed
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    write_feed(str(tmp_path / "feed"), SPEC)
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    replay_feed(spark, str(tmp_path / "feed"), t, compact_every=1)
+    m = t._load_manifest()
+    assert not any(m.get("deltas", {}).values())
+    _assert_matches_oracle(t, _final_state())

@@ -44,3 +44,32 @@ def test_stream_feed_parity_and_restart(spark, tmp_path):
     q2 = stream_feed(spark, feed, table, ckpt, CHANGE_EVENT_SCHEMA)
     q2.awaitTermination(120)
     assert table.current_version() == v
+
+
+def test_stream_restart_picks_up_new_batches_only(spark, tmp_path):
+    """Restart with the same checkpoint after NEW feed batches arrive:
+    exactly the new data is applied (offset log positions the source; the
+    stream-identity-namespaced batch markers stay unique across restarts)."""
+    first = FeedSpec(n_convs=40, max_turns=6, n_batches=2, events_per_batch=400,
+                     seed=19, evolve_batch=None)
+    feed = str(tmp_path / "feed")
+    write_feed(feed, first)
+    table = LakeTable(spark, str(tmp_path / "table"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_feed(spark, feed, table, ckpt, CHANGE_EVENT_SCHEMA).awaitTermination(120)
+
+    # two more batches land (same generator, later batch indices)
+    more = FeedSpec(n_convs=40, max_turns=6, n_batches=4, events_per_batch=400,
+                    seed=19, evolve_batch=None)
+    write_feed(feed, more)  # rewrites batches 0-1 identically, adds 2-3
+
+    stream_feed(spark, feed, table, ckpt, CHANGE_EVENT_SCHEMA).awaitTermination(120)
+
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    want = pandas_oracle(all_events(more), normalize=normalize_text_pandas)
+    pd.testing.assert_frame_equal(
+        got[PARITY].reset_index(drop=True),
+        want[PARITY].reset_index(drop=True),
+        check_dtype=False,
+    )

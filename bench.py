@@ -52,7 +52,6 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dict:
     from gamechanger_data_spark.datagen import FeedSpec, generate_batch, write_feed
     from gamechanger_data_spark.sinks.table import LakeTable
-    from gamechanger_data_spark.streaming.driver import replay_feed
 
     spec = FeedSpec(
         n_convs=max(200, events_per_batch // 50),
@@ -66,29 +65,44 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
     write_feed(feed, spec, parts_per_batch=32)
     table = LakeTable(spark, os.path.join(workdir, "table"), n_buckets=32)
 
-    n_events = 0
+    from gamechanger_data_spark.sources.feed import list_ready_batches, read_batch
+    from gamechanger_data_spark.streaming.driver import apply_batch
+
     t0 = time.perf_counter()
-    results = replay_feed(spark, feed, table, with_lineage=True)
+    per_batch = []
+    for batch_id, d in list_ready_batches(feed):
+        tb = time.perf_counter()
+        r = apply_batch(table, read_batch(spark, d), batch_id, batch_dir=d)
+        assert not r.get("skipped")
+        per_batch.append(round(time.perf_counter() - tb, 3))
     elapsed = time.perf_counter() - t0
     lin = table.lineage().toPandas()
     n_events = int(lin[lin.partition_id >= 0].rows_in.sum())
-    assert all(not r.get("skipped") for r in results)
+
+    final_rows = table.read().count()  # before the probe mutates the table
 
     # Trickle-merge probe: a 2k-event batch against the multi-million-row
-    # table, once as a merge-on-read delta append and once as a forced
-    # bucket-CoW rewrite — the MOR write amplification evidence (wall time
-    # ∝ batch under MOR, ∝ touched buckets under CoW).
+    # table, as a merge-on-read delta append vs a forced bucket-CoW
+    # rewrite — the MOR write amplification evidence (wall time ∝ batch
+    # under MOR, ∝ touched buckets under CoW). Symmetric protocol: each
+    # timed merge starts from the SAME snapshot (rollback between runs)
+    # and a full warm-up pass precedes the timed pass, so neither mode
+    # inherits the other's delta files or a colder cache.
     tiny = generate_batch(spec, n_batches + 1).head(2000).drop(
         columns=["version_hash"]
     )
+    v0 = table.current_version()
     trickle = {}
-    for mode in ("mor", "cow"):
-        df = spark.createDataFrame(tiny)
-        t1 = time.perf_counter()
-        r = table.merge(df, batch_id=f"__trickle_{mode}__", mode=mode,
-                        src_rows=len(tiny))
-        trickle[f"{mode}_sec"] = round(time.perf_counter() - t1, 3)
-        assert r["mode"] == mode
+    for rep in ("warm", "timed"):
+        for mode in ("cow", "mor"):
+            df = spark.createDataFrame(tiny)
+            t1 = time.perf_counter()
+            r = table.merge(df, batch_id=f"__trickle_{mode}__", mode=mode,
+                            src_rows=len(tiny))
+            if rep == "timed":
+                trickle[f"{mode}_sec"] = round(time.perf_counter() - t1, 3)
+            assert r["mode"] == mode
+            table.rollback_to_snapshot(v0)
     trickle["speedup"] = round(trickle["cow_sec"] / max(trickle["mor_sec"], 1e-9), 2)
 
     return {
@@ -96,7 +110,14 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
         "batches": n_batches,
         "elapsed_sec": round(elapsed, 3),
         "events_per_sec": round(n_events / elapsed, 1),
-        "final_rows": table.read().count(),
+        # last-batch basis: excludes the one-time JVM/codegen warmup that
+        # lands on batch 1 (the steady number for a long-running driver;
+        # the last batch does MORE work — it reads back touched state)
+        "batch_secs": per_batch,
+        "steady_events_per_sec": round(
+            (n_events / len(per_batch)) / per_batch[-1], 1
+        ),
+        "final_rows": final_rows,
         "trickle_2k": trickle,
     }
 

@@ -132,11 +132,20 @@ def minhash_lsh_pairs(
     BEFORE the self-join — a degenerate bucket of B docs would emit O(B^2)
     pairs and concentrate them on one reducer; at corpus scale such buckets
     are boilerplate/junk collisions, the textbook LSH skew guard."""
-    rows_per_band = n_hashes // bands
     sig = minhash_signature(
         df.select(id_col, text_col), text_col, k_shingle, n_hashes,
         max_shingles=max_shingles,
     )
+    return _band_candidate_pairs(sig, id_col, n_hashes, bands, max_bucket)
+
+
+def _band_candidate_pairs(
+    sig: DataFrame, id_col: str, n_hashes: int, bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Band the minhash_* columns, optionally drop oversized buckets, and
+    self-join to distinct (id_a < id_b) candidate pairs."""
+    rows_per_band = n_hashes // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -182,24 +191,40 @@ def minhash_lsh_verified(
     threshold: float = 0.4,
     max_shingles: int | None = 512,
     max_bucket: int | None = 64,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """LSH candidates + EXACT-Jaccard verification (the stage round-1
     lacked): emits only CONFIRMED near-dup pairs (jaccard >= threshold),
     not raw band collisions.
 
-    Plan: candidate pairs (capped, see minhash_lsh_pairs) are joined back
-    to the per-doc capped shingle sets — two broadcast-or-shuffle hash
-    joins keyed by doc id — and exact Jaccard over the (bounded) shingle
-    arrays filters false positives. Verification cost ∝ candidates, never
-    O(n^2): the 100 TB shape. Output: (id_a, id_b, jaccard)."""
+    Plan: the capped shingle sets are computed ONCE (tokenize + distinct +
+    sort + slice is the expensive per-doc work); the minhash signatures
+    derive from that same column, and the candidate pairs join back to it
+    for exact Jaccard — two hash joins keyed by doc id. Verification cost
+    ∝ candidates, never O(n^2): the 100 TB shape.
+    Output: (id_a, id_b, jaccard)."""
     sh_t = df.select(
         F.col(id_col).alias("__vid"),
         capped_shingles_expr(text_col, k_shingle, max_shingles).alias("__sh"),
     )
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, k_shingle, n_hashes, bands,
-        max_shingles=max_shingles, max_bucket=max_bucket,
-    )
+    if persist_shingles:
+        # sh_t feeds three plan branches (signatures + both verification
+        # join sides); persisting materializes the expensive per-doc chain
+        # (tokenize/distinct/sort/slice) exactly once. MEMORY_AND_DISK —
+        # the capped sets are bounded at max_shingles strings per doc.
+        from pyspark import StorageLevel
+
+        sh_t = sh_t.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def hasher(seed: int):
+        return lambda s: portable_hash64(s, seed)
+
+    sig = sh_t
+    for i in range(n_hashes):
+        sig = sig.withColumn(
+            f"minhash_{i}", F.array_min(F.transform(F.col("__sh"), hasher(i)))
+        )
+    cand = _band_candidate_pairs(sig, "__vid", n_hashes, bands, max_bucket)
     j = (
         cand.join(
             sh_t.select(F.col("__vid"), F.col("__sh").alias("__sh_a")),

@@ -589,10 +589,13 @@ def transcript_replay(spark, sf_dir):
 
 
 # Publish the feed at import so the oracle side can run even if the driver
-# evaluates SQL before (or without) invoking the Spark query.
+# evaluates SQL before (or without) invoking the Spark query. The guard is
+# broad on purpose: a failed publish must never take the whole catalog
+# module down — the consumers (_ensure_replay_table, transcript_replay)
+# re-invoke it and surface the real error there.
 try:  # pragma: no cover - trivial guard
     _ensure_replay_feed()
-except OSError:
+except Exception:  # noqa: BLE001
     pass
 
 

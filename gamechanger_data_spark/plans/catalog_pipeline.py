@@ -806,6 +806,34 @@ def chunk_documents_q(spark, sf_dir):
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")
 
 
+@q("sliding_window_rates", """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_hour
+FROM events
+""", "time-RANGE sliding window: per-user event count over the trailing "
+     "hour (the batch form of the streaming rate monitor; RANGE frame on "
+     "event time, not ROWS)")
+def sliding_window_rates_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ with MICROSECOND precision; the frame must be
+    # micros-exact (a whole-second cast admits rows up to 1s outside the
+    # oracle's INTERVAL 1 HOUR — measured 1/100k divergent rows at sf0.1)
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.count("*").over(w).alias("n_last_hour")
+    )
+
+
 @q("cube_order_stats", """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)

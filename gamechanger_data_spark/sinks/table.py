@@ -956,7 +956,8 @@ class LakeTable:
         snapshot version (old files stay until expire_snapshots, so the
         lazy read is safe) — the Iceberg rewrite_data_files pattern."""
         m = self._load_manifest()
-        if not m["files"]:
+        # a MOR-only table keeps all its data under deltas with files == {}
+        if not m["files"] and not m.get("deltas"):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
         live = self.read_buckets(range(self.n_buckets), include_tombstones=True)
         keep = live.filter(

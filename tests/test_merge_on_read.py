@@ -273,3 +273,28 @@ def test_replay_feed_compact_cadence(spark, tmp_path):
     m = t._load_manifest()
     assert not any(m.get("deltas", {}).values())
     _assert_matches_oracle(t, _final_state())
+
+
+def test_expire_tombstones_on_mor_only_table(spark, tmp_path):
+    """A table whose data lives ONLY in delta files (files == {}) must
+    still run tombstone GC (regression: the files-only guard no-op'd)."""
+    import datetime as dt
+
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2, merge_mode="mor")
+    schema = ("op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp, event_seq long")
+    rows = [
+        ("insert", "c1", 0, "user", "hi", None,
+         dt.datetime(2024, 1, 1, 0, 0, 10), 1),
+        ("delete", "c2", 0, "user", "", None,
+         dt.datetime(2024, 1, 1, 0, 0, 20), 2),
+    ]
+    apply_batch(t, spark.createDataFrame(rows, schema), "b0")
+    assert t._load_manifest()["files"] == {} or not any(
+        t._load_manifest()["files"].values()
+    )
+    r = t.expire_tombstones(older_than=dt.datetime(2024, 1, 2))
+    assert not r["skipped"]
+    raw = t.read_buckets(range(2), include_tombstones=True)
+    assert raw.filter("__deleted").count() == 0  # tombstone reclaimed
+    assert t.read().count() == 1  # live row intact

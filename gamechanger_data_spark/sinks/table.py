@@ -127,11 +127,17 @@ class LakeTable:
         self.mor_max_deltas = int(mor_max_deltas)
         # chained batch-id segments are immutable once written -> memoize
         self._segment_cache: dict[str, frozenset[str]] = {}
-        # An existing table's bucket spec is authoritative — a constructor
-        # mismatch would silently mis-prune future merges.
+        # An existing table's bucket AND key/order spec are authoritative —
+        # a constructor mismatch would silently mis-prune future merges
+        # (wrong bucket hash) or mis-order LWW. Old manifests without the
+        # spec fields keep the constructor's values.
         existing = self._load_manifest()
         if existing["version"] > 0:
             self.n_buckets = int(existing["n_buckets"])
+            if existing.get("key_cols"):
+                self.key_cols = tuple(existing["key_cols"])
+            if existing.get("order_cols"):
+                self.order_cols = tuple(existing["order_cols"])
         os.makedirs(os.path.join(root, META_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -173,19 +179,37 @@ class LakeTable:
         return m
 
     def _commit(self, manifest: dict) -> None:
-        """Write manifest v, then atomically swap the VERSION pointer."""
+        """Write manifest v, then atomically swap the VERSION pointer.
+
+        Both files are fsync'd before the rename and the directory entry
+        after it — os.replace alone is atomic only against concurrent
+        READERS; across power loss the pointer could otherwise land
+        before the manifest bytes it names."""
         v = manifest["version"]
         manifest["committed_at"] = _utcnow()
+        # the table's key/order spec rides in every manifest so a reopen
+        # can validate/adopt it (see __init__)
+        manifest.setdefault("key_cols", list(self.key_cols))
+        manifest.setdefault("order_cols", list(self.order_cols))
         mp = self._meta_path(v)
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, mp)
         vp = os.path.join(self.root, META_DIR, VERSION_FILE)
         vtmp = vp + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(vtmp, vp)  # atomic on POSIX — the commit point
+        dfd = os.open(os.path.join(self.root, META_DIR), os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist both directory entries
+        finally:
+            os.close(dfd)
 
     def applied_batches(self) -> set[str]:
         """All applied batch ids: the manifest's inline tail plus the chain
@@ -411,11 +435,17 @@ class LakeTable:
         # Key filter BELOW the base+delta resolution: LWW partitions by the
         # same key, so the predicate pushes through it — the parquet scans
         # prune row groups on the sorted key, and only the handful of
-        # matching rows (not the whole bucket) pay the resolve.
-        out = self.read_buckets([bucket], include_tombstones=True, resolve=False)
+        # matching rows (not the whole bucket) pay the resolve. One PINNED
+        # version for both the path listing and the delta check (a
+        # concurrent commit between two manifest loads could otherwise
+        # fold the deltas after we listed them but before we resolved).
+        v = self.current_version()
+        m = self._load_manifest(v)
+        out = self.read_buckets(
+            [bucket], version=v, include_tombstones=True, resolve=False
+        )
         for c in self.key_cols:
             out = out.filter(F.col(c) == F.lit(key_values[c]))
-        m = self._load_manifest()
         if m.get("deltas", {}).get(str(bucket)):
             out = lww_max_by(out, self.key_cols, self.order_cols)
         return self._drop_tombstones(out)
@@ -448,6 +478,13 @@ class LakeTable:
             meta_dir, pathGlobFilter="v*.json"
         )
         out = raw.select(F.explode("lineage").alias("r")).select("r.*")
+        # the directory glob also sees ORPHAN manifests (crash between
+        # manifest write and pointer swap -> batch re-applied under a new
+        # version) and abandoned rollback branches; both repeat a batch's
+        # lineage rows verbatim, so (batch_id, partition_id) dedup restores
+        # exactly-one-row-per-applied-partition without a driver-side walk
+        # of the parent chain
+        out = out.dropDuplicates(["batch_id", "partition_id"])
         return out.withColumn(
             "applied_at", F.to_timestamp("applied_at")
         ).select(*[F.col(f.name).cast(f.dataType) for f in MANIFEST_SCHEMA.fields])
@@ -740,6 +777,7 @@ class LakeTable:
             # manifest history (manifests are tiny and never expired)
             "lineage": all_lineage,
             "parent": m["version"],
+            "kind": "data",
         }
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version,
@@ -844,6 +882,7 @@ class LakeTable:
             "batches_segment": seg,
             "lineage": [],
             "parent": m["version"],
+            "kind": "maintenance",
         }
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version,
@@ -862,6 +901,16 @@ class LakeTable:
         m = self._load_manifest(version)
         if m["version"] == 0 or m["parent"] is None:
             raise ValueError("no commit at this version")
+        if m.get("kind") == "maintenance":
+            # compact/rebucket/expire rewrite files without changing any
+            # logical row — their changelog is EMPTY, not an error (a
+            # trailing compact is routine under replay_feed(compact_every))
+            schema = self.schema(m["version"])
+            out_schema = T.StructType(
+                [f for f in schema.fields if f.name != "__deleted"]
+                + [T.StructField("change_op", T.StringType(), True)]
+            )
+            return self.spark.createDataFrame([], out_schema)
         pm = self._load_manifest(m["parent"])
         md, pd_ = m.get("deltas", {}), pm.get("deltas", {})
         changed = [
@@ -941,6 +990,7 @@ class LakeTable:
                 "batches_segment": seg,
                 "lineage": [],
                 "parent": m["version"],
+                "kind": "maintenance",
             }
             self._commit(manifest)
             return {"skipped": False, "batch_id": batch_id, "version": new_version,
@@ -1001,6 +1051,7 @@ class LakeTable:
             "batches_segment": seg,
             "lineage": [],
             "parent": m["version"],
+            "kind": "maintenance",
         }
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version}

@@ -122,7 +122,7 @@ def lineage_from_footers(batch_dir: str, batch_id: str) -> list[dict] | None:
 
 def lineage_for(
     events: DataFrame, batch_id: str, table: LakeTable | None = None
-) -> tuple[list[dict], list[int] | None]:
+) -> tuple[list[int] | None, list[dict]]:
     """Per-input-partition lineage: offset (event_seq) range + op counts —
     plus, when ``table`` is given, the set of target buckets this batch
     touches (collect_set of the bucket hash), fused into the SAME pass.
@@ -216,8 +216,13 @@ def apply_batch(
             lineage = rows
             observe_ops = True  # op split measured for free in the merge job
             src_rows = sum(r["rows_in"] for r in rows)
-            if src_rows >= 50 * table.n_buckets:
-                touched = list(range(table.n_buckets))  # dense batch: all buckets
+            # touched is left for merge to derive with a column-pruned
+            # distinct. (An earlier shortcut declared ALL buckets touched
+            # when rows >= 50*n_buckets — but raw row count is a proxy for
+            # bucket coverage only when keys are near-unique; a hot-key
+            # batch of duplicate updates would have triggered a full-table
+            # CoW rewrite, the exact write amplification MOR exists to
+            # avoid. The distinct scan reads only the key columns.)
         else:
             touched, lineage = lineage_for(events, batch_id, table)
             src_rows = sum(r["rows_in"] for r in lineage)
@@ -268,10 +273,12 @@ def synthesize_revocations(
     absent = state.join(
         present_keys.select(*keys).distinct(), on=keys, how="left_anti"
     )
+    # order columns by the table's configuration, not hardcoded names
+    ts_col, seq_col = table.order_cols[0], table.order_cols[-1]
     events = (
         absent.withColumn("op", F.lit("revoke"))
-        .withColumn("ts", F.lit(revoke_ts).cast(dict(state.dtypes)["ts"]))
-        .withColumn("event_seq", F.lit(int(event_seq)).cast("long"))
+        .withColumn(ts_col, F.lit(revoke_ts).cast(dict(state.dtypes)[ts_col]))
+        .withColumn(seq_col, F.lit(int(event_seq)).cast("long"))
         # the state rows carried is_revoked=False; the synthetic event must
         # assert the flag itself (merge only derives it when absent)
         .withColumn("is_revoked", F.lit(True))
@@ -338,23 +345,25 @@ def stream_feed(
     # skip genuinely new micro-batches. The StreamingQuery id persisted in
     # the checkpoint's metadata file is the stable identity — it survives
     # restarts with the same checkpoint and changes when the checkpoint is
-    # recreated (recreation then re-applies, which the LWW merge absorbs
-    # idempotently — the safe direction).
+    # recreated. When the metadata is NOT readable from the driver (DFS
+    # checkpoint path), the fallback is a RANDOM per-start identity — every
+    # restart then re-applies its window, which the LWW merge absorbs
+    # idempotently. Wasteful but never lossy; a deterministic path-hash
+    # fallback would reintroduce the exact skip-on-recreate bug this
+    # scheme exists to prevent.
     identity: dict[str, str] = {}
 
     def _stream_identity() -> str:
         if "id" not in identity:
-            import hashlib
             import json as _json
+            import uuid as _uuid
 
             meta = os.path.join(checkpoint_dir, "metadata")
             try:
                 with open(meta) as f:
                     identity["id"] = _json.load(f)["id"][:8]
             except (OSError, KeyError, ValueError):
-                identity["id"] = hashlib.sha256(
-                    os.path.abspath(checkpoint_dir).encode()
-                ).hexdigest()[:8]
+                identity["id"] = f"run-{_uuid.uuid4().hex[:8]}"
         return identity["id"]
 
     def _apply(df: DataFrame, epoch_id: int) -> None:

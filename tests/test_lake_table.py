@@ -156,3 +156,51 @@ def test_snapshot_isolation_reader_during_write(spark, tmp_path):
     _apply(spark, table, 1)  # concurrent-ish commit
     assert table.current_version() == v1 + 1
     assert reader.count() == n_before  # unchanged view, files intact
+
+
+def test_changelog_empty_after_maintenance_commit(spark, tmp_path):
+    """A compact at the head must yield an EMPTY changelog, not an error
+    (routine under replay_feed(compact_every=k))."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    _apply(spark, table, 0)
+    _apply(spark, table, 1)
+    table.compact()
+    ch = table.changelog(table.current_version())
+    assert ch.count() == 0
+    assert "change_op" in ch.columns
+
+
+def test_lineage_not_double_counted_after_crash_orphan(spark, tmp_path):
+    """Crash between manifest write and pointer swap leaves an orphan
+    manifest; the re-applied batch must not double its lineage rows."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    total = table.lineage().toPandas()
+    n0 = int(total[total.partition_id >= 0].rows_in.sum())
+
+    # crash sim: pointer back to 0 (manifest v1 stays on disk as orphan)
+    vp = os.path.join(str(tmp_path / "t"), META_DIR, VERSION_FILE)
+    os.remove(vp)
+    _apply(spark, table, 0)  # re-apply -> second manifest with same batch
+
+    lin = table.lineage().toPandas()
+    n1 = int(lin[lin.partition_id >= 0].rows_in.sum())
+    assert n1 == n0  # deduped by (batch_id, partition_id)
+
+
+def test_reopen_adopts_stored_key_spec(spark, tmp_path):
+    """A reopen with a WRONG key/order spec must adopt the stored one
+    (like n_buckets) — a silent mismatch would corrupt bucket pruning."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    reopened = LakeTable(
+        spark, str(tmp_path / "t"),
+        key_cols=("conv_id",), order_cols=("event_seq",), n_buckets=99,
+    )
+    assert reopened.key_cols == ("conv_id", "turn_idx")
+    assert reopened.order_cols == ("ts", "event_seq")
+    assert reopened.n_buckets == 4
+    # merges through the reopened handle stay correct
+    r = _apply(spark, reopened, 1)
+    assert not r.get("skipped")
+    assert reopened.read().count() == table.read().count()

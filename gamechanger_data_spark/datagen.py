@@ -34,7 +34,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-READY_MARKER = "_READY"
+# Non-hidden on purpose: Spark file sources silently filter paths starting
+# with '_' or '.' (the _SUCCESS convention), which would make the marker
+# invisible to the ready-marker STREAM. The reference's own marker is the
+# non-hidden manifest.json (checkpoint/utils.py:77-84). "_READY" (round-1
+# name) is still accepted on read for feeds already on disk.
+READY_MARKER = "ready.marker"
+LEGACY_READY_MARKER = "_READY"
 BATCH_PREFIX = "batch="
 _BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
 

@@ -29,6 +29,10 @@ _LAYOUTS = [
     "yyyy-MM-dd",
     "MM/dd/yyyy HH:mm:ss",
     "MM/dd/yyyy",
+    # unpadded US dates ('1/2/2024') — the reference's pandas.to_datetime
+    # accepts them; zero-padded-only layouts silently NULLed every one
+    "M/d/yyyy H:mm:ss",
+    "M/d/yyyy",
     "d MMMM yyyy",
     "MMMM d, yyyy",
     "d MMM yyyy",

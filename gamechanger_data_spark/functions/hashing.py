@@ -32,15 +32,20 @@ def sha256_expr(col: Column | str) -> Column:
 
 
 def dict_hash_expr(
-    pairs: dict[str, Column | str], string_cols: frozenset[str] | set[str] = frozenset()
+    pairs: dict[str, Column | str],
+    string_cols: frozenset[str] | set[str] = frozenset(),
+    bool_cols: frozenset[str] | set[str] = frozenset(),
 ) -> Column:
     """dict_to_sha256_hex_digest for a fixed field set.
 
     Reproduces the reference contract: pairs sorted by str(key), each pair
     rendered as its Python tuple repr ``str((k, v))`` and concatenated with
     NO separator, sha256 hex. String-typed values (named in ``string_cols``)
-    are rendered inside single quotes like Python repr; other values via
-    plain string cast.
+    render inside single quotes like Python repr; booleans (``bool_cols``)
+    render as ``True``/``False`` (Spark's string cast would give
+    ``true``/``false``); NULL values render as ``None`` — without this the
+    whole concat would null-propagate and every row with one NULL field
+    would get a NULL version hash, silently breaking change detection.
 
     Parity caveat (documented, not hidden): the single-quote rendering
     matches Python ``repr`` only for strings free of backslashes, single
@@ -53,10 +58,13 @@ def dict_hash_expr(
         v = pairs[k]
         c = F.col(v) if isinstance(v, str) else v
         parts.append(F.lit(f"({k!r}, "))
-        if k in string_cols:
-            parts.append(F.concat(F.lit("'"), c.cast("string"), F.lit("'")))
+        if k in bool_cols:
+            rendered = F.when(c, F.lit("True")).otherwise(F.lit("False"))
+        elif k in string_cols:
+            rendered = F.concat(F.lit("'"), c.cast("string"), F.lit("'"))
         else:
-            parts.append(c.cast("string"))
+            rendered = c.cast("string")
+        parts.append(F.when(c.isNull(), F.lit("None")).otherwise(rendered))
         parts.append(F.lit(")"))
     return F.sha2(F.concat(*parts), 256)
 

@@ -88,15 +88,6 @@ def normalize_dod_expr(col: Column | str) -> Column:
     return c
 
 
-def preprocess_refs_expr(col: Column | str) -> Column:
-    """preprocess_text (common/document_parser/ref_utils.py:8-28): unicode
-    dashes -> '-', drop parentheticals, squash whitespace."""
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.translate(c, "–—―−", "----")
-    c = F.regexp_replace(c, r"\([^)]*\)", " ")
-    return squash_whitespace_expr(c)
-
-
 def filename_safe_expr(col: Column | str, max_len: int = 200) -> Column:
     """Archive-safe name: bad chars -> underscore, squash underscore runs,
     trim to length (common/utils/text_utils.py:36-72 translate_bad_characters

@@ -22,7 +22,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gamechanger_data_spark.datagen import BATCH_PREFIX, READY_MARKER
+from gamechanger_data_spark.datagen import (
+    BATCH_PREFIX,
+    LEGACY_READY_MARKER,
+    READY_MARKER,
+)
 
 
 def list_ready_batches(
@@ -39,7 +43,10 @@ def list_ready_batches(
         if not name.startswith(BATCH_PREFIX):
             continue
         d = os.path.join(root, name)
-        if not os.path.exists(os.path.join(d, READY_MARKER)):
+        if not (
+            os.path.exists(os.path.join(d, READY_MARKER))
+            or os.path.exists(os.path.join(d, LEGACY_READY_MARKER))
+        ):
             continue  # not yet committed upstream — invisible
         batch_id = name[len(BATCH_PREFIX):]
         if after is not None and batch_id <= after:
@@ -61,15 +68,37 @@ def read_batch(spark: SparkSession, batch_dir: str) -> DataFrame:
 
 
 def read_feed_stream(spark: SparkSession, root: str, schema) -> DataFrame:
-    """Structured Streaming file source over the whole feed tree.
+    """Structured Streaming file source over the feed's DATA files.
 
     ``pathGlobFilter`` admits only parquet parts (the reference's
     extension-filtered scan, common/document_parser/process.py:166-168);
     ``maxFilesPerTrigger`` is left to the caller's trigger config.
-    """
+
+    NOTE: this stream sees part files as soon as they land — it does NOT
+    honor the ready-marker eligibility rule, so it is for ANALYTICS
+    streams (windowed rates, sessionization) where an early row is
+    harmless. The CDC apply path must use ``read_marker_stream`` (the
+    batch becomes visible atomically with its upstream commit)."""
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .parquet(root)
+    )
+
+
+def read_marker_stream(spark: SparkSession, root: str) -> DataFrame:
+    """Structured Streaming source over the READY MARKERS themselves.
+
+    One row per newly-committed batch directory: the marker file is
+    written LAST by the upstream producer (checkpoint/utils.py:77-84), so
+    a batch enters this stream exactly when its upstream commit completes
+    — a crash mid-upload can never leak a partial batch into the offset
+    log. Consumers map ``_source_file`` back to the batch directory."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.readStream.format("text")
+        .load(os.path.join(root, f"{BATCH_PREFIX}*", READY_MARKER))
+        .select(F.input_file_name().alias("_source_file"))
     )

@@ -27,24 +27,28 @@ def read_jsonl_events(
     clean_events has exactly ``schema``; corrupt_lines carries the raw text
     of undecodable lines for quarantine/lineage (reference drops them
     silently at gc_crawler_status_tracker.py:31-33).
+
+    Implementation: ``text`` source + ``from_json`` (with an in-struct
+    corrupt-record field) instead of the JSON reader's PERMISSIVE
+    corrupt-record column — the reader-level corrupt column makes the plan
+    shape unsupported without caching the whole batch
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and that cache
+    workaround leaked one pinned batch per call on a long-running driver.
+    Here both sides derive from one uncached text scan.
     """
-    full_schema = T.StructType(
+    full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
     )
-    raw = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+    parsed = spark.read.text(path).select(
+        "value",
+        F.from_json(
+            "value", full, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__p"),
     )
-    # Spark disallows plans whose referenced columns reduce to only the
-    # corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD);
-    # the documented workaround is caching the parsed batch. Feed batches
-    # are micro-batch sized, so this is bounded.
-    raw = raw.cache()
-    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    corrupt = raw.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw_line")
+    bad = F.col("__p").isNull() | F.col(f"__p.{corrupt_col}").isNotNull()
+    clean = parsed.filter(~bad).select("__p.*").drop(corrupt_col)
+    corrupt = parsed.filter(bad & (F.trim("value") != "")).select(
+        F.col("value").alias("raw_line")
     )
     return clean, corrupt
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from gamechanger_data_spark.functions.hashing import dedup_hash_expr
 from gamechanger_data_spark.functions.text import normalize_text_expr, normalize_text_udf
 from gamechanger_data_spark.sinks.table import LakeTable
-from gamechanger_data_spark.sources.feed import list_ready_batches, read_batch, read_feed_stream
+from gamechanger_data_spark.sources.feed import list_ready_batches, read_batch
 
 
 def prepare_events(events: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
@@ -327,51 +327,46 @@ def stream_feed(
     feed_root: str,
     table: LakeTable,
     checkpoint_dir: str,
-    schema,
+    schema=None,  # kept for API compat; batch dirs carry their own schema
     use_pandas_udf: bool = False,
 ):
-    """Structured Streaming variant: file source -> foreachBatch(apply).
+    """Structured Streaming variant: READY-MARKER stream -> foreachBatch.
 
-    The file source's offset log (checkpointLocation) provides restart
-    positioning; the table's batch-id marker provides exactly-once should the
-    same epoch be redelivered after a crash between sink commit and offset
-    commit. Returns the started StreamingQuery (caller awaits/stops).
+    The stream's rows are the feed's ready markers, not its data files —
+    a batch directory enters the stream exactly when its upstream commit
+    (the marker write, always last) completes, so a producer crash
+    mid-upload can never leak a partial batch into the offset log (the
+    same eligibility rule batch mode enforces via list_ready_batches).
+
+    Each newly-ready marker maps back to its batch directory and flows
+    through the normal apply path with the DIRECTORY NAME as batch id —
+    deterministic and stable across checkpoint recreation, so
+    exactly-once needs no per-stream identity: redelivered epochs,
+    recreated checkpoints, and concurrent streams over the same feed all
+    dedupe on the same ids the batch-mode replay uses.
+
+    The checkpoint's offset log provides restart positioning; the table's
+    in-commit batch markers provide exactly-once under redelivery.
+    Returns the started StreamingQuery (caller awaits/stops).
     """
-    stream = read_feed_stream(spark, feed_root, schema)
+    from urllib.parse import unquote, urlparse
 
-    # Exactly-once markers must be namespaced per STREAM IDENTITY: epoch ids
-    # restart at 0 when a checkpoint directory is recreated (and collide when
-    # a second stream writes the same table), so a bare "epoch-N" id would
-    # skip genuinely new micro-batches. The StreamingQuery id persisted in
-    # the checkpoint's metadata file is the stable identity — it survives
-    # restarts with the same checkpoint and changes when the checkpoint is
-    # recreated. When the metadata is NOT readable from the driver (DFS
-    # checkpoint path), the fallback is a RANDOM per-start identity — every
-    # restart then re-applies its window, which the LWW merge absorbs
-    # idempotently. Wasteful but never lossy; a deterministic path-hash
-    # fallback would reintroduce the exact skip-on-recreate bug this
-    # scheme exists to prevent.
-    identity: dict[str, str] = {}
+    from gamechanger_data_spark.datagen import BATCH_PREFIX
+    from gamechanger_data_spark.sources.feed import read_marker_stream
 
-    def _stream_identity() -> str:
-        if "id" not in identity:
-            import json as _json
-            import uuid as _uuid
-
-            meta = os.path.join(checkpoint_dir, "metadata")
-            try:
-                with open(meta) as f:
-                    identity["id"] = _json.load(f)["id"][:8]
-            except (OSError, KeyError, ValueError):
-                identity["id"] = f"run-{_uuid.uuid4().hex[:8]}"
-        return identity["id"]
+    markers = read_marker_stream(spark, feed_root)
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
-        apply_batch(table, df, batch_id=f"{_stream_identity()}-epoch-{epoch_id:08d}",
-                    use_pandas_udf=use_pandas_udf)
+        paths = sorted(r["_source_file"] for r in df.distinct().collect())
+        for p in paths:
+            local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+            d = os.path.dirname(local)
+            batch_id = os.path.basename(d)[len(BATCH_PREFIX):]
+            apply_batch(table, read_batch(spark, d), batch_id,
+                        use_pandas_udf=use_pandas_udf, batch_dir=d)
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        markers.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

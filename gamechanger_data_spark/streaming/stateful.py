@@ -37,11 +37,20 @@ def windowed_event_rates(
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Events per (window, producer) with late-data tolerance = watermark."""
+    """Events per (window, producer) with late-data tolerance = watermark.
+
+    Grouping must be on the FULL window column, not ``.start``: projecting
+    the start field before the groupBy strips the event-time/watermark
+    metadata, so Spark would treat this as an unwatermarked aggregation —
+    append mode rejected and window state never evicted. ``.start`` is
+    projected AFTER the aggregate."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).start.alias("window_start"), "producer")
+        .groupBy(F.window("ts", window), "producer")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "producer", "n"
+        )
     )
 
 
@@ -83,9 +92,19 @@ def session_window_counts(stream: DataFrame, gap: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization via the native session_window (gap-based
     dynamic windows); the batch twin is the catalog's lag+cumsum
-    `sessionize_events`."""
+    `sessionize_events`.
+
+    Grouping must be on the session_window COLUMN itself — grouping on its
+    ``.start`` field defeats the session-merge machinery entirely (every
+    distinct timestamp becomes its own "session") and strips the watermark
+    metadata. ``.start`` is projected after the aggregate."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).start.alias("session_start"), "producer")
+        .groupBy(F.session_window("ts", gap), "producer")
         .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "producer",
+            "n_events",
+        )
     )

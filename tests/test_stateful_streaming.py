@@ -74,7 +74,12 @@ def test_running_conv_state_final_counts(spark, tmp_path):
     )
 
 
-def test_session_window_counts_runs(spark, tmp_path):
+def test_session_window_counts_match_gap_oracle(spark, tmp_path):
+    """Sessions must MERGE: compare against an independent pandas
+    gap-split oracle (sort per producer, break where ts gap > 30 min) —
+    per-session start times and event counts, not just totals (a
+    totals-only check passes under ANY grouping and missed the round-1
+    group-by-.start bug where every timestamp was its own session)."""
     from gamechanger_data_spark.streaming.stateful import session_window_counts
 
     feed = str(tmp_path / "feed_sw")
@@ -89,8 +94,23 @@ def test_session_window_counts_runs(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = spark.sql("select * from sess").toPandas()
-    assert len(got) > 0
-    assert (got.n_events > 0).all()
-    # total events conserved across sessions
-    assert got.n_events.sum() == len(all_events(SPEC))
+    got = (
+        spark.sql("select * from sess").toPandas()
+        .sort_values(["producer", "session_start"]).reset_index(drop=True)
+    )
+
+    ev = all_events(SPEC).sort_values(["producer", "ts"], kind="mergesort")
+    gap = pd.Timedelta(minutes=30)
+    rows = []
+    for producer, g in ev.groupby("producer"):
+        brk = (g.ts.diff() > gap).cumsum()
+        for _, s in g.groupby(brk):
+            rows.append((producer, s.ts.min(), len(s)))
+    want = (
+        pd.DataFrame(rows, columns=["producer", "session_start", "n_events"])
+        .sort_values(["producer", "session_start"]).reset_index(drop=True)
+    )
+    assert got.n_events.sum() == len(ev)
+    pd.testing.assert_frame_equal(
+        got[["producer", "session_start", "n_events"]], want, check_dtype=False
+    )

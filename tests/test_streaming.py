@@ -73,3 +73,40 @@ def test_stream_restart_picks_up_new_batches_only(spark, tmp_path):
         want[PARITY].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_stream_ignores_unready_batch_dir(spark, tmp_path):
+    """A batch directory whose ready marker has not landed must be
+    INVISIBLE to the stream (the marker, written last, is the upstream
+    commit point) — and picked up once the marker appears."""
+    import os
+
+    from gamechanger_data_spark.datagen import READY_MARKER, generate_batch
+
+    feed = str(tmp_path / "feed")
+    spec = FeedSpec(n_convs=30, max_turns=5, n_batches=2, events_per_batch=300,
+                    seed=29, evolve_batch=None)
+    write_feed(feed, spec)
+    # strip the marker from batch 1: simulates an upstream crash mid-upload
+    dirs = sorted(d for d in os.listdir(feed) if d.startswith("batch="))
+    marker1 = os.path.join(feed, dirs[1], READY_MARKER)
+    os.remove(marker1)
+
+    table = LakeTable(spark, str(tmp_path / "table"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    stream_feed(spark, feed, table, ckpt).awaitTermination(120)
+    want0 = pandas_oracle(generate_batch(spec, 0),
+                          normalize=normalize_text_pandas)
+    assert table.read().count() == len(want0)  # only batch 0 applied
+
+    # upstream commit completes -> next run applies exactly batch 1
+    with open(marker1, "w") as f:
+        f.write("ready\n")
+    stream_feed(spark, feed, table, ckpt).awaitTermination(120)
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    want = pandas_oracle(all_events(spec), normalize=normalize_text_pandas)
+    pd.testing.assert_frame_equal(
+        got[PARITY].reset_index(drop=True),
+        want[PARITY].reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -111,3 +111,25 @@ def test_suffix_rename_map(spark):
     assert m == {"s": "s_s", "d": "d_d", "b": "b_b"}
     renamed = df.withColumnsRenamed(m)
     assert set(renamed.columns) == {"n", "s_s", "d_d", "b_b"}
+
+
+def test_dict_hash_null_and_bool_parity(spark):
+    """NULL fields must hash as 'None' (not null-propagate the whole hash)
+    and booleans must render True/False like Python repr."""
+    d_none = {"flag": True, "note": None}
+    d_false = {"flag": False, "note": "x"}
+    df = spark.createDataFrame(
+        [(True, None), (False, "x")], "flag boolean, note string"
+    )
+    got = [
+        r["h"]
+        for r in df.select(
+            dict_hash_expr(
+                {"flag": "flag", "note": "note"},
+                string_cols={"note"}, bool_cols={"flag"},
+            ).alias("h")
+        ).collect()
+    ]
+    assert got[0] == dict_hash_python(d_none)
+    assert got[1] == dict_hash_python(d_false)
+    assert got[0] is not None

@@ -41,6 +41,8 @@ import pyarrow.parquet as pq
 # name) is still accepted on read for feeds already on disk.
 READY_MARKER = "ready.marker"
 LEGACY_READY_MARKER = "_READY"
+# disjoint per-batch event_seq ranges (see generate_batch guard)
+SEQ_STRIDE = 10_000_000
 BATCH_PREFIX = "batch="
 _BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
 
@@ -88,7 +90,17 @@ def generate_batch(spec: FeedSpec, batch_idx: int) -> pd.DataFrame:
     base = batch_idx * 3_600_000_000  # 1h per batch, microseconds
     jitter = rng.integers(-1_800_000_000, 1_800_000_000, n)
     ts = _BASE_TS + (base + jitter).astype("timedelta64[us]")
-    event_seq = (np.int64(batch_idx) * 10_000_000 + np.arange(n)).astype(np.int64)
+    # event_seq stride: batches own disjoint SEQ_STRIDE ranges (duplicate
+    # rows reuse existing seqs, so only n itself must fit). A batch larger
+    # than the stride would collide ranges, breaking global monotonicity
+    # AND the seq-range batch arithmetic the replay oracles rely on —
+    # guard loudly; 10^10 total events shard as 10^3 batches of 10^7.
+    if n > SEQ_STRIDE:
+        raise ValueError(
+            f"events_per_batch {n} exceeds the {SEQ_STRIDE} event_seq "
+            "stride; shard into more batches instead"
+        )
+    event_seq = (np.int64(batch_idx) * SEQ_STRIDE + np.arange(n)).astype(np.int64)
 
     op = np.full(n, "update", dtype=object)
     op[rng.random(n) < 0.5] = "insert"  # insert/update are both upserts

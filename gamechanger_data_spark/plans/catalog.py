@@ -574,15 +574,11 @@ FROM w WHERE rn = 1 AND op <> 'delete'
    "state must equal the oracle's one-shot LWW reduction over the same "
    "parquet feed")
 def transcript_replay(spark, sf_dir):
-    import tempfile
-
-    from gamechanger_data_spark.sinks.table import LakeTable
-    from gamechanger_data_spark.streaming.driver import replay_feed
-
-    feed = _ensure_replay_feed()
-    work = tempfile.mkdtemp(prefix="gcspark_replay_")
-    table = LakeTable(spark, f"{work}/table", n_buckets=8)
-    replay_feed(spark, feed, table)
+    # the replay runs once per host (cached, atomic publish) — a fresh
+    # mkdtemp per invocation leaked a full table copy every call and
+    # re-paid the multi-batch replay; the engine-under-test behavior is
+    # identical, just cached like the other replay_* machinery queries
+    table = _ensure_replay_table(spark)
     return table.read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
     )

@@ -20,7 +20,6 @@ from gamechanger_data_spark.functions.analysis import (
     EN_STOPWORDS,
     TOKEN_REGEX,
 )
-from gamechanger_data_spark.functions.text import normalize_text_expr
 from gamechanger_data_spark.operators.dedup import (
     exact_dedup,
     jaccard_vs_query,
@@ -261,13 +260,12 @@ _BUCKET_SQL = " + ".join(
     f"THEN {1 << p} ELSE 0 END)"
     for p, plane in enumerate(_PLANES)
 )
-_QBUCKET_SQL = _BUCKET_SQL.replace("embedding::DOUBLE[]", "q_vec::DOUBLE[]")
 
 _ANN_LSH_SQL = f"""
 WITH v AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
 qs AS (
   SELECT vec_id AS q_id, embedding AS q_vec,
-         ({_BUCKET_SQL.replace('embedding', 'embedding')}) AS bucket
+         ({_BUCKET_SQL}) AS bucket
   FROM embeddings WHERE vec_id < 5
 ),
 scored AS (
@@ -715,12 +713,14 @@ def sessionize_events_q(spark, sf_dir):
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load(spark, sf_dir, "events")
-    # ts arrives as TIMESTAMP_NTZ; go through LTZ (session tz = UTC) for
-    # epoch-second arithmetic matching the oracle's naive interval math
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # ts is TIMESTAMP_NTZ with MICROSECOND precision; the gap comparison
+    # must be micros-exact (whole-second flooring diverges from the
+    # oracle's INTERVAL 30 MINUTE for gaps within 1s of the boundary —
+    # same divergence class sliding_window_rates hit)
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
     g = ev.withColumn(
-        "brk", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "brk", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     )
     s = g.withColumn(
         "session_no",
@@ -778,10 +778,9 @@ def approx_distinct_users_q(spark, sf_dir):
 
 @q("chunk_documents", f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-       array_to_string(toks[i*32+1 : i*32+32], ' ') AS chunk_text
-FROM t, (SELECT unnest(range(64)) AS i)
-WHERE i * 32 < len(toks)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+       array_to_string(toks[u.i*32+1 : u.i*32+32], ' ') AS chunk_text
+FROM t, unnest(range(CAST(ceil(len(toks)/32.0) AS BIGINT))) AS u(i)
 """, "fixed-size token chunking for training-context windows (the engine "
      "analog of page/paragraph segmentation, lib/pages.py / document.py:79-130"
      " — posexplode over computed chunk offsets, no Python)")

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 def scan_binary_dir(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{pdf,html,txt}",
+    # .metadata is included by default so the module's two functions
+    # compose: pair_by_stem matches X.pdf with X.pdf.metadata, which must
+    # therefore survive the source filter
+    glob: str = "*.{pdf,html,txt,metadata}",
     recursive: bool = True,
 ) -> DataFrame:
     return (

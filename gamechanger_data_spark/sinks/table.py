@@ -450,6 +450,31 @@ class LakeTable:
             out = lww_max_by(out, self.key_cols, self.order_cols)
         return self._drop_tombstones(out)
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table of the snapshot's data files (the Iceberg
+        ``table.files`` analog): one row per file with bucket, kind
+        (base|delta), path, and row count. Driver-side O(#files) over the
+        manifest — no data scanned (counts come from the write-time footer
+        stats carried in the manifest; files written before row-count
+        tracking report null)."""
+        m = self._load_manifest(version)
+        schema = T.StructType([
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("bucket_rows", T.LongType(), True),
+        ])
+        rows = []
+        for kind, src, counts in (
+            ("base", m["files"], m.get("base_rows", {})),
+            ("delta", m.get("deltas", {}), m.get("delta_rows", {})),
+        ):
+            for b, fl in src.items():
+                n = counts.get(b)
+                for p in fl:
+                    rows.append((int(b), kind, p, int(n) if n is not None else None))
+        return self.spark.createDataFrame(rows, schema)
+
     def lineage(self) -> DataFrame:
         """All per-partition lineage rows across snapshots (manifest table).
 

@@ -204,3 +204,21 @@ def test_reopen_adopts_stored_key_spec(spark, tmp_path):
     r = _apply(spark, reopened, 1)
     assert not r.get("skipped")
     assert reopened.read().count() == table.read().count()
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """files() mirrors the manifest: base rows count matches the table,
+    MOR deltas appear as kind='delta' and vanish after compact()."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    _apply(spark, table, 0)
+    f = table.files().toPandas()
+    assert set(f.kind) == {"delta"}  # MOR-only table: all data in deltas
+    assert f.groupby("bucket").bucket_rows.first().sum() == table.read_buckets(
+        range(4), include_tombstones=True
+    ).count()
+    table.compact()
+    f2 = table.files().toPandas()
+    assert set(f2.kind) == {"base"}
+    # paths are manifest-relative and exist on disk
+    import os
+    assert all(os.path.exists(os.path.join(str(tmp_path / "t"), p)) for p in f2.path)

@@ -24,16 +24,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["transcript_replay"].fn(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+# The driver's per-round correctness pass covers the FIRST 50 entries of
+# queries(), so ordering is part of the contract. _HEAD front-loads the
+# queries that have never (or not recently) appeared in a driver
+# CORRECTNESS file; _TAIL holds queries hash-green in BOTH rounds 1 and 2
+# whose operators are redundantly covered by other entries (all 64 remain
+# green in the local oracle suite, tools/check_oracles.py).
+_HEAD = [
+    # never driver-checked before round 3
+    "ref_extract_dictionary", "sessionize_events", "sliding_window_rates",
+    "value_percentiles", "asof_last_click_before_purchase",
+    "chunk_documents", "cube_order_stats", "approx_distinct_users",
+    # green in round 1 only, rotated out of round 2's window
+    "alias_resolution", "ref_count_map", "turn_renumber",
+    "tumbling_window_counts", "rollup_order_counts", "pivot_value_by_status",
+    # upgraded rows-only -> hash-checked this round
+    "multimodal_features", "multimodal_frame_sample",
+    # flagship engine machinery — keep under driver check every round
+    "transcript_replay", "replay_changelog", "replay_lineage_counts",
+    "replay_time_travel", "cdc_apply_events",
+]
+_TAIL = [
+    # double-green and redundantly covered: J2 is still checked via
+    # lww_latest_max_by/lww_latest_salted/cdc_apply_events; the rest are
+    # simple projections/aggregations stable since round 1
+    "lww_latest_window", "window_max_distinct", "groupwise_max_join",
+    "minmax_ingest_dates", "title_truncate", "word_count",
+    "staleness_filter", "distinct_union", "collect_set_sorted",
+    "top10_keywords", "topk_per_group", "op_type_counters",
+    "sha256_surrogate_key", "case_insensitive_dedup",
+]
+
+
+def _ordered_catalog():
     from gamechanger_data_spark.plans.catalog import CATALOG
 
-    return {name: spec.fn for name, spec in CATALOG.items()}
+    head = [k for k in _HEAD if k in CATALOG]
+    tail = [k for k in _TAIL if k in CATALOG]
+    mid = [k for k in CATALOG if k not in set(head) | set(tail)]
+    return [(k, CATALOG[k]) for k in head + mid + tail]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in _ordered_catalog()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops,
     which the driver records as rows-only checks)."""
-    from gamechanger_data_spark.plans.catalog import CATALOG
-
-    return {name: spec.sql for name, spec in CATALOG.items() if spec.sql is not None}
+    return {
+        name: spec.sql for name, spec in _ordered_catalog() if spec.sql is not None
+    }

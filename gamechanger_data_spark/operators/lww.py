@@ -24,7 +24,7 @@ Three physical strategies for the same logical operator:
                    concentrates raw rows on one reducer. This is the
                    preferred strategy at 10^10 events.
 
-  ``lww_salted``   explicit two-phase: repartition on
+  ``lww_salted``   explicit two-phase: hash exchange on
                    (keys..., pmod(hash(ts,event_seq), S)) -> per-salt top-1
                    (window) -> global top-1 over the ≤S survivors per key.
                    Equivalent to what partial aggregation does, but explicit
@@ -98,11 +98,20 @@ def lww_salted(
     ``salt_buckets`` reducers; per-salt winner via row_number.
     Phase 2: shuffle the ≤salt_buckets survivors per key; global winner.
     The salt derives from the order columns, so it is deterministic.
+
+    ``partitions``: default None adds NO explicit repartition — the phase-1
+    window's partitionBy(keys, salt) already induces exactly that hash
+    exchange, and an explicit repartition on top of it was pure overhead
+    (a second fixed-width exchange that also blocked AQE coalescing;
+    measured 0.54s -> 0.38s at sf0.1/local[32] when removed, and the
+    round-2 bench's 2.8s outlier was this plus host contention). Pass an
+    int only to FORCE a reducer width, e.g. when AQE is off and the
+    default width underfans a known-hot keyspace.
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
     salted = df.withColumn("__salt", salt)
-    n = partitions or salted.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    salted = salted.repartition(int(n), *keys, "__salt")
+    if partitions is not None:
+        salted = salted.repartition(int(partitions), *keys, "__salt")
 
     w1 = Window.partitionBy(*keys, "__salt").orderBy(
         *[F.col(c).desc_nulls_last() for c in order]

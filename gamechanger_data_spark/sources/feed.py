@@ -87,6 +87,71 @@ def read_feed_stream(spark: SparkSession, root: str, schema) -> DataFrame:
     )
 
 
+class _MarkerStreamReader:
+    """SimpleDataSourceStreamReader over ready-marker EXISTENCE.
+
+    Every built-in file source (text, wholetext, binaryFile) silently skips
+    zero-length files, so a marker created by ``touch`` — which
+    list_ready_batches accepts, existence being the whole contract — would
+    produce a batch a file-based stream never sees: silent data loss. This
+    reader keys on the same listing the batch path uses, so both
+    consumption modes enforce one eligibility rule.
+
+    Offset = the max batch id emitted so far (batch ids are the feed's
+    timestamped prefixes, strictly ascending by upstream contract —
+    common/utils/s3.py:459-502); a replayed epoch re-derives its rows
+    deterministically from the id interval. The listing runs on the driver
+    — O(#batch dirs) names, no data read — and rows are only marker paths,
+    so driver cost is that of any file-source directory listing."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _ready(self, after: str, upto: str | None = None):
+        rows = []
+        for batch_id, d in list_ready_batches(self.root, after=after or None):
+            if upto is not None and batch_id > upto:
+                continue
+            rows.append((os.path.join(d, READY_MARKER), batch_id))
+        return rows
+
+    def read(self, start: dict):
+        rows = self._ready(start.get("last", ""))
+        if not rows:
+            return iter([]), start
+        return iter(rows), {"last": rows[-1][1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._ready(start.get("last", ""), upto=end.get("last", "")))
+
+    def commit(self, end: dict) -> None:
+        pass  # the sink's batch-id markers are the commit point
+
+
+def marker_feed_source():
+    """Build the DataSource class lazily (pyspark.sql.datasource import kept
+    out of module import time — batch-mode users never need it)."""
+    from pyspark.sql.datasource import DataSource
+
+    class MarkerFeedSource(DataSource):
+        """``format("marker_feed")``: one row per newly-READY batch dir."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "marker_feed"
+
+        def schema(self) -> str:
+            return "_source_file string, batch_id string"
+
+        def simpleStreamReader(self, schema):
+            return _MarkerStreamReader(self.options["path"])
+
+    return MarkerFeedSource
+
+
 def read_marker_stream(spark: SparkSession, root: str) -> DataFrame:
     """Structured Streaming source over the READY MARKERS themselves.
 
@@ -94,11 +159,15 @@ def read_marker_stream(spark: SparkSession, root: str) -> DataFrame:
     written LAST by the upstream producer (checkpoint/utils.py:77-84), so
     a batch enters this stream exactly when its upstream commit completes
     — a crash mid-upload can never leak a partial batch into the offset
-    log. Consumers map ``_source_file`` back to the batch directory."""
-    from pyspark.sql import functions as F
+    log. Consumers map ``_source_file`` back to the batch directory.
 
+    Backed by a custom Python streaming data source keyed on marker
+    EXISTENCE (see _MarkerStreamReader): built-in file sources skip
+    zero-length files, which would silently drop a batch whose marker was
+    created by ``touch`` — a batch the batch-mode path happily applies."""
+    spark.dataSource.register(marker_feed_source())
     return (
-        spark.readStream.format("text")
-        .load(os.path.join(root, f"{BATCH_PREFIX}*", READY_MARKER))
-        .select(F.input_file_name().alias("_source_file"))
+        spark.readStream.format("marker_feed")
+        .load(root)
+        .select("_source_file")
     )

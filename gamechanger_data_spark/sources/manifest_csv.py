@@ -38,30 +38,46 @@ def read_manifest_csv(spark: SparkSession, path: str) -> DataFrame:
     missing = [f.name for f in MANIFEST_CSV_SCHEMA.fields if f.name not in raw.columns]
     if missing:
         raise ValueError(f"manifest CSV missing columns {missing} at {path}")
+    # try_cast, not cast: ANSI mode (Spark 4 default) would throw inside
+    # the cast with a generic CAST_INVALID_INPUT before the guard below can
+    # attach the row context; try_cast nulls the bad cell and the guard
+    # raises the contract's own error with the offending conv_id.
     typed = raw.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in MANIFEST_CSV_SCHEMA.fields],
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in MANIFEST_CSV_SCHEMA.fields
+        ],
         F.col("turn_idx").alias("__raw_turn_idx"),
         F.col("ts").alias("__raw_ts"),
     )
-    # loud failure on unparseable typed cells (PERMISSIVE casts null them)
-    bad_cast = (
-        (F.col("turn_idx").isNull() & F.col("__raw_turn_idx").isNotNull())
-        | (F.col("ts").isNull() & F.col("__raw_ts").isNotNull())
-    )
-    typed = typed.withColumn(
-        "turn_idx",
-        F.when(bad_cast, F.raise_error(F.concat(
-            F.lit("unparseable manifest cell for conv_id="), F.col("conv_id")
-        )).cast("int")).otherwise(F.col("turn_idx")),
-    ).drop("__raw_turn_idx", "__raw_ts")
     op = F.element_at(
         F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv]),
         F.col("Process"),
     )
-    return typed.select(
-        op.alias("op"), "conv_id", "turn_idx", "ts"
-    ).withColumn("op", F.coalesce(F.col("op"), F.raise_error(
-        F.concat(F.lit("unknown manifest Process for conv_id="), F.col("conv_id")))))
+    # Loud failure on unparseable typed cells (PERMISSIVE casts null them)
+    # and unknown Process values. The guard is a FILTER, not a projected
+    # column: a projected guard is column-pruned away when a consumer never
+    # materializes that column (e.g. selects only op/conv_id), silently
+    # passing the bad rows the function promises to reject. A where-clause
+    # runs regardless of which columns the consumer selects.
+    bad = (
+        (F.col("turn_idx").isNull() & F.col("__raw_turn_idx").isNotNull())
+        | (F.col("ts").isNull() & F.col("__raw_ts").isNotNull())
+        | op.isNull()
+    )
+    typed = typed.where(
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("bad manifest row (unparseable cell or unknown "
+                          "Process) for conv_id="),
+                    F.coalesce(F.col("conv_id"), F.lit("<null>")),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__raw_turn_idx", "__raw_ts")
+    return typed.select(op.alias("op"), "conv_id", "turn_idx", "ts")
 
 
 def split_ops(manifest: DataFrame) -> dict[str, DataFrame]:

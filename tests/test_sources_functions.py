@@ -183,3 +183,17 @@ def test_jdbc_option_plumbing_contract():
 
     with pytest.raises(ValueError):
         read_jdbc_table(FakeSpark(), "jdbc:x", "t", partition_column="id")
+
+
+def test_manifest_csv_bad_cell_raises_even_when_pruned(spark, tmp_path):
+    """The loud-failure guard must survive column pruning: a consumer that
+    never materializes turn_idx/ts still may not see the bad row pass
+    through silently (the guard is a filter, not a projected column)."""
+    p = tmp_path / "badcell.csv"
+    p.write_text(
+        "Process,conv_id,turn_idx,ts\n"
+        "Insert,c1,zero,2024-01-01T00:00:00\n"
+    )
+    m = read_manifest_csv(spark, str(p)).select("op", "conv_id")
+    with pytest.raises(Exception, match="bad manifest row"):
+        m.collect()

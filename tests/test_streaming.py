@@ -110,3 +110,28 @@ def test_stream_ignores_unready_batch_dir(spark, tmp_path):
         want[PARITY].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_stream_sees_zero_byte_marker(spark, tmp_path):
+    """A marker created by touch (zero bytes) must still admit its batch:
+    the eligibility rule is marker EXISTENCE, and the batch-mode path
+    (list_ready_batches) already accepts it — the stream must not enforce
+    a stricter non-empty-marker rule (the old text-source stream emitted
+    zero rows for an empty file, silently dropping the batch)."""
+    import os
+
+    from gamechanger_data_spark.datagen import READY_MARKER, generate_batch
+
+    feed = str(tmp_path / "feed")
+    spec = FeedSpec(n_convs=20, max_turns=4, n_batches=1, events_per_batch=200,
+                    seed=31, evolve_batch=None)
+    write_feed(feed, spec)
+    d = sorted(x for x in os.listdir(feed) if x.startswith("batch="))[0]
+    marker = os.path.join(feed, d, READY_MARKER)
+    os.remove(marker)
+    open(marker, "w").close()  # touch: exists, zero bytes
+
+    table = LakeTable(spark, str(tmp_path / "table"), n_buckets=4)
+    stream_feed(spark, feed, table, str(tmp_path / "ckpt")).awaitTermination(120)
+    want = pandas_oracle(generate_batch(spec, 0), normalize=normalize_text_pandas)
+    assert table.read().count() == len(want)

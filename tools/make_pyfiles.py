@@ -9,7 +9,7 @@ driver-contract module) into one zip:
         --py-files dist/gamechanger_data_spark.zip bench.py
 
 On a real cluster only --master changes (YARN/k8s); the entry points are
-identical. tools/test_submit.sh exercises the full path locally.
+identical. tests/test_spark_submit.py exercises the full path locally.
 """
 
 from __future__ import annotations

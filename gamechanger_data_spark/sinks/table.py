@@ -198,13 +198,22 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mp)
+        self._swap_version_pointer(v)
+
+    def _swap_version_pointer(self, v: int) -> None:
+        """fsync'd atomic pointer swap — the commit point. os.replace alone
+        is atomic only against concurrent READERS; across power loss the
+        pointer could land before the bytes it names, so both the file and
+        the directory entry are fsync'd. Shared by _commit and
+        rollback_to_snapshot (rollback previously skipped the fsync
+        discipline and could lose the rollback across power loss)."""
         vp = os.path.join(self.root, META_DIR, VERSION_FILE)
         vtmp = vp + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(v))
             f.flush()
             os.fsync(f.fileno())
-        os.replace(vtmp, vp)  # atomic on POSIX — the commit point
+        os.replace(vtmp, vp)  # atomic on POSIX
         dfd = os.open(os.path.join(self.root, META_DIR), os.O_RDONLY)
         try:
             os.fsync(dfd)  # persist both directory entries
@@ -275,11 +284,18 @@ class LakeTable:
         """Time-travel the table pointer (Iceberg rollback_to_snapshot)."""
         if not os.path.exists(self._meta_path(version)):
             raise ValueError(f"no snapshot v{version}")
-        vp = os.path.join(self.root, META_DIR, VERSION_FILE)
-        vtmp = vp + f".tmp-{uuid.uuid4().hex}"
-        with open(vtmp, "w") as f:
-            f.write(str(version))
-        os.replace(vtmp, vp)
+        # rollback is the ONLY way an abandoned branch (commits not on the
+        # current parent chain) can arise; the flag lets lineage() skip the
+        # parent-chain walk entirely on never-rolled-back tables. Written
+        # (and fsync'd) BEFORE the pointer swap so a crash between the two
+        # can only over-trigger the walk, never under-trigger it.
+        flag = os.path.join(self.root, META_DIR, "ROLLBACK")
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("1")
+                f.flush()
+                os.fsync(f.fileno())
+        self._swap_version_pointer(version)
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots."""
@@ -302,7 +318,30 @@ class LakeTable:
                     os.remove(full)
                     removed += 1
         # manifest JSONs are kept forever: they are tiny and carry the
-        # lineage history + applied-batch markers
+        # lineage history + applied-batch markers. Batch-id SEGMENT files,
+        # though, can be orphaned by a crash between segment write and
+        # manifest commit (_advance_batches writes the segment first, on
+        # purpose) — remove any segment unreachable from every manifest's
+        # chain, plus mid-write *.tmp* leftovers (single-writer model: no
+        # write is in flight while maintenance runs).
+        meta_dir = os.path.join(self.root, META_DIR)
+        reachable: set[str] = set()
+        for v in snaps:
+            seg = self._load_manifest(v).get("batches_segment")
+            while seg is not None and seg not in reachable:
+                reachable.add(seg)
+                with open(os.path.join(self.root, seg)) as f:
+                    seg = json.load(f).get("prev")
+        for fn in os.listdir(meta_dir):
+            rel = os.path.join(META_DIR, fn)
+            is_orphan_seg = (
+                fn.startswith("batchseg-")
+                and fn.endswith(".json")
+                and rel not in reachable
+            )
+            if is_orphan_seg or ".tmp" in fn:
+                os.remove(os.path.join(meta_dir, fn))
+                removed += 1
         return removed
 
     # ---------------- read path ----------------
@@ -503,12 +542,30 @@ class LakeTable:
             meta_dir, pathGlobFilter="v*.json"
         )
         out = raw.select(F.explode("lineage").alias("r")).select("r.*")
-        # the directory glob also sees ORPHAN manifests (crash between
-        # manifest write and pointer swap -> batch re-applied under a new
-        # version) and abandoned rollback branches; both repeat a batch's
-        # lineage rows verbatim, so (batch_id, partition_id) dedup restores
-        # exactly-one-row-per-applied-partition without a driver-side walk
-        # of the parent chain
+        # The directory glob also sees manifests NOT on the current parent
+        # chain: ORPHANS (crash between manifest write and pointer swap ->
+        # batch re-applied under a new version) and ABANDONED ROLLBACK
+        # BRANCHES. Orphans repeat an applied batch's rows verbatim, so the
+        # (batch_id, partition_id) dedup below removes them; a branch
+        # commit whose batch was never re-applied after rollback would
+        # survive the dedup and over-report applied work — so when (and
+        # only when) a rollback has ever happened, filter to the current
+        # chain. The chain walk is driver-side O(chain) JSON reads, paid
+        # solely by rolled-back tables on an audit query.
+        if os.path.exists(os.path.join(meta_dir, "ROLLBACK")):
+            chain, v = [], self.current_version()
+            while v and v > 0:
+                chain.append(v)
+                v = self._load_manifest(v).get("parent")
+            src_version = F.regexp_extract(
+                F.input_file_name(), r"v(\d{8})\.json", 1
+            ).cast("int")
+            chain_df = self.spark.createDataFrame(
+                [(c,) for c in chain], "v int"
+            )
+            out = out.withColumn("__v", src_version).join(
+                F.broadcast(chain_df), F.col("__v") == F.col("v"), "left_semi"
+            ).drop("__v")
         out = out.dropDuplicates(["batch_id", "partition_id"])
         return out.withColumn(
             "applied_at", F.to_timestamp("applied_at")
@@ -894,7 +951,12 @@ class LakeTable:
             base_rows[bk] = self._count_rows(files[bk])
             deltas[bk] = []
             delta_rows[bk] = 0
-        tail, seg = self._advance_batches(m, batch_id)
+        # maintenance commits do NOT enter the applied-batch set: they are
+        # not batch applications (naturally idempotent rewrites), and
+        # registering their constant default ids both accreted duplicates
+        # into segment files and silently swallowed any future DATA merge
+        # that happened to reuse such an id as a "replay"
+        tail, seg = m.get("applied_batches", []), m.get("batches_segment")
         manifest = {
             "version": new_version,
             "schema": m["schema"],
@@ -999,7 +1061,12 @@ class LakeTable:
                     if os.path.isdir(bdir)
                     else []
                 )
-            tail, seg = self._advance_batches(m, batch_id)
+            # maintenance commits do NOT enter the applied-batch set: they are
+            # not batch applications (naturally idempotent rewrites), and
+            # registering their constant default ids both accreted duplicates
+            # into segment files and silently swallowed any future DATA merge
+            # that happened to reuse such an id as a "replay"
+            tail, seg = m.get("applied_batches", []), m.get("batches_segment")
             manifest = {
                 "version": new_version,
                 "schema": m["schema"],
@@ -1062,7 +1129,12 @@ class LakeTable:
                 if os.path.isdir(bdir)
                 else []
             )
-        tail, seg = self._advance_batches(m, batch_id)
+        # maintenance commits do NOT enter the applied-batch set: they are
+        # not batch applications (naturally idempotent rewrites), and
+        # registering their constant default ids both accreted duplicates
+        # into segment files and silently swallowed any future DATA merge
+        # that happened to reuse such an id as a "replay"
+        tail, seg = m.get("applied_batches", []), m.get("batches_segment")
         manifest = {
             "version": new_version,
             "schema": m["schema"],
@@ -1081,13 +1153,89 @@ class LakeTable:
         self._commit(manifest)
         return {"skipped": False, "batch_id": batch_id, "version": new_version}
 
-    def overwrite(self, df: DataFrame, batch_id: str = "__overwrite__") -> dict:
+    def overwrite(self, df: DataFrame, batch_id: str | None = None) -> dict:
         """CREATE OR REPLACE TABLE AS SELECT (reference: truncate-and-reload
-        materialization, gc_ingest/tools/db/utils.py:97-116)."""
-        shutil.rmtree(os.path.join(self.root, "data"), ignore_errors=True)
-        shutil.rmtree(os.path.join(self.root, META_DIR), ignore_errors=True)
-        os.makedirs(os.path.join(self.root, META_DIR))
-        os.makedirs(os.path.join(self.root, "data"))
-        if "op" not in df.columns:
-            df = df.withColumn("op", F.lit("insert"))
-        return self.merge(df, batch_id)
+        materialization, gc_ingest/tools/db/utils.py:97-116).
+
+        ATOMIC: the replacement snapshot is built under a NEW version dir
+        and installed with the usual fsync'd pointer swap — the round-2
+        rmtree-then-merge variant had a crash window that lost both the
+        table and its exactly-once history. The applied-batch set carries
+        FORWARD across the replace, so replaying an old feed against the
+        replaced table stays a no-op; pre-replace snapshots remain
+        time-travelable until expire_snapshots. The REPLACEMENT schema is
+        the source's (CREATE OR REPLACE, not additive evolution).
+
+        ``batch_id`` defaults to a per-version unique id (a constant would
+        make the SECOND overwrite a silent replay no-op); pass an explicit
+        id to get exactly-once replay semantics for the overwrite itself.
+        """
+        if batch_id is not None and batch_id in self.applied_batches():
+            return {"skipped": True, "batch_id": batch_id,
+                    "version": self.current_version()}
+        m = self._load_manifest()
+        src = df
+        if "op" not in src.columns:
+            src = src.withColumn("op", F.lit("insert"))
+        if "is_revoked" not in src.columns:
+            src = src.withColumn("is_revoked", F.col("op") == F.lit("revoke"))
+        state_schema = T.StructType(
+            [f for f in src.schema.fields if f.name != "op"]
+            + [T.StructField("__deleted", T.BooleanType(), True)]
+        )
+        src_part = (
+            self._align(src, state_schema, keep=("op",))
+            .withColumn("__bucket", self._bucket_expr().cast("int"))
+        )
+        dedup = {"window": lww_window, "max_by": lww_max_by, "salted": lww_salted}[
+            self.dedup_strategy
+        ]
+        merged = dedup(src_part, self.key_cols, self.order_cols)
+        merged = merged.withColumn(
+            "__deleted", F.coalesce(F.col("op") == F.lit("delete"), F.lit(False))
+        ).drop("op")
+
+        new_version = self._next_version()
+        if batch_id is None:
+            batch_id = f"__overwrite__v{new_version}"
+        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        (
+            merged.repartition(self.n_buckets, "__bucket")
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        rel = os.path.relpath(snap_dir, self.root)
+        files = {}
+        for b in range(self.n_buckets):
+            bdir = os.path.join(snap_dir, f"__bucket={b}")
+            files[str(b)] = (
+                [
+                    os.path.join(rel, f"__bucket={b}", fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                ]
+                if os.path.isdir(bdir)
+                else []
+            )
+        tail, seg = self._advance_batches(m, batch_id)
+        stored_schema = T.StructType(
+            [f for f in state_schema.fields if f.name != "__bucket"]
+        )
+        manifest = {
+            "version": new_version,
+            "schema": stored_schema.jsonValue(),
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "deltas": {},
+            "base_rows": {b: self._count_rows(fl) for b, fl in files.items() if fl},
+            "delta_rows": {},
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "data",
+        }
+        self._commit(manifest)
+        return {"skipped": False, "batch_id": batch_id, "version": new_version}

@@ -222,3 +222,96 @@ def test_files_metadata_table(spark, tmp_path):
     # paths are manifest-relative and exist on disk
     import os
     assert all(os.path.exists(os.path.join(str(tmp_path / "t"), p)) for p in f2.path)
+
+
+def test_overwrite_is_atomic_and_preserves_history(spark, tmp_path):
+    """Crash during overwrite must leave the old table current; after a
+    successful overwrite, replaying an already-applied batch is STILL a
+    no-op (applied-batch history survives the replace) and the second
+    overwrite (default batch id) is not swallowed as a replay."""
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, n_buckets=4)
+    _apply(spark, table, 0)
+    v1 = table.current_version()
+    n1 = table.read().count()
+
+    # crash simulation: the replacement snapshot write raises mid-build
+    from pyspark.sql import functions as F
+
+    pdf1 = generate_batch(SPEC, 1)
+    bad = spark.createDataFrame(pdf1).withColumn(
+        "ts", F.raise_error(F.lit("boom")).cast("timestamp")
+    )
+    try:
+        table.overwrite(bad)
+        raise AssertionError("expected the overwrite build to fail")
+    except Exception:
+        pass
+    assert table.current_version() == v1  # pointer never moved
+    assert table.read().count() == n1     # old table fully intact
+    assert "b0" in table.applied_batches()
+
+    # successful overwrite: history carried forward
+    table.overwrite(spark.createDataFrame(pdf1))
+    assert "b0" in table.applied_batches()
+    r = _apply(spark, table, 0)  # replay of an old batch post-replace
+    assert r.get("skipped")
+    # a second overwrite with the default id must APPLY, not replay-skip
+    r2 = table.overwrite(spark.createDataFrame(generate_batch(SPEC, 0)))
+    assert not r2.get("skipped")
+
+
+def test_maintenance_commits_not_in_applied_set(spark, tmp_path):
+    """compact/rebucket/tombstone-gc ids must not enter the applied-batch
+    set: they accreted duplicates and made any future DATA merge that
+    reused such an id a silent no-op."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    _apply(spark, table, 0)
+    table.compact()
+    assert "__compact__" not in table.applied_batches()
+    table.rebucket(8)
+    assert "__rebucket__" not in table.applied_batches()
+    # a (pathological) data batch named like a maintenance default applies
+    pdf = generate_batch(SPEC, 1)
+    r = apply_batch(table, spark.createDataFrame(pdf), "__compact__")
+    assert not r.get("skipped")
+
+
+def test_expire_snapshots_removes_orphan_metadata(spark, tmp_path):
+    """Orphan batch segments (crash between segment write and manifest
+    commit) and mid-write .tmp leftovers are GC'd; reachable segments and
+    the applied-batch history survive."""
+    import json
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root, n_buckets=4)
+    _apply(spark, table, 0)
+    meta = os.path.join(root, META_DIR)
+    # orphan segment + tmp leftover (simulated crash debris)
+    with open(os.path.join(meta, "batchseg-deadbeef.json"), "w") as f:
+        json.dump({"batch_ids": ["ghost"], "prev": None}, f)
+    open(os.path.join(meta, "v00000009.json.tmp"), "w").close()
+    _apply(spark, table, 1)
+
+    table.expire_snapshots(keep_last=1)
+    left = set(os.listdir(meta))
+    assert "batchseg-deadbeef.json" not in left
+    assert not any(".tmp" in f for f in left)
+    assert table.applied_batches() >= {"b0", "b1"}
+
+
+def test_lineage_excludes_abandoned_branch(spark, tmp_path):
+    """A batch committed on a branch abandoned by rollback (and never
+    re-applied) must not surface in lineage(): lineage reports work applied
+    to the CURRENT table state."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    v1 = table.current_version()
+    _apply(spark, table, 1)           # b1 on the soon-abandoned branch
+    table.rollback_to_snapshot(v1)
+    # new commit from the rollback point -> b1's branch is abandoned
+    pdf = generate_batch(SPEC, 1).assign(conv_id=lambda d: d.conv_id + "_x")
+    apply_batch(table, spark.createDataFrame(pdf), "b1x")
+    ids = {r["batch_id"] for r in table.lineage().select("batch_id").distinct().collect()}
+    assert "b1" not in ids
+    assert {"b0", "b1x"} <= ids

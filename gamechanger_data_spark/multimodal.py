@@ -22,6 +22,9 @@ wholesale).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,9 +58,10 @@ FEATURE_SCHEMA = (
 )
 
 
-def synthesize_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic fake media corpus: payload bytes derived from the id
-    (no external data). Used by tests and the rows-only catalog entry."""
+def _media_rows(n: int, seed: int) -> list[tuple]:
+    """Deterministic fake media rows: payload bytes derived from the id
+    (no external data). Single source of truth for synthesize_media and
+    the published oracle corpus."""
     import hashlib
 
     rows = []
@@ -72,7 +76,47 @@ def synthesize_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
                 (f"src{i % 5}", 64 + (i % 64), 64 + (i % 48), 16000 if kind == "audio" else None),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthesize_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus as a DataFrame (tests + catalog)."""
+    return spark.createDataFrame(_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def publish_media_corpus(root: str, n: int = 200, seed: int = 42) -> str:
+    """Write the synthetic media corpus to parquet once per host (atomic
+    rename publish), so a DuckDB oracle can read the SAME input the Spark
+    query reads. Alongside the binary payload, ``first_byte``/``last_byte``
+    ride as plain int columns computed here in the PUBLISHER (pure python,
+    not the operator under test): DuckDB cannot index into a BLOB, so the
+    oracle recomputes the fallback dims from these, while the Spark side
+    must derive them from the binary column through the real mapInPandas
+    path. Returns the parquet file path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, "media.parquet")
+    if os.path.exists(out):
+        return out
+    rows = _media_rows(n, seed)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "media_type": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([bytes(r[2]) for r in rows], pa.binary()),
+            "first_byte": pa.array([r[2][0] for r in rows], pa.int32()),
+            "last_byte": pa.array([r[2][-1] for r in rows], pa.int32()),
+        }
+    )
+    tmp_dir = f"{root}-build-{uuid.uuid4().hex}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tmp_dir, "media.parquet"))
+    try:
+        os.rename(tmp_dir, root)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, bool]:

@@ -114,8 +114,8 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     n_hashes: int = 12,
     bands: int = 4,
-    max_shingles: int | None = None,
-    max_bucket: int | None = None,
+    max_shingles: int | None = 512,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band of
     rows_per_band consecutive minhashes collide. Output: (id_a, id_b) with
@@ -126,12 +126,15 @@ def minhash_lsh_pairs(
     only shuffle; band_key is a composed string so the join key is one
     column.
 
-    Skew caps (both off by default for round-1 catalog compatibility):
-    ``max_shingles`` bounds per-doc shingle sets (degenerate repeated-token
-    docs); ``max_bucket`` drops LSH buckets with more members than the cap
-    BEFORE the self-join — a degenerate bucket of B docs would emit O(B^2)
-    pairs and concentrate them on one reducer; at corpus scale such buckets
-    are boilerplate/junk collisions, the textbook LSH skew guard."""
+    Skew caps — ON by default (the values minhash_lsh_verified uses):
+    ``max_shingles`` bounds per-doc shingle sets to the lexicographically
+    smallest N (degenerate repeated-token docs); ``max_bucket`` drops LSH
+    buckets with more members than the cap BEFORE the self-join — a
+    degenerate bucket of B docs would emit O(B^2) pairs and concentrate
+    them on one reducer; at corpus scale such buckets are boilerplate/junk
+    collisions, the textbook LSH skew guard. Pass None for either to get
+    the uncapped textbook banding (exactness baselines only — an uncapped
+    self-join is unsafe at corpus scale)."""
     sig = minhash_signature(
         df.select(id_col, text_col), text_col, k_shingle, n_hashes,
         max_shingles=max_shingles,

@@ -9,6 +9,8 @@ floats are double-precision end-to-end and rounded to 6dp in outputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from gamechanger_data_spark.functions.analysis import (
@@ -126,9 +128,13 @@ FROM banded a JOIN banded b
 """, "MinHash(12)+LSH(6 bands x 2) near-dup candidate pairs over 3-gram "
      "shingles; md5-derived portable signatures")
 def dedup_minhash_lsh_q(spark, sf_dir):
+    # caps pinned to None: this catalog entry is the UNCAPPED textbook
+    # banding whose oracle SQL computes full shingle sets; the safe capped
+    # defaults are exercised (and oracled) by dedup_minhash_verified
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"),
         n_hashes=_N_HASHES, bands=_BANDS,
+        max_shingles=None, max_bucket=None,
     )
 
 
@@ -456,27 +462,65 @@ def stopword_ratio_q(spark, sf_dir):
 
 
 # =====================================================================
-# Multimodal plumbing (rows-only: binary payloads are engine-generated;
-# the decode step is stubbed — schema/partitioning/Arrow path are real)
+# Multimodal plumbing — HASH-checked against DuckDB over a published
+# parquet copy of the synthetic corpus. The decode step is still stubbed
+# (no codecs in the container), but its deterministic fallback contract
+# (dims from payload bytes, decoded=false) is a pure function the oracle
+# recomputes from publisher-provided byte columns; payload_sha256 stays
+# covered by local tests only (DuckDB cannot hash BLOBs).
 # =====================================================================
 
+_MEDIA_ROOT = "/tmp/gcspark_media_oracle_v1"
+_MEDIA_PQ = os.path.join(_MEDIA_ROOT, "media.parquet")
 
-@q("multimodal_features", None,
-   "binary media columns -> Arrow mapInPandas feature extraction "
-   "(decode stubbed: no codecs in container; deterministic fallback)")
+
+def _ensure_media_corpus() -> str:
+    from gamechanger_data_spark.multimodal import publish_media_corpus
+
+    return publish_media_corpus(_MEDIA_ROOT, n=200, seed=42)
+
+
+try:  # publish at import so the oracle side can run first (same pattern
+    # as the replay feed; consumers re-invoke and surface real errors)
+    _ensure_media_corpus()
+except Exception:  # noqa: BLE001  # pragma: no cover - trivial guard
+    pass
+
+
+@q("multimodal_features", f"""
+SELECT media_id, media_type,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CAST(32 + first_byte % 224 AS INTEGER) AS width,
+       CAST(32 + last_byte % 224 AS INTEGER) AS height,
+       FALSE AS decoded
+FROM read_parquet('{_MEDIA_PQ}')
+""", "binary media columns -> Arrow mapInPandas feature extraction; the "
+     "no-codec fallback dims + n_bytes are hash-checked (Spark derives "
+     "them from the BINARY column via the real mapInPandas path, DuckDB "
+     "from publisher byte columns); sha256 covered by local tests")
 def multimodal_features_q(spark, sf_dir):
-    from gamechanger_data_spark.multimodal import extract_features, synthesize_media
+    from gamechanger_data_spark.multimodal import extract_features
 
-    media = synthesize_media(spark, n=200, seed=42)
-    return extract_features(media)
+    media = spark.read.parquet(_ensure_media_corpus())
+    return extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "width", "height", "decoded"
+    )
 
 
-@q("multimodal_frame_sample", None,
-   "video frame-sampling plan: explode target frame indices per media row")
+@q("multimodal_frame_sample", f"""
+SELECT media_id, CAST(g AS INTEGER) AS frame_idx
+FROM (
+  SELECT media_id,
+         unnest(range(0, (octet_length(payload) // 1024) + 1, 10)) AS g
+  FROM read_parquet('{_MEDIA_PQ}')
+  WHERE media_type = 'video'
+)
+""", "video frame-sampling plan: explode target frame indices per media "
+     "row (sequence step 10 over the fake frame count len/1024+1)")
 def multimodal_frame_sample_q(spark, sf_dir):
-    from gamechanger_data_spark.multimodal import frame_sample_plan, synthesize_media
+    from gamechanger_data_spark.multimodal import frame_sample_plan
 
-    media = synthesize_media(spark, n=200, seed=42)
+    media = spark.read.parquet(_ensure_media_corpus())
     return frame_sample_plan(media, every_n=10)
 
 

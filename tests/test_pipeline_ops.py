@@ -138,3 +138,18 @@ def test_minhash_verified_confirms_and_caps(spark):
     # no degenerate-bucket pair survived (they'd be ~20k rows)
     assert not any(a >= 100 and b >= 100 for a, b in pairs)
     assert (got.jaccard >= 0.4).all()
+
+
+def test_minhash_lsh_pairs_default_caps_survive_degenerate_corpus(spark):
+    """The DEFAULT minhash_lsh_pairs API must carry the skew caps: 200
+    identical repeated-token docs form one giant LSH bucket that the
+    default bucket cap drops instead of emitting ~20k pairs on one reducer
+    (round-2 shipped unsafe None defaults for catalog compatibility)."""
+    from gamechanger_data_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog by the river"),
+            (2, "the quick brown fox jumps over the lazy dog by the creek")]
+    rows += [(100 + i, "spam " * 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(df).toPandas()  # defaults: 512/64 caps ON
+    assert not any((got.id_a >= 100) & (got.id_b >= 100))

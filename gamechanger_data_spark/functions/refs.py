@@ -122,8 +122,183 @@ REF_PATTERNS: tuple[RefPattern, ...] = (
     # --- OMB / Coast Guard -------------------------------------------------
     RefPattern("OMBM", r"(?i)\bomb\s?m(?:emorandum)?\s?(M-[0-9]{2}-[0-9]{2})"),
     RefPattern("OMBC", r"(?i)\bomb\s?circular\s?(?:no\.?\s?)?(A-[0-9]{1,3})"),
-    RefPattern("COMDTINST", r"(?i)\bcomdtinst\s?(M?[0-9]{4,5}\.[0-9]{1,3}[A-Z]?)"),
+    # "CI" is the reference's key for Commandant Instructions; the optional
+    # M prefix is a deliberate superset (the reference's CI misses
+    # M-prefixed instruction-manual citations like COMDTINST M5215.6).
+    RefPattern("CI", r"(?i)\bcomdtinst\s?(M?[0-9]{3,6}(?:\.[0-9]{1,4}[A-Z]?)?)"),
     RefPattern("CIM", r"(?i)\bcim\s?([0-9]{4,5}\.[0-9]{1,3}[A-Z]?)"),
+    RefPattern("COMDTPUB",
+               r"(?i)\bcomdtpub\s([A-Z]?[0-9]{2,6}(?:\.[0-9]{1,3}[A-Z]?)?)"),
+    RefPattern("CGTO",
+               r"(?i)\bcgto\s((?:PG)?[- ]?(?:[0-9]{1,4}[A-Z]?-){1,3}[0-9]{0,4}[A-Z]?)"),
+    RefPattern("CGTTP",
+               r"(?i)\bcgttp\s?((?:[0-9]{1,2}-[0-9]{1,2}){1,3}(?:-[0-9]{1,2})?"
+               r"[A-Z]?(?:\.[0-9]{1,2}[A-Z]?)?)"),
+    RefPattern("DCMS",
+               r"(?i)\b(?:deputy\s?commandant\s?for\s?mission\s?support|dcms),?\s?"
+               r"(?:contingency\s?support\s?plan,?\s?)?([0-9]{2,6}-[0-9]{1,4})"),
+    RefPattern("PSCINST", r"(?i)\bpscinst\s?([A-Z]?[0-9]{2,6}(?:\.?[0-9]{1,3})?)"),
+    RefPattern("PSCNOTE", r"(?i)\bpscnote\s?([0-9]{1,6}(?:\.[0-9]{1,4})?)"),
+    # --- Air Force (long tail) ------------------------------------------
+    RefPattern("AF", r"(?i)\b(?:af|air\s?force)\s?(?:form\s?)?([0-9]{1,4}[A-Z]?)"),
+    RefPattern("AFJMAN",
+               r"(?i)\b(?:afjman|air\s?force\s?joint\s?manual)\s?"
+               r"([0-9]{2}\s?-\s?[0-9]{3})"),
+    RefPattern("AFJQS",
+               r"(?i)\b(?:afjqs|air\s?force\s?job\s?qualification\s?standard)\s?"
+               r"([0-9][0-9A-Z]{4}(?:\s?-\s?[0-9])?)"),
+    RefPattern("AFM", r"(?i)\b(?:afm|air\s?force\s?manual)\s?([0-9]{2}\s?-\s?[0-9]{2})"),
+    RefPattern("AFMD",
+               r"(?i)\b(?:afmd|air\s?force\s?mission\s?directive)\s?([0-9]{1,2})"),
+    RefPattern("AFPM",
+               r"(?i)\b(?:afpm|air\s?force\s?policy\s?memorandum)\s?"
+               r"([0-9]{4}\s?-\s?[0-9]{2}\s?-\s?[0-9]{2})"),
+    RefPattern("AFVA",
+               r"(?i)\b(?:afva|air\s?force\s?visual\s?aids?)\s?"
+               r"([0-9]{1,2}\s?-\s?[0-9]{1,4})"),
+    RefPattern("CFETP",
+               r"(?i)\b(?:cfetp|career\s?field\s?education\s?(?:and|&)\s?"
+               r"training\s?plan)\s?([A-Z0-9]*[0-9][A-Z0-9_-]+)"),
+    RefPattern("DAFPD",
+               r"(?i)\b(?:dafpd|department\s?of\s?the\s?air\s?force\s?policy\s?"
+               r"directive)\s?([0-9]{2}\s?-\s?[0-9]{1,2})"),
+    RefPattern("HAFMD",
+               r"(?i)\b(?:hafmd|headquarters\s?air\s?force\s?mission\s?directive)\s?"
+               r"([0-9]\s?-\s?[0-9]{1,2}(?:\s?addendum\s?[A-Z])?)"),
+    RefPattern("HOI",
+               r"(?i)\b(?:hoi|headquarters\s?operating\s?instruction)\s?"
+               r"([0-9]{2}\s?-\s?[0-9]{1,2})"),
+    RefPattern("QTP",
+               r"(?i)\b(?:qtp|qualification\s?training\s?package)\s?"
+               r"([0-9][0-9A-Z]{1,6}(?:\s?-\s?[0-9A-Z]{1,6}){0,2})"),
+    RefPattern("JTA",
+               r"(?i)\b(?:jta|joint\s?table\s?of\s?allowances?)\s?"
+               r"([0-9]{2}\s?-\s?[0-9]{1,3})"),
+    RefPattern("IRM",
+               r"(?i)\b(?:irm|information\s?resource\s?management)\s?"
+               r"((?:-\s?)?[0-9]{4}\s?-\s?[0-9]{2}[A-Z]?)"),
+    RefPattern("SF", r"(?i)\bsf\s?([0-9]{2,4}(?:\s?-\s?[0-9])?[A-Z]?)"),
+    # --- Army (long tail) -------------------------------------------------
+    RefPattern("ARMY",
+               r"(?i)\b(?:army\s?dir|army\s?directives?)\s?"
+               r"(20[0-9]{2}\s?-\s?[0-9]{2}(?:\s?-\s?[0-9]{1,2})?)"),
+    RefPattern("DA",
+               r"(?i)\bda\s?memo(?:randums?)?\s?"
+               r"([0-9]{1,3}\s?-\s?[0-9]{1,3}(?:\s?-\s?[0-9]{2})?)"),
+    RefPattern("TRADOC Regulations (TRs)",
+               r"(?i)\b(?:tr|tradoc\s?regulations?)\s?([0-9]{1,4}-[0-9]{1,4})\b"),
+    RefPattern("CNGBI",
+               r"(?i)\b(?:cngbi|chief\s?national\s?guard\s?bureau\s?instructions?)\s?"
+               r"([0-9]{3,5}\.[0-9]{1,5}[A-Z]?(?:,?\s?vol(?:ume|\.)?\s?[0-9]{1,4})?)"),
+    # --- Navy / Marine Corps (long tail) ---------------------------------
+    RefPattern("ALNAV", r"(?i)\balnav\s?([0-9]{2,4}/[0-9]{2,4})\b"),
+    RefPattern("BUMEDINST",
+               r"(?i)\bbumedinst\s?([0-9]{3,6}(?:\.[0-9]{1,4}[A-Z]?)?)"),
+    RefPattern("BUMEDNOTE",
+               r"(?i)\b(?:bumed|bureau\s?of\s?medicine\s?and\s?surgery)\s?"
+               r"not(?:e|ice)\s?([0-9]{2,6})"),
+    RefPattern("BUPERSINST",
+               r"(?i)\bbupersinst\s((?:bupersnote\s?)?[0-9]{1,6}"
+               r"(?:\.[0-9]{1,4}[A-BD-UW-Z]?)?(?:\s?(?:ch|vol)\s?[0-9]{1,3})?)"),
+    RefPattern("COMNAVRESFORCOMINST",
+               r"(?i)\bcomnavresforcominst\s?([0-9]{3,6}(?:\.[0-9]{1,3}[A-Z]?)?"
+               r"(?:\s?ch[ -]?[0-9]{1,2})?)\b"),
+    RefPattern("FMFM",
+               r"(?i)\b(?:fmfm|fleet\s?marine\s?force\s?manuals?)\s?"
+               r"([0-9]\s?-\s?[0-9]{1,2}(?:\s?-\s?[0-9])?)"),
+    RefPattern("FMFRP",
+               r"(?i)\b(?:fmfrp|fleet\s?marine\s?force\s?reference\s?publication)\s?"
+               r"([0-9]{1,2}\s?-\s?[0-9]{1,3}(?:\s?-\s?I+)?)"),
+    RefPattern("JAGINST",
+               r"(?i)\b(?:jaginst|jag\s?instruction)\s?"
+               r"([0-9]{4,5}(?:\.[0-9]{1,2}[A-Z]?)?)"),
+    RefPattern("MARADMIN", r"(?i)\bmaradmin\s([0-9]{1,4}[/-][0-9]{1,4})\b"),
+    RefPattern("MCIP",
+               r"(?i)\bmcip\s?([0-9]{1,2}\s?-\s?[0-9]{2}(?:[A-Z]{1,2})?"
+               r"(?:\.?[0-9]{1,2}[A-Z]?)?)"),
+    RefPattern("MCO P",
+               r"(?i)\bmco[\s-]p[\s-]?([0-9]{2,6}[A-Z]?\.[0-9]{1,3}[A-Z]?)\b"),
+    RefPattern("MILPERSMAN", r"(?i)\bmilpersman\s?([0-9]{2,5}-[0-9]{2,6})\b"),
+    RefPattern("NAVADMIN", r"(?i)\bnavadmin\s?([0-9]{2,7}(?:/[0-9]{2,7})?)\b"),
+    RefPattern("NAVAIR", r"(?i)\bnavair\s([0-9]{1,3}(?:-[0-9A-Z]{1,5}){0,4})"),
+    RefPattern("NAVEDTRA",
+               r"(?i)\bnavedtra\s([0-9][A-Z0-9]{0,6}(?:-[A-Z0-9]{1,6}){0,2})"),
+    RefPattern("NAVMED",
+               r"(?i)\b(?:navmed|navy\s?medicine)\s?"
+               r"((?:P-)?[0-9]{1,4}(?:[/-][0-9]{1,4}){0,3})"),
+    RefPattern("NAVSEA",
+               r"(?i)\bnavsea\s((?:[A-Z]{1,2}[ -]?)?[0-9]{1,4}"
+               r"(?:-[0-9A-Z]{1,6}){1,4}(?:\s?rev\s?[0-9]{1,2})?)"),
+    RefPattern("NEHC Technical Manual",
+               r"(?i)\b(?:nehc|navy\s?environmental\s?health\s?center)[ -]?"
+               r"(?:technical\s?manual|t[ .]?m\.?)\s?"
+               r"((?:[A-Z]{2}\s?)?[0-9]{2,5}(?:[.-][0-9A-Z]{1,5})*)"),
+    RefPattern("NTTP",
+               r"(?i)\bnttp\s?((?:[0-9]{1,2}-[0-9]{1,2}){1,3}(?:-[0-9]{1,2})?"
+               r"[A-Z]?(?:\.[0-9]{1,2}[A-Z]?)?)"),
+    RefPattern("OPNAVNOTE", r"(?i)\bopnav\s?note\s?([0-9]{3,6})\b"),
+    RefPattern("RESPERSMAN",
+               r"(?i)\b(?:respers|reserve\s?personnel)\s?m(?:an(?:ual)?)?[\s-]"
+               r"([0-9]{3,5}(?:[.-][0-9]{1,4})?)"),
+    RefPattern("SECNAV", r"(?i)\bsecnav\s?(M\s?-\s?[0-9]{4}\.[0-9]{1,2})"),
+    RefPattern("NAVMC DIR",
+               r"(?i)\b(?:navmc\s?dir|navmc\s?directive)\s?"
+               r"([0-9]{4}\.[0-9]{1,3}[A-Z]?)"),
+    # --- DHS / DHA ---------------------------------------------------------
+    RefPattern("DHS Directive",
+               r"(?i)\bdhs\s?directive(?:\s?no\.?)?\s?([0-9]{1,3}-[0-9]{1,3})"),
+    RefPattern("HSPD",
+               r"(?i)\b(?:hspd|homeland\s?security\s?presidential\s?directive)"
+               r"[ -]?([0-9]{1,3})"),
+    RefPattern("DHA Administrative Instructions",
+               r"(?i)\bdha\sadministrative\sinstructions?\s"
+               r"([0-9]{1,6}(?:\.[0-9]{1,4})?(?:,\schange\s[0-9]{1,3})?)"),
+    RefPattern("DHA Procedural Instructions",
+               r"(?i)\bdha\sprocedural\sinstructions?\s"
+               r"([0-9]{1,6}(?:\.[0-9]{1,4})?)"),
+    RefPattern("DHA Procedures Manuals",
+               r"(?i)\bdha\sprocedures?\smanuals?\s([0-9]{1,6}(?:\.[0-9]{1,4})?"
+               r"(?:,?\s?(?:vol|volumes?)[,.]?\s?[0-9]{1,3}(?:-[0-9]{1,3})?)?)"),
+    RefPattern("DHA Technical Manuals",
+               r"(?i)\bdha\stechnical\smanuals?\s([0-9]{1,6}(?:\.[0-9]{1,4})?"
+               r"(?:,?\s?(?:vol|volumes?)[,.]?\s?[0-9]{1,3}(?:-[0-9]{1,3})?)?)"),
+    # --- Acquisition regulations -------------------------------------------
+    RefPattern("DFARS",
+               r"(?i)\b(?:dfars|defense\sfederal\sacquisition\sregulation\s"
+               r"supplement)\s?((?:(?:sub)?part|clauses?)?\s?[0-9]{1,5}"
+               r"(?:[-.][0-9]{1,5}){0,3}|appendix\s?[A-Z])"),
+    RefPattern("FAR",
+               r"(?i)\b(?:far|federal\sacquisition\sregulation)\s?"
+               r"((?:(?:sub)?part|clauses?)?\s?[0-9]{1,5}"
+               r"(?:[-.][0-9]{1,5}){0,3}|appendix\s?[A-Z])"),
+    RefPattern("PGI",
+               r"(?i)\bpgi\s?(?:subpart\s?)?([0-9]{2,5}(?:[.-][0-9]{1,5}[A-Z]?\b)?)"),
+    RefPattern("DCMA Instruction",
+               r"(?i)\b(?:dcma|defense\scontract\smanagement\sagency)[\s-]?"
+               r"inst(?:ruction)?\s?([0-9]{3,5}(?:\.[0-9]{1,3}[A-Z]?)?)\b"),
+    RefPattern("DCMA Manual",
+               r"(?i)\bdcma[\s-]?man(?:ual)?[\s-]?([0-9]{2,6}(?:-[0-9]{2,6})?)"),
+    # --- Congressional measures ---------------------------------------------
+    RefPattern("H.R.", r"(?i)\bh\s?\.?\s?r\.?\s?([0-9]{1,6})\b"),
+    RefPattern("H.J.Res.",
+               r"(?i)\bh\s?[,.]?\s?j\s?[,.]?\s?res\.?\s?([0-9]{1,4})"),
+    RefPattern("S. Res.",
+               r"(?i)\bs\s?\.?\s?res\s?\.?\s?(?:no\.?\s?)?([0-9]{1,5})"),
+    RefPattern("S.Con.Res.", r"(?i)\bs\.?\s?con\.?\s?res\.?\s?([0-9]{1,3})"),
+    # --- NATO / standards / misc ---------------------------------------------
+    RefPattern("AMedP",
+               r"(?i)\b(?:amedp|allied\smedical\spublications?)\]?[-\s]?"
+               r"([0-9]{1,3}(?:\[[A-Z]\]|[A-Z])?(?:\.[0-9]{1,3}[A-Z]?)?"
+               r"(?:,?\s?edition\s?[A-Z]{1,2},?)?(?:\s?version\s?[0-9]{1,2})?)"),
+    RefPattern("STANAG", r"(?i)\bstanag\s?([0-9]{3,6})\b"),
+    RefPattern("NFPA",
+               r"(?i)\b(?:nfpa|national\s?fire\s?protection\s?association)\s?"
+               r"([0-9]{1,5})"),
+    RefPattern("MIL-STD",
+               r"(?i)mil(?:itary)?\s?-?\s?(?:standard|std)\s?-?([0-9]{1,5}[A-Z]?)"),
+    RefPattern("SFFAS",
+               r"(?i)\b(?:sffas|statement\sof\sfederal\sfinancial\saccounting\s"
+               r"standards?)\s?(?:no\.?\s?)?([0-9]{1,3})\b"),
 )
 
 

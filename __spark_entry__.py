@@ -35,6 +35,8 @@ _HEAD = [
     "ref_extract_dictionary", "sessionize_events", "sliding_window_rates",
     "value_percentiles", "asof_last_click_before_purchase",
     "chunk_documents", "cube_order_stats", "approx_distinct_users",
+    # new in round 3 (F17 full): never driver-checked
+    "paragraph_segment",
     # green in round 1 only, rotated out of round 2's window
     "alias_resolution", "ref_count_map", "turn_renumber",
     "tumbling_window_counts", "rollup_order_counts", "pivot_value_by_status",
@@ -59,10 +61,13 @@ _TAIL = [
 def _ordered_catalog():
     from gamechanger_data_spark.plans.catalog import CATALOG
 
-    head = [k for k in _HEAD if k in CATALOG]
-    tail = [k for k in _TAIL if k in CATALOG]
-    mid = [k for k in CATALOG if k not in set(head) | set(tail)]
-    return [(k, CATALOG[k]) for k in head + mid + tail]
+    # A typo'd/renamed entry here would silently demote a query out of the
+    # driver's first-50 correctness window — fail loudly instead.
+    unknown = [k for k in _HEAD + _TAIL if k not in CATALOG]
+    assert not unknown, f"ordering names not in CATALOG: {unknown}"
+    pinned = set(_HEAD) | set(_TAIL)
+    mid = [k for k in CATALOG if k not in pinned]
+    return [(k, CATALOG[k]) for k in _HEAD + mid + _TAIL]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -109,9 +109,17 @@ REF_PATTERNS: tuple[RefPattern, ...] = (
     RefPattern("AFGM", r"(?i)\bafgm\s?([0-9]{4}-[0-9]{2}-[0-9]{2})"),
     RefPattern("DAFI", r"(?i)\bdafi\s?" + _DASHNUM),
     # --- Navy / Marine Corps ---------------------------------------------
-    RefPattern("MCO", r"(?i)\bmco\s?(P?[0-9]{4,5}\.[0-9]{1,3}[A-Z]?)"),
+    # Digits-only after MCO (no P): P-prefixed orders are their own family
+    # ("MCO P", below) in the reference dictionary — allowing P here would
+    # double-count every MCO P citation under both families.
+    RefPattern("MCO",
+               r"(?i)\b(?:mco|marine\s?corps\s?orders?)\s?"
+               r"([0-9]{4,5}[A-Z]?\.[0-9]{1,3}[A-Z]?)"),
     RefPattern("MCBUL", r"(?i)\bmcbul\s?([0-9]{4,5})"),
-    RefPattern("NAVMC", r"(?i)\bnavmc\s?(?:dir(?:ective)?\s?)?([0-9]{4,5}(?:\.[0-9]{1,3}[A-Z]?)?)"),
+    # Digit must follow NAVMC: "NAVMC DIR ..." belongs solely to the
+    # "NAVMC DIR" family (below), mirroring the reference's split.
+    RefPattern("NAVMC",
+               r"(?i)\bnavmc\s?([0-9]{4}(?:\.[0-9]{1,3}[A-Z]?|\s?-\s?[A-Z])?)"),
     RefPattern("MCRP", r"(?i)\bmcrp\s?([0-9]{1,2}-[0-9]{1,3}[A-Z]?(?:\.[0-9]{1,3}[A-Z]?)?)"),
     RefPattern("MCTP", r"(?i)\bmctp\s?([0-9]{1,2}-[0-9]{2}[A-Z]?)"),
     RefPattern("MCWP", r"(?i)\bmcwp\s?([0-9]{1,2}-[0-9]{1,3}(?:\.[0-9]{1,3})?)"),

@@ -116,6 +116,11 @@ def publish_media_corpus(root: str, n: int = 200, seed: int = 42) -> str:
         os.rename(tmp_dir, root)
     except OSError:
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # Only a lost publish race is benign; anything else (EACCES,
+        # ENOSPC, root existing without the file) must surface, or every
+        # later read fails with a misleading missing-path error.
+        if not os.path.exists(out):
+            raise
     return out
 
 

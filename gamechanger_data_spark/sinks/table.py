@@ -254,6 +254,35 @@ class LakeTable:
             return [], seg_rel
         return tail, seg
 
+    @staticmethod
+    def _carry_batches(m: dict) -> tuple[list[str], str | None]:
+        """Carry the applied-batch set UNCHANGED across a maintenance
+        commit. Maintenance commits do NOT enter the applied-batch set:
+        they are not batch applications (naturally idempotent rewrites),
+        and registering their constant default ids both accreted
+        duplicates into segment files and silently swallowed any future
+        DATA merge that happened to reuse such an id as a "replay"."""
+        return m.get("applied_batches", []), m.get("batches_segment")
+
+    def _snap_bucket_files(self, snap_dir: str, buckets) -> dict[str, list[str]]:
+        """root-relative parquet paths per bucket under a freshly-written
+        snapshot dir, keyed by str(bucket); a bucket every row of which was
+        eliminated (no part dir written) maps to []."""
+        rel = os.path.relpath(snap_dir, self.root)
+        out: dict[str, list[str]] = {}
+        for b in buckets:
+            bdir = os.path.join(snap_dir, f"__bucket={b}")
+            out[str(b)] = (
+                [
+                    os.path.join(rel, f"__bucket={b}", fn)
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                ]
+                if os.path.isdir(bdir)
+                else []
+            )
+        return out
+
     def _count_rows(self, relpaths: list[str]) -> int:
         """Row count from parquet footers (no data scan). Driver-side
         O(#files-written-this-commit); the Iceberg analog keeps these in
@@ -799,19 +828,10 @@ class LakeTable:
         deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
         base_rows = dict(m.get("base_rows", {}))
         delta_rows = dict(m.get("delta_rows", {}))
-        rel = os.path.relpath(snap_dir, self.root)
+        written = self._snap_bucket_files(snap_dir, touched)
         for b in touched:
             bk = str(b)
-            bdir = os.path.join(snap_dir, f"__bucket={b}")
-            new_files = (
-                [
-                    os.path.join(rel, f"__bucket={b}", fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                ]
-                if os.path.isdir(bdir)
-                else []
-            )
+            new_files = written[bk]
             if write_mode == "cow":
                 files[bk] = new_files
                 base_rows[bk] = self._count_rows(new_files)
@@ -931,32 +951,17 @@ class LakeTable:
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
-        rel = os.path.relpath(snap_dir, self.root)
         files = dict(m["files"])
         deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
         base_rows = dict(m.get("base_rows", {}))
         delta_rows = dict(m.get("delta_rows", {}))
+        files.update(self._snap_bucket_files(snap_dir, dirty))
         for b in dirty:
             bk = str(b)
-            bdir = os.path.join(snap_dir, f"__bucket={b}")
-            files[bk] = (
-                [
-                    os.path.join(rel, f"__bucket={b}", fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                ]
-                if os.path.isdir(bdir)
-                else []
-            )
             base_rows[bk] = self._count_rows(files[bk])
             deltas[bk] = []
             delta_rows[bk] = 0
-        # maintenance commits do NOT enter the applied-batch set: they are
-        # not batch applications (naturally idempotent rewrites), and
-        # registering their constant default ids both accreted duplicates
-        # into segment files and silently swallowed any future DATA merge
-        # that happened to reuse such an id as a "replay"
-        tail, seg = m.get("applied_batches", []), m.get("batches_segment")
+        tail, seg = self._carry_batches(m)
         manifest = {
             "version": new_version,
             "schema": m["schema"],
@@ -1048,25 +1053,8 @@ class LakeTable:
                 .partitionBy("__bucket")
                 .parquet(snap_dir)
             )
-            rel = os.path.relpath(snap_dir, self.root)
-            files = {}
-            for b in range(self.n_buckets):
-                bdir = os.path.join(snap_dir, f"__bucket={b}")
-                files[str(b)] = (
-                    [
-                        os.path.join(rel, f"__bucket={b}", fn)
-                        for fn in os.listdir(bdir)
-                        if fn.endswith(".parquet")
-                    ]
-                    if os.path.isdir(bdir)
-                    else []
-                )
-            # maintenance commits do NOT enter the applied-batch set: they are
-            # not batch applications (naturally idempotent rewrites), and
-            # registering their constant default ids both accreted duplicates
-            # into segment files and silently swallowed any future DATA merge
-            # that happened to reuse such an id as a "replay"
-            tail, seg = m.get("applied_batches", []), m.get("batches_segment")
+            files = self._snap_bucket_files(snap_dir, range(self.n_buckets))
+            tail, seg = self._carry_batches(m)
             manifest = {
                 "version": new_version,
                 "schema": m["schema"],
@@ -1116,25 +1104,8 @@ class LakeTable:
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
-        rel = os.path.relpath(snap_dir, self.root)
-        files = {}
-        for b in range(self.n_buckets):
-            bdir = os.path.join(snap_dir, f"__bucket={b}")
-            files[str(b)] = (
-                [
-                    os.path.join(rel, f"__bucket={b}", fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                ]
-                if os.path.isdir(bdir)
-                else []
-            )
-        # maintenance commits do NOT enter the applied-batch set: they are
-        # not batch applications (naturally idempotent rewrites), and
-        # registering their constant default ids both accreted duplicates
-        # into segment files and silently swallowed any future DATA merge
-        # that happened to reuse such an id as a "replay"
-        tail, seg = m.get("applied_batches", []), m.get("batches_segment")
+        files = self._snap_bucket_files(snap_dir, range(self.n_buckets))
+        tail, seg = self._carry_batches(m)
         manifest = {
             "version": new_version,
             "schema": m["schema"],
@@ -1206,19 +1177,7 @@ class LakeTable:
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
-        rel = os.path.relpath(snap_dir, self.root)
-        files = {}
-        for b in range(self.n_buckets):
-            bdir = os.path.join(snap_dir, f"__bucket={b}")
-            files[str(b)] = (
-                [
-                    os.path.join(rel, f"__bucket={b}", fn)
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                ]
-                if os.path.isdir(bdir)
-                else []
-            )
+        files = self._snap_bucket_files(snap_dir, range(self.n_buckets))
         tail, seg = self._advance_batches(m, batch_id)
         stored_schema = T.StructType(
             [f for f in state_schema.fields if f.name != "__bucket"]

@@ -115,7 +115,13 @@ class _MarkerStreamReader:
         for batch_id, d in list_ready_batches(self.root, after=after or None):
             if upto is not None and batch_id > upto:
                 continue
-            rows.append((os.path.join(d, READY_MARKER), batch_id))
+            # Emit the marker file that actually admitted the batch — a
+            # legacy-only batch must not surface a ready.marker path that
+            # does not exist (consumers may stat/read the marker).
+            marker = os.path.join(d, READY_MARKER)
+            if not os.path.exists(marker):
+                marker = os.path.join(d, LEGACY_READY_MARKER)
+            rows.append((marker, batch_id))
         return rows
 
     def read(self, start: dict):

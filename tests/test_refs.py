@@ -138,6 +138,21 @@ def test_long_tail_families(spark):
         assert want in got, f"missing {want}"
 
 
+def test_one_family_per_citation(spark):
+    """A citation matches exactly ONE family, as in the reference dict:
+    MCO never swallows MCO P's P-prefix, NAVMC never swallows DIR
+    (ref_utils.py:320-352 keeps those grammars disjoint)."""
+    got = _refs(spark, "per MCO P1020.34G and NAVMC DIR 5100.8, "
+                       "see MCO 5215.1K and NAVMC 2915")
+    assert got.count("MCO P 1020.34G") == 1
+    assert got.count("NAVMC DIR 5100.8") == 1
+    assert got.count("MCO 5215.1K") == 1
+    assert got.count("NAVMC 2915") == 1
+    for spurious in ("MCO P1020.34G", "MCO 1020.34G",
+                     "NAVMC 5100.8", "NAVMC 5100"):
+        assert spurious not in got, f"double-matched: {spurious}"
+
+
 def test_full_family_coverage_vs_reference():
     """Every family key the reference's make_dict registers has a pattern
     here (ref_utils.py:31-1228; 125 unique keys)."""

@@ -135,3 +135,31 @@ def test_stream_sees_zero_byte_marker(spark, tmp_path):
     stream_feed(spark, feed, table, str(tmp_path / "ckpt")).awaitTermination(120)
     want = pandas_oracle(generate_batch(spec, 0), normalize=normalize_text_pandas)
     assert table.read().count() == len(want)
+
+
+def test_marker_stream_emits_existing_path_for_legacy_marker(tmp_path):
+    """A batch admitted via the legacy _READY marker must surface THAT
+    path as _source_file — not a ready.marker path that does not exist
+    (consumers are allowed to stat/read the emitted marker)."""
+    import os
+
+    from gamechanger_data_spark.datagen import LEGACY_READY_MARKER, READY_MARKER
+    from gamechanger_data_spark.sources.feed import _MarkerStreamReader
+
+    feed = str(tmp_path / "feed")
+    spec = FeedSpec(n_convs=10, max_turns=4, n_batches=2, events_per_batch=50,
+                    seed=7, evolve_batch=None)
+    write_feed(feed, spec)
+    dirs = sorted(x for x in os.listdir(feed) if x.startswith("batch="))
+    legacy_dir = os.path.join(feed, dirs[0])
+    os.rename(os.path.join(legacy_dir, READY_MARKER),
+              os.path.join(legacy_dir, LEGACY_READY_MARKER))
+
+    reader = _MarkerStreamReader(feed)
+    rows, _end = reader.read(reader.initialOffset())
+    paths = [p for p, _ in rows]
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.exists(p), f"emitted marker path missing: {p}"
+    assert paths[0].endswith(LEGACY_READY_MARKER)
+    assert paths[1].endswith(READY_MARKER)

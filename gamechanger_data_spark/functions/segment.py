@@ -1,0 +1,84 @@
+"""F17 — paragraph / sentence segmentation, Spark-first.
+
+Reference behavior reproduced (citations into /root/reference/):
+``syntok.segmenter.process(page_text)`` yields paragraphs (token groups);
+the reference re-joins each paragraph's tokens into one whitespace-
+normalized string, keeps a doc-global paragraph counter, and derives the
+paragraph id ``"<filename>_<count>"``
+(common/document_parser/lib/document/document.py:104-130 get_par_dicts,
+:149-166 tokens_to_str, make_paragraph_id).
+
+Re-expressed as ONE native projection — no Python in the hot path:
+
+  * paragraph boundaries are blank lines (syntok's paragraph rule);
+    ``split`` -> array ``filter`` (drops whitespace-only paragraphs BEFORE
+    the explode, so indices stay dense with no window/shuffle) ->
+    ``posexplode``;
+  * per-paragraph whitespace normalization (tokens_to_str's re-join)
+    and the ``<id>_<n>`` derivation ride the same select;
+  * sentence counting via a Java/RE2-portable regex in the same pass.
+
+At 100 TB the plan is a pure map — split/filter/explode never shuffle,
+and the explode multiplies rows AFTER the scan so column pruning still
+reaches parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Blank-line paragraph boundary (syntok's paragraph rule).
+PARA_SPLIT_RX = r"\n\s*\n"
+# One sentence: a run without terminators plus its terminator cluster
+# (or end-of-string for an unterminated trailing fragment). Portable
+# Java <-> RE2 subset: no lookaround, no backrefs.
+SENTENCE_RX = r"[^.!?]+(?:[.!?]+|$)"
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def paragraphs_expr(col: Column | str) -> Column:
+    """array<string> of non-empty paragraphs, split on blank lines,
+    order-preserving (filter runs on the array, keeping indices dense)."""
+    return F.filter(
+        F.split(_col(col), PARA_SPLIT_RX),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+
+
+def sentences_expr(col: Column | str) -> Column:
+    """array<string> of trimmed sentences of one paragraph/text."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(_col(col), F.lit(SENTENCE_RX), 0),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def segment_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(par_id, <id_col>, par_inc_count, par_text, n_sentences) — one row
+    per non-empty paragraph, the reference's par_dict contract:
+    ``par_id = f"{id}_{count}"``, ``par_inc_count`` dense per document,
+    ``par_text`` whitespace-normalized (document.py:112-126, 149-166)."""
+    out = df.select(
+        id_col, F.posexplode(paragraphs_expr(text_col)).alias("par_inc_count", "raw")
+    )
+    par = F.trim(F.regexp_replace(F.col("raw"), r"\s+", " "))
+    return out.select(
+        F.concat_ws(
+            "_", F.col(id_col), F.col("par_inc_count").cast("string")
+        ).alias("par_id"),
+        F.col(id_col),
+        F.col("par_inc_count").cast("int").alias("par_inc_count"),
+        par.alias("par_text"),
+        F.size(F.regexp_extract_all(par, F.lit(SENTENCE_RX), 0))
+        .cast("int")
+        .alias("n_sentences"),
+    )

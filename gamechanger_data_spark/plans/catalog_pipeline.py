@@ -849,6 +849,42 @@ def chunk_documents_q(spark, sf_dir):
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")
 
 
+@q("paragraph_segment", r"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){5})', '\1' || chr(10) || chr(10), 'g') AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '\n\s*\n'), x -> trim(x) <> '') AS ps
+  FROM src
+),
+ex AS (
+  SELECT doc_id, unnest(ps) AS raw, unnest(range(len(ps))) AS i FROM parts
+)
+SELECT doc_id || '_' || CAST(i AS VARCHAR) AS par_id, doc_id,
+       CAST(i AS INT) AS par_inc_count,
+       trim(regexp_replace(raw, '\s+', ' ', 'g')) AS par_text,
+       CAST(len(regexp_extract_all(trim(regexp_replace(raw, '\s+', ' ', 'g')),
+                                   '[^.!?]+(?:[.!?]+|$)')) AS INT) AS n_sentences
+FROM ex
+""", "F17 paragraph segmentation with the reference's par_dict contract "
+     "(document.py:104-130,149-166: blank-line paragraphs, dense doc-global "
+     "counter, '<id>_<n>' par id, whitespace-normalized text, sentence "
+     "count). The synthetic docs carry no newlines, so BOTH sides first "
+     "derive deterministic breaks every 5 words — the publisher pattern: "
+     "input prep is shared, the operator under test is the segmentation")
+def paragraph_segment_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.segment import segment_paragraphs
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){5})", "$1\n\n").alias("text"),
+    )
+    return segment_paragraphs(d, text_col="text", id_col="doc_id")
+
+
 @q("sliding_window_rates", """
 SELECT event_id, user_id, ts,
        CAST(count(*) OVER (

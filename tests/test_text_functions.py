@@ -133,3 +133,36 @@ def test_dict_hash_null_and_bool_parity(spark):
     assert got[0] == dict_hash_python(d_none)
     assert got[1] == dict_hash_python(d_false)
     assert got[0] is not None
+
+
+def test_segment_paragraphs_contract(spark):
+    """F17 par_dict contract (document.py:104-130,149-166): blank-line
+    paragraph boundaries, whitespace-only paragraphs dropped with DENSE
+    renumbering, tokens re-joined whitespace-normalized, par id
+    '<doc>_<count>'."""
+    from gamechanger_data_spark.functions.segment import segment_paragraphs
+
+    text = (
+        "First  para\nstill first.\n\n   \n\nSecond para! Two sentences here.\n\n"
+        "Third without terminator"
+    )
+    df = spark.createDataFrame([("d1", text), ("d2", "   ")], ["doc_id", "text"])
+    rows = segment_paragraphs(df).orderBy("doc_id", "par_inc_count").collect()
+    assert [(r.par_id, r.par_inc_count, r.par_text, r.n_sentences) for r in rows] == [
+        ("d1_0", 0, "First para still first.", 1),
+        ("d1_1", 1, "Second para! Two sentences here.", 2),
+        ("d1_2", 2, "Third without terminator", 1),
+    ]  # d2 (whitespace-only) emits nothing; the empty middle para is skipped
+
+
+def test_sentences_expr(spark):
+    from pyspark.sql import functions as F
+
+    from gamechanger_data_spark.functions.segment import sentences_expr
+
+    df = spark.createDataFrame(
+        [("One. Two!! Three? trailing fragment",), ("...",)], ["t"]
+    )
+    got = [r.s for r in df.select(sentences_expr("t").alias("s")).collect()]
+    assert got[0] == ["One.", "Two!!", "Three?", "trailing fragment"]
+    assert got[1] == []  # punctuation-only: no sentence content

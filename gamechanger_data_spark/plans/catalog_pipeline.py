@@ -149,7 +149,7 @@ _V_BAND_SELECTS = "\nUNION ALL\n".join(
     for b in range(_BANDS)
 )
 
-@q("dedup_minhash_verified", f"""
+_VERIFIED_PAIRS_SQL = f"""
 WITH sh_t AS (
   SELECT doc_id, {_CAPPED_SH_SQL} AS sh FROM documents
 ),
@@ -180,9 +180,13 @@ SELECT id_a, id_b, jaccard FROM (
   JOIN sh_t x ON c.id_a = x.doc_id
   JOIN sh_t y ON c.id_b = y.doc_id
 ) WHERE jaccard >= {_MH_THRESH}
-""", "MinHash LSH with the full pipeline: capped shingle sets, "
-     "bucket-size skew cap, exact-Jaccard candidate VERIFICATION — emits "
-     "confirmed near-dup pairs, not raw band collisions")
+"""
+
+
+@q("dedup_minhash_verified", _VERIFIED_PAIRS_SQL,
+   "MinHash LSH with the full pipeline: capped shingle sets, "
+   "bucket-size skew cap, exact-Jaccard candidate VERIFICATION — emits "
+   "confirmed near-dup pairs, not raw band collisions")
 def dedup_minhash_verified_q(spark, sf_dir):
     from gamechanger_data_spark.operators.dedup import minhash_lsh_verified
 
@@ -191,6 +195,42 @@ def dedup_minhash_verified_q(spark, sf_dir):
         n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESH,
         max_shingles=_MH_CAP, max_bucket=_MH_BUCKET_CAP,
     )
+
+
+@q("dedup_clusters", f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_VERIFIED_PAIRS_SQL})
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id,
+       coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""", "near-dup CLUSTERS from verified minhash pairs via connected "
+     "components (iterative min-label propagation + pointer jumping, "
+     "operators/graph.py) — every doc gets its component's min id as "
+     "cluster_id and `keep` marks the canonical representative; the "
+     "oracle recomputes components with a recursive transitive closure")
+def dedup_clusters_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.dedup import minhash_lsh_verified
+    from gamechanger_data_spark.operators.graph import dedup_cluster_assignments
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_verified(
+        docs, n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESH,
+        max_shingles=_MH_CAP, max_bucket=_MH_BUCKET_CAP,
+    )
+    return dedup_cluster_assignments(docs, pairs)
 
 
 @q("dedup_simhash", f"""

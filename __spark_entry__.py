@@ -35,8 +35,10 @@ _HEAD = [
     "ref_extract_dictionary", "sessionize_events", "sliding_window_rates",
     "value_percentiles", "asof_last_click_before_purchase",
     "chunk_documents", "cube_order_stats", "approx_distinct_users",
-    # new in round 3 (F17 full + cluster stage): never driver-checked
-    "paragraph_segment", "dedup_clusters",
+    # new in round 3 (F17 full + cluster/sampling/decontamination stages):
+    # never driver-checked
+    "paragraph_segment", "dedup_clusters", "deterministic_sample",
+    "train_val_test_split", "decontaminate_ngram",
     # green in round 1 only, rotated out of round 2's window
     "alias_resolution", "ref_count_map", "turn_renumber",
     "tumbling_window_counts", "rollup_order_counts", "pivot_value_by_status",

@@ -303,3 +303,40 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             .alias("simhash")
         )
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination screen: flag corpus docs sharing at least
+    ``min_hits`` distinct word k-gram shingles with ANY probe (eval-set)
+    document. Returns (id, n_hits, contaminated) for every corpus doc.
+
+    Scale shape: the probe side (eval benchmarks) is tiny next to the
+    corpus, so its distinct shingles are BROADCAST and the corpus-side
+    shingle explode inner-joins without shuffling the corpus; the hit
+    count is a map-side-combined distinct-agg per doc. Corpus cost is one
+    scan + explode — no all-pairs anything."""
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(text_col, k))).alias("sh"),
+    )
+    probe_sh = (
+        probes.select(F.explode(shingles_expr(text_col, k)).alias("sh")).distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(probe_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_hits"))
+    )
+    n = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        n.alias("n_hits"),
+        (n >= F.lit(min_hits)).alias("contaminated"),
+    )

@@ -1,0 +1,101 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A 100 TB corpus pipeline needs REPRODUCIBLE subsets: holdout splits that
+survive re-runs and cluster-size changes, sample rates that don't depend
+on partition layout (``df.sample`` is seed+partition dependent), and
+decontamination-style audits over the same frozen subsets. The standard
+trick is hash-threshold sampling: a row is in the sample iff
+``uniform_hash(key || salt) < rate``, so membership is a pure function of
+the key — stable across runs, engines, partitionings, and appends.
+
+The hash here is the repo's portable md5-60-bit integer (same
+construction the dedup/ANN oracles use): Spark
+``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+``('0x' || substr(md5(x),1,15))::UBIGINT``, so an external SQL engine
+reproduces every sample bit-exactly. Comparisons stay in the INTEGER
+domain (thresholds are ``floor(rate * 2^60)``) — no float rounding at
+the boundary.
+
+Everything is a native filter/CASE over one md5 per row: embarrassingly
+parallel, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 60  # 15 hex chars of md5
+
+
+def hash_bucket60(col: Column | str, salt: str = "") -> Column:
+    """Uniform 60-bit integer from md5(key || salt) — the portable hash
+    shared with the DuckDB oracles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash_bucket60_sql(expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket60`."""
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR) || '{salt}'), 1, 15))::UBIGINT"
+    )
+
+
+def threshold(rate: float) -> int:
+    """Integer threshold for a [0,1] rate in the 60-bit hash space."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * _HASH_SPACE)
+
+
+def sample_by_hash(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``rate`` sample keyed on ``key_col``: membership is a
+    pure function of the key, independent of partitioning, run, or engine
+    (unlike ``DataFrame.sample``). Change ``salt`` to draw an independent
+    sample."""
+    return df.filter(hash_bucket60(key_col, salt) < F.lit(threshold(rate)))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test ``split`` column from cumulative
+    hash thresholds. A key keeps its split forever (append-stable), and
+    disjointness/coverage are structural (CASE over one hash)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    h = hash_bucket60(key_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def split_assign_sql(
+    key_expr: str, weights: dict[str, float] | None = None, salt: str = ""
+) -> str:
+    """DuckDB CASE expression mirroring :func:`split_assign`."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = hash_bucket60_sql(key_expr, salt)
+    parts, acc = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        parts.append(f"WHEN {h} < {threshold(acc)} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

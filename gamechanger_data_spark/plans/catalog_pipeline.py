@@ -233,6 +233,66 @@ def dedup_clusters_q(spark, sf_dir):
     return dedup_cluster_assignments(docs, pairs)
 
 
+from gamechanger_data_spark.operators.sampling import (  # noqa: E402
+    hash_bucket60_sql as _hb_sql,
+    split_assign_sql as _split_sql,
+    threshold as _hash_threshold,
+)
+
+
+@q("deterministic_sample", f"""
+SELECT doc_id, text FROM documents
+WHERE {_hb_sql('doc_id')} < {_hash_threshold(0.2)}
+""", "deterministic hash-threshold sampling (operators/sampling.py): "
+     "membership is a pure function of the key — stable across runs, "
+     "engines, partitionings, and appends, unlike DataFrame.sample; "
+     "integer-domain threshold, portable md5-60bit hash")
+def deterministic_sample_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.sampling import sample_by_hash
+
+    return sample_by_hash(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), 0.2, "doc_id"
+    )
+
+
+@q("train_val_test_split", f"""
+SELECT doc_id, {_split_sql('doc_id')} AS split FROM documents
+""", "deterministic 80/10/10 train/val/test assignment from cumulative "
+     "hash thresholds — a key keeps its split forever (append-stable), "
+     "disjointness and coverage structural")
+def train_val_test_split_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.sampling import split_assign
+
+    return split_assign(
+        load(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+@q("decontaminate_ngram", f"""
+WITH probe AS (
+  SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS sh FROM documents WHERE doc_id < 5
+),
+doc_sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE3_SQL})) AS sh FROM documents
+),
+hits AS (
+  SELECT doc_id, CAST(count(DISTINCT d.sh) AS BIGINT) AS n_hits
+  FROM doc_sh d JOIN probe p ON d.sh = p.sh GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""", "benchmark decontamination: flag corpus docs sharing >=2 distinct "
+     "3-gram shingles with any probe (eval-set) doc — probe shingles "
+     "BROADCAST, corpus never shuffles (probe set here: doc_id < 5, a "
+     "deterministic stand-in for an external eval set)")
+def decontaminate_ngram_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.dedup import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(docs, docs.filter(F.col("doc_id") < 5))
+
+
 @q("dedup_simhash", f"""
 WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents

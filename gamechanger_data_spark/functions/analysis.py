@@ -11,7 +11,7 @@ portable SQL for oracle checking.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gamechanger_data_spark.operators.dedup import tokens_expr
@@ -81,3 +81,59 @@ def fingerprint_expr(text: Column | str, k: int = 5) -> Column:
     from gamechanger_data_spark.operators.dedup import shingles_expr
 
     return F.array_min(F.transform(shingles_expr(text, k), F.md5))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_token: float = 0.30,
+    flag_2gram: float = 0.20,
+    flag_3gram: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, §A1.1):
+    per-doc duplicated-token fraction and duplicated n-gram CHARACTER
+    fractions for n=2,3 — the filters web-scale corpora apply before
+    training. ``dup_<n>gram_frac`` = chars inside grams occurring >= 2x in
+    the doc / chars across all grams; ``flagged`` marks docs breaching any
+    threshold.
+
+    Scale shape: each metric is explode -> (id, gram) hash count (map-side
+    combined) -> per-doc agg; the three branches then join on the SAME
+    key (id) so AQE coalesces them into co-partitioned joins. No UDFs,
+    no window, nothing O(corpus) on the driver."""
+    from gamechanger_data_spark.operators.dedup import shingles_expr, tokens_expr
+
+    def dup_frac(grams: Column, name: str) -> DataFrame:
+        per = (
+            df.select(F.col(id_col), F.explode(grams).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+        )
+        chars = F.col("c") * F.length("g")
+        return per.groupBy(id_col).agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("c") >= 2, chars)) / F.sum(chars),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(name)
+        )
+
+    toks = dup_frac(tokens_expr(text_col), "dup_token_frac")
+    g2 = dup_frac(shingles_expr(text_col, 2), "dup_2gram_frac")
+    g3 = dup_frac(shingles_expr(text_col, 3), "dup_3gram_frac")
+    out = (
+        df.select(id_col)
+        .join(toks, id_col, "left")
+        .join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .fillna(0.0, ["dup_token_frac", "dup_2gram_frac", "dup_3gram_frac"])
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_token_frac") > flag_token)
+        | (F.col("dup_2gram_frac") > flag_2gram)
+        | (F.col("dup_3gram_frac") > flag_3gram),
+    )

@@ -293,6 +293,91 @@ def decontaminate_ngram_q(spark, sf_dir):
     return ngram_contamination(docs, docs.filter(F.col("doc_id") < 5))
 
 
+_SHINGLE2_SQL = f"""CASE WHEN len({_TOKS_SQL}) >= 2
+  THEN list_transform(range(len({_TOKS_SQL}) - 1),
+       i -> array_to_string(({_TOKS_SQL})[i+1:i+2], ' '))
+  ELSE [array_to_string({_TOKS_SQL}, ' ')] END"""
+
+_DUP_FRAC_SQL = (
+    "round(coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END)::DOUBLE"
+    " / sum(c * length(g))::DOUBLE, 0), 6)"
+)
+
+
+@q("repetition_quality", f"""
+WITH tc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS g FROM documents) GROUP BY 1, 2
+),
+tf AS (SELECT doc_id, {_DUP_FRAC_SQL} AS dup_token_frac FROM tc GROUP BY 1),
+c2 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_SHINGLE2_SQL}) AS g FROM documents) GROUP BY 1, 2
+),
+f2 AS (SELECT doc_id, {_DUP_FRAC_SQL} AS dup_2gram_frac FROM c2 GROUP BY 1),
+c3 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({_SHINGLE3_SQL}) AS g FROM documents) GROUP BY 1, 2
+),
+f3 AS (SELECT doc_id, {_DUP_FRAC_SQL} AS dup_3gram_frac FROM c3 GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(tf.dup_token_frac, 0) AS dup_token_frac,
+       coalesce(f2.dup_2gram_frac, 0) AS dup_2gram_frac,
+       coalesce(f3.dup_3gram_frac, 0) AS dup_3gram_frac,
+       coalesce(tf.dup_token_frac, 0) > 0.30
+         OR coalesce(f2.dup_2gram_frac, 0) > 0.20
+         OR coalesce(f3.dup_3gram_frac, 0) > 0.18 AS flagged
+FROM documents d
+LEFT JOIN tf ON d.doc_id = tf.doc_id
+LEFT JOIN f2 ON d.doc_id = f2.doc_id
+LEFT JOIN f3 ON d.doc_id = f3.doc_id
+""", "Gopher-style repetition filters (duplicated-token fraction + "
+     "duplicated 2/3-gram character fractions, Rae et al. 2021 A1.1): "
+     "three map-side-combined gram counts joined on the doc key, "
+     "flagged above the published-style thresholds")
+def repetition_quality_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.analysis import repetition_metrics
+
+    return repetition_metrics(load(spark, sf_dir, "documents"))
+
+
+from gamechanger_data_spark.functions.pii import pii_oracle_sql as _pii_sql  # noqa: E402
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' call (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@q("pii_scrub", f"""
+WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+{_pii_sql('injected', 'text')}
+""", "PII redaction pass (emails/SSNs/US phones -> placeholders, per-class "
+     "audit counts; portable regexes shared with the oracle verbatim). The "
+     "synthetic docs carry no PII, so BOTH sides first inject a "
+     "deterministic email+ssn+phone per doc — the publisher pattern: the "
+     "operator under test is the scrub")
+def pii_scrub_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.pii import scrub_pii
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" call ("),
+            (F.lit(200) + F.col("doc_id") % 700).cast("string"),
+            F.lit(") 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(d)
+
+
 @q("dedup_simhash", f"""
 WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents

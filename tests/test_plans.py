@@ -80,3 +80,33 @@ def test_lineage_pass_prunes_text_column(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
     assert "text" not in read_schema
     assert "op" in read_schema and "event_seq" in read_schema
+
+
+def test_decontaminate_probe_side_broadcasts(spark):
+    """The probe (eval-set) shingles must broadcast — the corpus side of
+    the decontamination join never shuffles."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["decontaminate_ngram"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deterministic_sample_is_scan_plus_filter(spark):
+    """Hash-threshold sampling is one scan + codegen filter: no exchange,
+    no UDF — the whole plan stays map-side."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["deterministic_sample"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_paragraph_segment_no_shuffle(spark):
+    """Segmentation is split/filter/posexplode — a pure map plan; the
+    dense counter must NOT come from a window (no exchange)."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["paragraph_segment"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Window" not in plan

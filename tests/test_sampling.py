@@ -76,3 +76,41 @@ def test_ngram_contamination_flags_and_counts(spark):
     assert got[1] == (3, True)
     assert got[2] == (0, False)
     assert got[3] == (1, False)  # one shared shingle is below min_hits=2
+
+
+def test_repetition_metrics_flags_repetitive_doc(spark):
+    from gamechanger_data_spark.functions.analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # everything duplicated
+            (2, "each word here appears exactly once only"),
+            (3, ""),  # empty doc: all fractions 0, not flagged
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert got[1].dup_token_frac == 1.0 and got[1].flagged
+    assert got[2].dup_token_frac == 0.0 and not got[2].flagged
+    assert got[2].dup_2gram_frac == 0.0 and got[2].dup_3gram_frac == 0.0
+    assert got[3].dup_token_frac == 0.0 and not got[3].flagged
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from gamechanger_data_spark.functions.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or (212) 555-0187, ssn 078-05-1120"),
+            (2, "call 1-212-555-0187 and +1 415 555 0000 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].clean_text == "mail <EMAIL> or <PHONE>, ssn <SSN>"
+    assert (got[1].n_email, got[1].n_ssn, got[1].n_phone) == (1, 1, 1)
+    assert got[2].clean_text == "call <PHONE> and <PHONE> today"
+    assert got[2].n_phone == 2
+    assert got[3].clean_text == "nothing sensitive here"
+    assert (got[3].n_email, got[3].n_ssn, got[3].n_phone) == (0, 0, 0)

@@ -379,3 +379,61 @@ def stream_feed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sync_changelog(
+    src: LakeTable, dst: LakeTable, stream_id: str = "sync"
+) -> list[dict]:
+    """Chain CDC-out into a downstream table: apply every source DATA
+    commit ``dst`` has not yet seen, in commit order, exactly-once.
+
+    This is the lake-to-lake leg of the binlog pattern — the reference
+    republishes table state to downstream stores wholesale (ES bulk
+    reindex, gc_ingest tools); here the downstream copy is maintained
+    INCREMENTALLY from :meth:`LakeTable.changelog`, which derives each
+    commit's changed rows from metadata + time travel (no write-path
+    cost on the source).
+
+    * Each source commit ``v`` becomes one idempotent merge with batch id
+      ``"{stream_id}-v{v:08d}"`` — a crash mid-sync resumes by skipping
+      already-applied versions via the sink's batch markers; replays are
+      no-ops.
+    * ``change_op`` maps onto merge ops (delete -> tombstone, revoke ->
+      revoke, upsert -> update), so deletes/revocations propagate.
+    * A data commit without offset lineage (``overwrite()``) has no
+      derivable changelog — it is applied as a full replace through
+      :meth:`LakeTable.overwrite` under the same batch id.
+    * Source snapshots must not be expired past dst's sync horizon
+      (``expire_snapshots`` keeps manifests, but changelog reads the
+      commit's data files) — run sync before aggressive data GC.
+
+    Returns one result dict per source data commit (applied or skipped).
+    """
+    results = []
+    applied = dst.applied_batches()
+    for v in src.snapshots():
+        m = src._load_manifest(v)
+        if m.get("kind") != "data" or m.get("parent") is None:
+            continue
+        batch_id = f"{stream_id}-v{v:08d}"
+        if batch_id in applied:
+            results.append(
+                {"skipped": True, "batch_id": batch_id, "src_version": v}
+            )
+            continue
+        try:
+            ev = src.changelog(v)
+        except ValueError:
+            # no offset lineage on this commit (overwrite): full replace
+            res = dst.overwrite(src.read(version=v), batch_id=batch_id)
+            results.append({**res, "src_version": v, "mode": "overwrite"})
+            continue
+        events = ev.withColumn(
+            "op",
+            F.when(F.col("change_op") == "delete", F.lit("delete"))
+            .when(F.col("change_op") == "revoke", F.lit("revoke"))
+            .otherwise(F.lit("update")),
+        ).drop("change_op")
+        res = dst.merge(events, batch_id)
+        results.append({**res, "src_version": v})
+    return results

@@ -47,6 +47,9 @@ _HEAD = [
     "tumbling_window_counts", "rollup_order_counts", "pivot_value_by_status",
     # upgraded rows-only -> hash-checked this round
     "multimodal_features", "multimodal_frame_sample",
+    # new in round 3: derived-table machinery (changelog sync + incremental
+    # materialized rollup) — never driver-checked
+    "replay_synced_copy", "incremental_conv_rollup",
     # flagship engine machinery — keep under driver check every round
     "transcript_replay", "replay_changelog", "replay_lineage_counts",
     "replay_time_travel", "cdc_apply_events",

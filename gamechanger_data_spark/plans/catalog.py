@@ -701,5 +701,119 @@ def replay_time_travel_q(spark, sf_dir):
         "conv_id", "turn_idx", "role", "text", "ts", "is_revoked"
     )
 
+
+# ---------------------------------------------------------------------
+# Derived-table machinery: lake-to-lake changelog sync (sync_changelog)
+# and incremental aggregate maintenance (sync_aggregate). Both run the
+# REAL engine over the cached replay table and are hash-compared against
+# SQL that recomputes the same final fact from the raw feed alone — the
+# incremental path must converge to what one-shot SQL computes.
+# ---------------------------------------------------------------------
+
+_SYNC_ROOT = "/tmp/gcspark_sync_tables_v1"
+
+
+def conv_rollup(state: DataFrame) -> DataFrame:
+    """Group-local per-conversation rollup (the delta-scoped recompute
+    contract of sync_aggregate): turn count, revoked-turn count, last
+    activity, total normalized characters. Reference analog: the crawler
+    status rollup views (gc_crawler_status_tracker.py:107-132), which the
+    reference recomputes wholesale per ingest."""
+    return state.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("is_revoked").cast("int")).cast("long").alias("n_revoked"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+def _ensure_sync_tables(spark):
+    """Build the two derived tables from the cached replay table once per
+    host (atomic publish, same pattern as _ensure_replay_table): a
+    changelog-synced full copy and an incrementally-maintained rollup —
+    each source commit applied as its own delta-scoped merge."""
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import (
+        sync_aggregate,
+        sync_changelog,
+    )
+
+    def _open(root):
+        return (
+            LakeTable(spark, os.path.join(root, "copy"), n_buckets=4),
+            LakeTable(
+                spark,
+                os.path.join(root, "rollup"),
+                key_cols=("conv_id",),
+                order_cols=("src_version",),
+                n_buckets=4,
+            ),
+        )
+
+    done = os.path.join(_SYNC_ROOT, "_READY_ALL")
+    if not os.path.exists(done):
+        import shutil
+        import uuid as _uuid
+
+        src = _ensure_replay_table(spark)
+        tmp = f"{_SYNC_ROOT}-build-{_uuid.uuid4().hex}"
+        copy, rollup = _open(tmp)
+        sync_changelog(src, copy)
+        sync_aggregate(src, rollup, conv_rollup)
+        with open(os.path.join(tmp, "_READY_ALL"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, _SYNC_ROOT)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return _open(_SYNC_ROOT)
+
+
+@q("replay_synced_copy", _TRANSCRIPT_REPLAY_SQL,
+   "lake-to-lake CDC: a downstream table maintained ONLY from "
+   "changelog() deltas (one exactly-once merge per source commit, "
+   "deletes/revokes propagated) must converge to the same final state "
+   "as the source — same oracle as transcript_replay")
+def replay_synced_copy_q(spark, sf_dir):
+    copy, _ = _ensure_sync_tables(spark)
+    return copy.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
+    )
+
+
+_ROLLUP_SQL = f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, text, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, {_NORM_CHAIN_SQL.format(col='text')} AS text, ts,
+         (op = 'revoke') AS is_revoked
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN is_revoked THEN 1 ELSE 0 END) AS BIGINT) AS n_revoked,
+       max(ts) AS last_ts,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM state GROUP BY conv_id
+"""
+
+
+@q("incremental_conv_rollup", _ROLLUP_SQL,
+   "incremental materialized view: per-conv rollup maintained by "
+   "delta-scoped recompute from each commit's changelog (cost ∝ changed "
+   "groups, LWW on src_version) must equal the one-shot aggregate over "
+   "final state")
+def incremental_conv_rollup_q(spark, sf_dir):
+    _, rollup = _ensure_sync_tables(spark)
+    return rollup.read().select(
+        "conv_id", "n_turns", "n_revoked", "last_ts", "n_chars"
+    )
+
+
 # Register part-2 entries (training-data-pipeline suite) into this CATALOG.
 from gamechanger_data_spark.plans import catalog_pipeline  # noqa: E402,F401

@@ -646,6 +646,55 @@ def stopword_ratio_q(spark, sf_dir):
     )
 
 
+_TERMS_SQL = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+@q("tfidf_topk_terms", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TERMS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+idf AS (
+  SELECT term,
+         ln((SELECT count(DISTINCT doc_id) + 1 FROM documents)::DOUBLE
+            / (count(*) + 1)) + 1.0 AS idf
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rnk
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
+FROM scored WHERE rnk <= 5
+""", "corpus TF-IDF keyword extraction, top-5 terms per doc (upgrades the "
+     "reference's frequency-only keywords, "
+     "common/document_parser/lib/keywords.py)")
+def tfidf_topk_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.analysis import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"), k=5)
+
+
+@q("unigram_surprise", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TERMS_SQL}) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS T, count(*)::DOUBLE AS V FROM counts),
+probs AS (SELECT term, -ln((c + 1.0) / (T + V)) AS nlp FROM counts, tot)
+SELECT doc_id, round(avg(nlp), 6) AS surprise
+FROM toks JOIN probs USING (term) GROUP BY doc_id
+""", "model-free perplexity proxy: mean negative log-prob under the "
+     "corpus's own add-one unigram LM (CCNet-style cheap quality screen)")
+def unigram_surprise_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.analysis import unigram_surprise
+
+    return unigram_surprise(load(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Multimodal plumbing — HASH-checked against DuckDB over a published
 # parquet copy of the synthetic corpus. The decode step is still stubbed

@@ -1,0 +1,60 @@
+"""Corpus-statistics operators (functions/analysis.py): TF-IDF top-k and
+add-one unigram surprise."""
+
+import math
+
+from gamechanger_data_spark.functions.analysis import tfidf_topk, unigram_surprise
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", "apple apple apple banana common common"),
+            ("d2", "banana cherry common common"),
+            ("d3", "common common common"),
+        ],
+        "doc_id string, text string",
+    )
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.score)
+        for r in tfidf_topk(_docs(spark), k=2).collect()
+    }
+    # d1: 'apple' (tf=3, df=1) must beat 'common' (tf=2, df=3)
+    assert out[("d1", 1)][0] == "apple"
+    idf = lambda df: math.log(4.0 / (df + 1)) + 1.0
+    assert abs(out[("d1", 1)][2] - round(3 * idf(1), 6)) < 1e-9
+    # d3 has one distinct term only -> single row, rank 1 = 'common'
+    assert out[("d3", 1)][0] == "common" and ("d3", 2) not in out
+
+
+def test_tfidf_tie_breaks_on_term_asc(spark):
+    docs = _docs(spark).union(
+        _docs(spark).sparkSession.createDataFrame(
+            [("d4", "zed axe")], "doc_id string, text string"
+        )
+    )
+    rows = {r.rank: r.term for r in tfidf_topk(docs, k=2).where("doc_id='d4'").collect()}
+    assert rows == {1: "axe", 2: "zed"}  # equal tf & df -> lexicographic
+
+
+def test_unigram_surprise_matches_hand_formula_and_ranks_rarity(spark):
+    got = {r.doc_id: r.surprise for r in unigram_surprise(_docs(spark)).collect()}
+    # corpus: apple×3 banana×2 cherry×1 common×7 -> T=13, V=4
+    nlp = lambda c: -math.log((c + 1.0) / 17.0)
+    want_d3 = round(nlp(7), 6)
+    assert abs(got["d3"] - want_d3) < 1e-6
+    want_d2 = round((nlp(2) + nlp(1) + 2 * nlp(7)) / 4.0, 6)
+    assert abs(got["d2"] - want_d2) < 1e-6
+    # rarity ranking: all-common d3 is least surprising
+    assert got["d3"] < got["d1"] < got["d2"]
+
+
+def test_no_term_docs_absent(spark):
+    docs = spark.createDataFrame(
+        [("d1", "hello world"), ("d2", "1234 !!!")], "doc_id string, text string"
+    )
+    assert unigram_surprise(docs).count() == 1
+    assert tfidf_topk(docs).where("doc_id='d2'").count() == 0

@@ -82,3 +82,62 @@ def segment_paragraphs(
         .cast("int")
         .alias("n_sentences"),
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-wide repeated-paragraph scrub — the Common-Crawl-pipeline
+    boilerplate stage (headers, footers, cookie banners, license blocks):
+    a paragraph whose whitespace-normalized text appears in ``min_docs``
+    or more DISTINCT documents is dropped from every document; survivors
+    are re-joined blank-line-separated in original order.
+
+    Returns (id_col, text, n_dropped); a document whose every paragraph
+    was boilerplate disappears from the output (nothing left to keep) —
+    the downstream min-length gate is the intended next stage.
+
+    Physical plan (100 TB shape): one paragraph explode; document
+    frequency is a two-level aggregate on (paragraph, doc) with map-side
+    partial combine — hot paragraphs (the boilerplate itself, by
+    definition the most-repeated strings in the corpus) collapse in the
+    partial stage, so the shuffle carries one row per distinct
+    (paragraph, doc), not per occurrence; the df join keys on paragraph
+    text; reassembly is one partial-combining collect_list per doc. No
+    UDF, no driver collect. (The reference has no corpus-level analog —
+    its parser is per-document; this is the scale stage above
+    document.py's per-doc paragraph loop.)
+    """
+    pars = df.select(
+        F.col(id_col), F.posexplode(paragraphs_expr(text_col)).alias("i", "raw")
+    ).select(
+        id_col,
+        "i",
+        F.trim(F.regexp_replace(F.col("raw"), r"\s+", " ")).alias("par"),
+    )
+    dfc = pars.groupBy("par").agg(F.count_distinct(id_col).alias("pdf"))
+    joined = pars.join(dfc, "par")
+    kept = joined.filter(F.col("pdf") < min_docs)
+    totals = pars.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "par"))),
+                    lambda x: x["par"],
+                ),
+                "\n\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            text_col,
+            (F.col("n_total") - F.col("n_kept")).cast("int").alias("n_dropped"),
+        )
+    )

@@ -1119,6 +1119,42 @@ def paragraph_segment_q(spark, sf_dir):
     return segment_paragraphs(d, text_col="text", id_col="doc_id")
 
 
+@q("boilerplate_scrub", r"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){5})', '\1' || chr(10) || chr(10), 'g') AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '\n\s*\n'), x -> trim(x) <> '') AS ps
+  FROM src
+),
+ex0 AS (SELECT doc_id, unnest(ps) AS raw, unnest(range(len(ps))) AS i FROM parts),
+ex AS (SELECT doc_id, i, trim(regexp_replace(raw, '\s+', ' ', 'g')) AS par FROM ex0),
+dfc AS (SELECT par, count(DISTINCT doc_id) AS pdf FROM ex GROUP BY par),
+kept AS (SELECT ex.doc_id, ex.i, ex.par FROM ex JOIN dfc USING (par) WHERE pdf < 3),
+tot AS (SELECT doc_id, count(*) AS n_total FROM ex GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.par, chr(10) || chr(10) ORDER BY k.i) AS text,
+       CAST(max(t.n_total) - count(*) AS INT) AS n_dropped
+FROM kept k JOIN tot t USING (doc_id)
+GROUP BY k.doc_id
+""", "corpus-wide boilerplate removal: paragraphs repeated across >= 3 "
+     "distinct docs (headers/footers/license blocks) are scrubbed from "
+     "every doc, survivors re-joined in order — the corpus-level stage "
+     "above the reference's per-doc paragraph loop (document.py:104-130); "
+     "same deterministic 5-word break prep as paragraph_segment")
+def boilerplate_scrub_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.segment import remove_boilerplate
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){5})", "$1\n\n").alias("text"),
+    )
+    return remove_boilerplate(d, min_docs=3)
+
+
 @q("sliding_window_rates", """
 SELECT event_id, user_id, ts,
        CAST(count(*) OVER (

@@ -58,3 +58,25 @@ def test_no_term_docs_absent(spark):
     )
     assert unigram_surprise(docs).count() == 1
     assert tfidf_topk(docs).where("doc_id='d2'").count() == 0
+
+
+def test_remove_boilerplate_scrubs_shared_paragraphs(spark):
+    from gamechanger_data_spark.functions.segment import remove_boilerplate
+
+    footer = "(c) 2026 Example Corp. All rights reserved."
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"unique one\n\n{footer}"),
+            ("d2", f"{footer}\n\nunique two\n\nunique three"),
+            ("d3", f"unique   four\n\n{footer}"),
+            ("d4", footer),  # nothing survives -> absent from output
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate(docs, min_docs=3).collect()}
+    assert set(out) == {"d1", "d2", "d3"}
+    assert out["d1"].text == "unique one" and out["d1"].n_dropped == 1
+    assert out["d2"].text == "unique two\n\nunique three"  # order preserved
+    assert out["d3"].text == "unique four"  # whitespace-normalized compare
+    # below the df threshold nothing is dropped
+    assert remove_boilerplate(docs, min_docs=5).count() == 4

@@ -1193,3 +1193,106 @@ def cube_order_stats_q(spark, sf_dir):
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+# =====================================================================
+# End-to-end training-corpus preparation — the pipeline stages composed
+# into ONE flagship dataflow, hash-checked as a whole: boilerplate scrub
+# -> normalize -> min-length gate -> language gate -> exact dedup ->
+# decontamination -> split assignment + token accounting. Each stage is
+# individually oracled elsewhere; this entry proves the COMPOSITION
+# (Catalyst keeps it one plan: the scrub/df aggregates, one dedup
+# window, the broadcast decontamination join, then pure projections).
+# =====================================================================
+
+_LANG_GATE_SQL = f"""(CASE WHEN len({_TOKS_SQL}) > 0
+  THEN len(list_filter({_TOKS_SQL},
+        t -> list_contains({_STOPS_SQL}, lower(t))))::DOUBLE
+       / len({_TOKS_SQL})::DOUBLE
+  ELSE 0.0 END) >= 0.08"""
+
+_CORPUS_PREPARE_SQL = f"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\\S+ ){{5}})', '\\1' || chr(10) || chr(10), 'g') AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '\n\\s*\n'), x -> trim(x) <> '') AS ps
+  FROM src
+),
+ex0 AS (SELECT doc_id, unnest(ps) AS raw, unnest(range(len(ps))) AS i FROM parts),
+ex AS (SELECT doc_id, i, trim(regexp_replace(raw, '\\s+', ' ', 'g')) AS par FROM ex0),
+dfc AS (SELECT par, count(DISTINCT doc_id) AS pdf FROM ex GROUP BY par),
+keptp AS (SELECT ex.doc_id, ex.i, ex.par FROM ex JOIN dfc USING (par) WHERE pdf < 3),
+tot AS (SELECT doc_id, count(*) AS n_total FROM ex GROUP BY doc_id),
+scrub0 AS (
+  SELECT k.doc_id, string_agg(k.par, chr(10) || chr(10) ORDER BY k.i) AS text,
+         CAST(max(t.n_total) - count(*) AS INT) AS n_dropped
+  FROM keptp k JOIN tot t USING (doc_id) GROUP BY k.doc_id
+),
+scrub AS (SELECT doc_id, {_NORM_SQL} AS text, n_dropped FROM scrub0),
+gated AS (SELECT * FROM scrub WHERE length(text) >= 120),
+en AS (SELECT * FROM gated WHERE {_LANG_GATE_SQL}),
+dd AS (
+  SELECT doc_id, text, n_dropped FROM en
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY sha256(text))
+),
+probe AS (SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS sh FROM documents WHERE doc_id < 5),
+dsh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE3_SQL})) AS sh FROM dd),
+hits AS (
+  SELECT doc_id, count(DISTINCT d.sh) AS n_hits
+  FROM dsh d JOIN probe p USING (sh) GROUP BY doc_id
+),
+clean AS (
+  SELECT d.doc_id, d.text, d.n_dropped
+  FROM dd d LEFT JOIN hits h USING (doc_id)
+  WHERE coalesce(h.n_hits, 0) < 2
+)
+SELECT doc_id, {_split_sql('doc_id')} AS split,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_tokens,
+       n_dropped
+FROM clean
+"""
+
+
+@q("corpus_prepare", _CORPUS_PREPARE_SQL,
+   "flagship training-corpus preparation: boilerplate scrub -> normalize "
+   "-> min-length gate -> language gate -> exact dedup (keep min id) -> "
+   "n-gram decontamination -> deterministic split + token counts, "
+   "hash-checked end to end as one composed plan")
+def corpus_prepare_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from gamechanger_data_spark.functions.segment import remove_boilerplate
+    from gamechanger_data_spark.functions.text import normalize_text_expr
+    from gamechanger_data_spark.operators.dedup import ngram_contamination
+    from gamechanger_data_spark.operators.sampling import split_assign
+
+    raw = load(spark, sf_dir, "documents")
+    prep = raw.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){5})", "$1\n\n").alias("text"),
+    )
+    scrub = remove_boilerplate(prep, min_docs=3).select(
+        "doc_id", normalize_text_expr("text").alias("text"), "n_dropped"
+    )
+    gated = scrub.filter(F.length("text") >= 120)
+    en = gated.filter(lang_id_expr("text") == F.lit("en"))
+    w = Window.partitionBy(F.sha2("text", 256))
+    dd = (
+        en.withColumn("__canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    dec = ngram_contamination(dd, raw.filter(F.col("doc_id") < 5))
+    clean = dd.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    return split_assign(clean, "doc_id").select(
+        "doc_id",
+        "split",
+        token_count_expr("text").alias("n_tokens"),
+        "n_dropped",
+    )

@@ -240,6 +240,25 @@ from gamechanger_data_spark.operators.sampling import (  # noqa: E402
 )
 
 
+@q("export_shard_checksums", f"""
+SELECT shard, CAST(count(*) AS BIGINT) AS rows,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM (
+  SELECT CAST({_hb_sql('doc_id')} % 16 AS INT) AS shard,
+         CAST({_hb_sql('doc_id')} AS BIGINT) AS h
+  FROM documents
+)
+GROUP BY shard
+""", "training-shard export audit: deterministic hash-mod shard "
+     "assignment + per-shard order-independent XOR checksum — the "
+     "manifest half of sinks/export.py export_shards, reproduced "
+     "bit-exactly by an external engine")
+def export_shard_checksums_q(spark, sf_dir):
+    from gamechanger_data_spark.sinks.export import shard_checksums
+
+    return shard_checksums(load(spark, sf_dir, "documents"), "doc_id", 16)
+
+
 @q("deterministic_sample", f"""
 SELECT doc_id, text FROM documents
 WHERE {_hb_sql('doc_id')} < {_hash_threshold(0.2)}

@@ -1,0 +1,142 @@
+"""Training-data shard export — the terminal sink of the corpus pipeline.
+
+A 100 TB training run consumes the corpus as FIXED, NUMBERED shards:
+data-loader workers each own shard ranges, resumption needs shard
+membership to be reproducible, and dataset audits need per-shard
+checksums. ``DataFrame.write`` alone gives none of that — output file
+count/boundaries depend on partitioning and AQE. Here shard membership
+is a pure function of the key (the repo's portable md5-60-bit hash, the
+same construction the DuckDB oracles reproduce bit-exactly), so a
+re-export of the same data — on any cluster size, any partition layout —
+produces byte-identical shard membership and matching manifest
+checksums.
+
+Reference analog: the bulk-index publisher walks the corpus and ships
+deterministic-id batches to ES (gc_elasticsearch_publisher.py:84-100);
+this is the same idempotent-publish discipline with files as the target.
+
+Scale shape: one hash projection + one repartition ON THE SHARD ID
+(each shard's rows hash to exactly one partition, so every shard is
+exactly one file), checksums ride the same job as a map-side-combined
+XOR aggregate — one pass over the data, no driver collect of row data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.operators.sampling import hash_bucket60
+
+SHARD_COL = "__shard"
+# underscore prefix: Spark file sources skip "_"/"." files, so the
+# manifest can live inside the shard dir without confusing readers.
+MANIFEST_NAME = "_manifest.json"
+
+
+def shard_expr(key_col: Column | str, n_shards: int, salt: str = "") -> Column:
+    """Deterministic shard id in [0, n_shards): portable-hash(key) mod n.
+    Stable across runs, engines, partitionings, and appends."""
+    return F.pmod(hash_bucket60(key_col, salt), F.lit(n_shards)).cast("int")
+
+
+def shard_checksums(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = ""
+) -> DataFrame:
+    """(shard, rows, checksum): per-shard row count and order-independent
+    content checksum (XOR of each key's 60-bit hash — commutative, so the
+    value is partitioning-independent). The audit half of the export; the
+    DuckDB oracle reproduces it bit-exactly."""
+    h = hash_bucket60(key_col, salt)
+    return (
+        df.select(shard_expr(key_col, n_shards, salt).alias("shard"), h.alias("h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> dict:
+    """Write ``df`` as ``n_shards`` hash-assigned parquet shards plus a
+    ``_manifest.json`` recording per-shard row counts and checksums.
+
+    Layout: ``path/__shard=<k>/part-*.parquet`` (exactly one data file
+    per non-empty shard — a shard's rows all hash-land in one partition)
+    and ``path/_manifest.json``. The manifest is written AFTER the data
+    (ready-marker discipline: readers treat its presence as commit).
+
+    Returns the manifest dict: ``{"n_shards": n, "total_rows": r,
+    "shards": {"<k>": {"rows": n_k, "checksum": c_k}}}``.
+    """
+    out = df.withColumn(SHARD_COL, shard_expr(key_col, n_shards, salt))
+    (
+        out.repartition(n_shards, SHARD_COL)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(path)
+    )
+    sums = shard_checksums(df, key_col, n_shards, salt).collect()
+    shards = {
+        str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
+        for r in sums
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "salt": salt,
+        "total_rows": sum(s["rows"] for s in shards.values()),
+        "shards": shards,
+    }
+    tmp = os.path.join(path, "._manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return manifest
+
+
+def verify_shards(spark, path: str, key_col: str | None = None) -> DataFrame:
+    """Audit an export: recompute per-shard rows/checksums from the files
+    on disk and join against the manifest. Returns one row per shard with
+    ``ok`` false where either number drifted (bit-rot, partial rewrite,
+    wrong engine re-export)."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    key_col = key_col or manifest["key_col"]
+    n = int(manifest["n_shards"])
+    got = shard_checksums(
+        spark.read.parquet(path), key_col, n, manifest.get("salt", "")
+    )
+    want = spark.createDataFrame(
+        [
+            (int(k), v["rows"], v["checksum"])
+            for k, v in manifest["shards"].items()
+        ],
+        "shard int, m_rows long, m_checksum long",
+    )
+    return (
+        got.join(want, "shard", "full_outer")
+        .select(
+            "shard",
+            "rows",
+            "checksum",
+            "m_rows",
+            "m_checksum",
+            (
+                F.col("rows").eqNullSafe(F.col("m_rows"))
+                & F.col("checksum").eqNullSafe(F.col("m_checksum"))
+            ).alias("ok"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""Training-shard export (sinks/export.py): deterministic assignment,
+one file per shard, manifest checksums, audit round-trip."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from gamechanger_data_spark.sinks.export import (
+    MANIFEST_NAME,
+    export_shards,
+    shard_expr,
+    verify_shards,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+
+
+def test_export_layout_manifest_and_determinism(spark, tmp_path):
+    df = _docs(spark)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = export_shards(df, p1, n_shards=8)
+    assert m1["total_rows"] == 200 and set(m1["shards"])
+    # exactly one data file per non-empty shard
+    for k in m1["shards"]:
+        files = glob.glob(os.path.join(p1, f"__shard={k}", "*.parquet"))
+        assert len(files) == 1, (k, files)
+    # manifest written last, underscore-prefixed (invisible to Spark scans)
+    assert os.path.exists(os.path.join(p1, MANIFEST_NAME))
+    # the manifest does not break Spark's directory scan
+    assert spark.read.parquet(p1).count() == 200
+    # re-export elsewhere: identical manifest (run/partitioning independent)
+    m2 = export_shards(df.repartition(13), p2, n_shards=8)
+    assert m1["shards"] == m2["shards"]
+
+
+def test_shard_membership_matches_assignment_expr(spark, tmp_path):
+    df = _docs(spark, 120)
+    p = str(tmp_path / "x")
+    export_shards(df, p, n_shards=4)
+    back = spark.read.parquet(p).withColumn(
+        "want", shard_expr("doc_id", 4)
+    )
+    assert back.filter(F.col("__shard") != F.col("want")).count() == 0
+    assert back.count() == 120
+
+
+def test_verify_shards_detects_loss(spark, tmp_path):
+    df = _docs(spark, 150)
+    p = str(tmp_path / "x")
+    m = export_shards(df, p, n_shards=4)
+    ok = verify_shards(spark, p).toPandas()
+    assert ok.ok.all() and len(ok) == len(m["shards"])
+    # lose one shard's file -> that shard flags, others stay ok
+    victim = sorted(m["shards"])[0]
+    for f in glob.glob(os.path.join(p, f"__shard={victim}", "*.parquet")):
+        os.remove(f)
+    after = verify_shards(spark, p).toPandas().set_index("shard")
+    assert not after.loc[int(victim)].ok
+    assert after.drop(index=int(victim)).ok.all()

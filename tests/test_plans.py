@@ -110,3 +110,15 @@ def test_paragraph_segment_no_shuffle(spark):
     plan = _plan(CATALOG["paragraph_segment"].fn(spark, SF))
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_lww_window_keeps_partial_group_limit(spark):
+    """The rn=1 window must carry Spark's partial WindowGroupLimit (each
+    map task pre-reduces to its local top-1 per key before the shuffle) —
+    the property that makes the default merge strategy hot-key-tolerant
+    (measured 3-5x in tools/bench_skew.py; BENCH/BASELINE.md)."""
+    from gamechanger_data_spark.operators.lww import lww_window
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(lww_window(ev, keys=("user_id",), order=("ts", "event_id")))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final

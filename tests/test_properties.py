@@ -121,3 +121,46 @@ def test_extreme_hot_key_skew_strategies_agree(spark, tmp_path):
     want = pandas_oracle(events, normalize=normalize_text_pandas)[PARITY]
     pd.testing.assert_frame_equal(states["window"], want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_sync_machinery_tracks_any_batching(spark, tmp_path, seed):
+    """Derived tables (changelog-synced copy + incremental rollup) converge
+    to the source state regardless of how events were grouped into commits,
+    with syncs interleaved at arbitrary points — the materialized-view
+    analog of the batching-invariance property above."""
+    from gamechanger_data_spark.plans.catalog import conv_rollup
+    from gamechanger_data_spark.streaming.driver import (
+        sync_aggregate,
+        sync_changelog,
+    )
+
+    events = all_events(SPEC)
+    rng = np.random.default_rng(seed)
+    n_batches = int(rng.integers(2, 5))
+    assign = rng.integers(0, n_batches, len(events))
+    src = LakeTable(spark, str(tmp_path / "src"), n_buckets=4)
+    copy = LakeTable(spark, str(tmp_path / "copy"), n_buckets=8)
+    roll = LakeTable(
+        spark, str(tmp_path / "roll"),
+        key_cols=("conv_id",), order_cols=("src_version",), n_buckets=4,
+    )
+    sync_results = []
+    for b in range(n_batches):
+        idx = rng.permutation(np.flatnonzero(assign == b))
+        if len(idx):
+            apply_batch(src, spark.createDataFrame(events.iloc[idx]), f"s{seed}-b{b}")
+        if rng.random() < 0.5 or b == n_batches - 1:
+            sync_results += sync_changelog(src, copy)
+            sync_results += sync_aggregate(src, roll, conv_rollup)
+    # every source commit carries offset lineage, so the DELTA path (not
+    # the overwrite fallback) is what must have run throughout
+    assert not any(r.get("mode") == "overwrite" for r in sync_results)
+
+    want = src.read().orderBy("conv_id", "turn_idx").toPandas()[PARITY].reset_index(drop=True)
+    got = copy.read().orderBy("conv_id", "turn_idx").toPandas()[PARITY].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    cols = ["conv_id", "n_turns", "n_revoked", "last_ts", "n_chars"]
+    wr = conv_rollup(src.read()).orderBy("conv_id").toPandas()[cols].reset_index(drop=True)
+    gr = roll.read().select(*cols).orderBy("conv_id").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(gr, wr, check_dtype=False)

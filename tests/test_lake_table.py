@@ -315,3 +315,38 @@ def test_lineage_excludes_abandoned_branch(spark, tmp_path):
     ids = {r["batch_id"] for r in table.lineage().select("batch_id").distinct().collect()}
     assert "b1" not in ids
     assert {"b0", "b1x"} <= ids
+
+
+def test_verify_detects_missing_and_short_files(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_spark.datagen import write_feed
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=20, max_turns=4, n_batches=2,
+                              events_per_batch=200, seed=3, evolve_batch=None))
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_feed(spark, feed, t)
+    assert t.verify()["ok"]
+    # historical snapshots verify independently
+    assert t.verify(version=t.snapshots()[0])["ok"]
+
+    # current-manifest files only (old-snapshot files are audited by
+    # verify(version=...), not the head audit)
+    data_files = sorted(
+        os.path.join(str(tmp_path / "t"), r.path)
+        for r in t.files().collect()
+    )
+    # truncate one file to a single row -> row-count mismatch
+    victim = data_files[0]
+    tbl = pq.read_table(victim)
+    pq.write_table(tbl.slice(0, 1), victim)
+    r = t.verify()
+    assert not r["ok"] and r["mismatched"] and not r["missing"]
+    # remove another file entirely -> missing
+    os.remove(data_files[-1])
+    r2 = t.verify()
+    assert not r2["ok"] and r2["missing"]

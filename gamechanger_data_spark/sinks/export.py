@@ -61,6 +61,17 @@ def shard_checksums(
     )
 
 
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Fsync'd atomic manifest publish, written AFTER the data files
+    (ready-marker discipline: readers treat its presence as commit)."""
+    tmp = os.path.join(path, "._manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+
+
 def export_shards(
     df: DataFrame,
     path: str,
@@ -98,12 +109,7 @@ def export_shards(
         "total_rows": sum(s["rows"] for s in shards.values()),
         "shards": shards,
     }
-    tmp = os.path.join(path, "._manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    _write_manifest(path, manifest)
     return manifest
 
 
@@ -140,3 +146,54 @@ def verify_shards(spark, path: str, key_col: str | None = None) -> DataFrame:
             ).alias("ok"),
         )
     )
+
+
+def publish_bulk_jsonl(
+    df: DataFrame,
+    path: str,
+    id_col: str = "es_id",
+    n_shards: int = 8,
+) -> dict:
+    """Bulk-index file sink: every row becomes an action line
+    ``{"index":{"_id":<id>}}`` followed by its source-document JSON line —
+    the newline-delimited ``_bulk`` wire format, written as files. This is
+    the file form of the reference's idempotent bulk indexer
+    (gc_elasticsearch_publisher.py:84-100): DETERMINISTIC ids mean a
+    re-publish upserts the same documents, so the sink stays idempotent
+    end-to-end no matter how often the corpus is re-exported.
+
+    Files are hash-sharded on the id (same portable hash as
+    ``export_shards`` — one file per non-empty shard, stable membership),
+    and a ``_manifest.json`` with per-shard doc counts + XOR checksums is
+    written last (ready-marker discipline). All JSON rendering happens
+    JVM-side (``to_json`` over structs) — no Python in the row path.
+    """
+    doc_cols = [c for c in df.columns if c != id_col]
+    action = F.to_json(
+        F.struct(F.struct(F.col(id_col).alias("_id")).alias("index"))
+    )
+    line = F.concat(action, F.lit("\n"), F.to_json(F.struct(*doc_cols)))
+    out = df.select(
+        line.alias("value"), shard_expr(id_col, n_shards).alias(SHARD_COL)
+    )
+    (
+        out.repartition(n_shards, SHARD_COL)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .text(path)
+    )
+    sums = shard_checksums(df, id_col, n_shards).collect()
+    shards = {
+        str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
+        for r in sums
+    }
+    manifest = {
+        "format": "bulk-jsonl",
+        "n_shards": n_shards,
+        "key_col": id_col,
+        "salt": "",
+        "total_rows": sum(s["rows"] for s in shards.values()),
+        "shards": shards,
+    }
+    _write_manifest(path, manifest)
+    return manifest

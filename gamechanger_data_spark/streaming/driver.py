@@ -294,6 +294,7 @@ def replay_feed(
     use_pandas_udf: bool = False,
     with_lineage: bool = True,
     compact_every: int | None = None,
+    after_batch=None,
 ) -> list[dict]:
     """Batch-mode replay of all ready, not-yet-applied batch directories in
     commit order (reference: checkpointed prefix consumption loop,
@@ -302,7 +303,15 @@ def replay_feed(
     ``compact_every=k``: fold outstanding merge-on-read deltas back into
     base files after every k applied batches — the maintenance cadence that
     bounds read-side resolution cost on a trickle feed (merge's own
-    mor_max_deltas cap is the hard backstop)."""
+    mor_max_deltas cap is the hard backstop).
+
+    ``after_batch(table, result)``: called after every NEWLY-applied batch
+    — the continuous-maintenance hook for derived tables (e.g. a closure
+    over :func:`sync_changelog` / :func:`sync_aggregate` keeps downstream
+    copies and rollups current per commit). Both sync functions are
+    exactly-once on their own batch markers, so a crash inside the hook
+    simply re-syncs on the next replay; hook failures propagate (the
+    source commit is already durable and will be skipped on rerun)."""
     results = []
     applied = table.applied_batches()
     applied_count = 0
@@ -319,6 +328,8 @@ def replay_feed(
         applied_count += 1
         if compact_every and applied_count % compact_every == 0:
             table.compact(batch_id=f"__compact__-{batch_id}")
+        if after_batch is not None:
+            after_batch(table, results[-1])
     return results
 
 

@@ -63,3 +63,41 @@ def test_verify_shards_detects_loss(spark, tmp_path):
     after = verify_shards(spark, p).toPandas().set_index("shard")
     assert not after.loc[int(victim)].ok
     assert after.drop(index=int(victim)).ok.all()
+
+
+def test_publish_bulk_jsonl_format_and_idempotence(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F2
+
+    from gamechanger_data_spark.functions.hashing import es_id_expr
+    from gamechanger_data_spark.sinks.export import publish_bulk_jsonl
+
+    docs = _docs(spark, 50).withColumn(
+        "es_id",
+        es_id_expr(F2.concat(F2.lit("doc_"), F2.col("doc_id"), F2.lit(".json"))),
+    )
+    p = str(tmp_path / "bulk")
+    m = publish_bulk_jsonl(docs, p, n_shards=4)
+    assert m["total_rows"] == 50 and m["format"] == "bulk-jsonl"
+
+    def read_lines(path):
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "__shard=*", "part-*"))):
+            with open(f) as fh:
+                out += [ln for ln in fh.read().splitlines() if ln]
+        return out
+
+    lines = read_lines(p)
+    assert len(lines) == 100  # action + doc per row
+    ids = set()
+    for i in range(0, len(lines), 2):
+        act, doc = json.loads(lines[i]), json.loads(lines[i + 1])
+        assert set(act) == {"index"} and len(act["index"]["_id"]) == 64
+        assert "es_id" not in doc and doc["text"].startswith("text-")
+        ids.add(act["index"]["_id"])
+    assert len(ids) == 50  # deterministic unique ids
+
+    # idempotent re-publish: identical content, identical manifest
+    m2 = publish_bulk_jsonl(docs, p, n_shards=4)
+    assert m2 == m and sorted(read_lines(p)) == sorted(lines)

@@ -59,3 +59,39 @@ def test_sync_overwrite_falls_back_to_full_replace(spark, tmp_path):
     assert res[-1].get("mode") == "overwrite" and not res[-1]["skipped"]
     pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
     assert all(x["skipped"] for x in sync_changelog(a, b))
+
+
+def test_after_batch_hook_keeps_derived_tables_current(spark, tmp_path):
+    """replay_feed(after_batch=...) is the continuous-maintenance mode:
+    every applied source commit immediately syncs the downstream copy and
+    the incremental rollup."""
+    from gamechanger_data_spark.plans.catalog import conv_rollup
+    from gamechanger_data_spark.streaming.driver import sync_aggregate
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=3,
+                              events_per_batch=400, seed=31))
+    src = LakeTable(spark, str(tmp_path / "src"), n_buckets=4)
+    copy = LakeTable(spark, str(tmp_path / "copy"), n_buckets=8)
+    roll = LakeTable(spark, str(tmp_path / "roll"), key_cols=("conv_id",),
+                     order_cols=("src_version",), n_buckets=4)
+    seen = []
+
+    def hook(table, result):
+        seen.append(result["batch_id"])
+        sync_changelog(table, copy)
+        sync_aggregate(table, roll, conv_rollup)
+        # the derived tables are current IMMEDIATELY after each commit
+        assert copy.read().count() == table.read().count()
+
+    replay_feed(spark, feed, src, after_batch=hook)
+    assert len(seen) == 3
+    pd.testing.assert_frame_equal(_state(src), _state(copy))
+    cols = ["conv_id", "n_turns", "n_revoked", "last_ts", "n_chars"]
+    want = conv_rollup(src.read()).orderBy("conv_id").toPandas()[cols].reset_index(drop=True)
+    got = roll.read().select(*cols).orderBy("conv_id").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # replay is a no-op end to end: nothing new applied, hook not called
+    seen.clear()
+    assert all(r["skipped"] for r in replay_feed(spark, feed, src, after_batch=hook))
+    assert seen == []

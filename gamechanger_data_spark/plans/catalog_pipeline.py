@@ -1058,6 +1058,22 @@ def asof_last_click_q(spark, sf_dir):
     )
 
 
+from gamechanger_data_spark.operators.sketch import (  # noqa: E402
+    kmv_distinct as _kmv,
+    kmv_distinct_sql as _kmv_sql,
+)
+
+
+@q("kmv_distinct_users", _kmv_sql("events", "user_id", k=64),
+   "PORTABLE approximate-distinct sketch (k-minimum-values over the "
+   "md5-60-bit hash): unlike HLL, the estimate is bit-reproducible by an "
+   "external engine, so the sketch itself is hash-CHECKED — "
+   "TakeOrderedAndProject keeps k minima per partition, never the "
+   "distinct set (Beyer et al., SIGMOD 2007)")
+def kmv_distinct_users_q(spark, sf_dir):
+    return _kmv(load(spark, sf_dir, "events"), "user_id", k=64)
+
+
 @q("approx_distinct_users", None,
    "approximate ops (HLL approx_count_distinct + approx_percentile) — "
    "rows-only: sketch values are engine-specific by nature; the exact "

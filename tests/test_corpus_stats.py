@@ -80,3 +80,22 @@ def test_remove_boilerplate_scrubs_shared_paragraphs(spark):
     assert out["d3"].text == "unique four"  # whitespace-normalized compare
     # below the df threshold nothing is dropped
     assert remove_boilerplate(docs, min_docs=5).count() == 4
+
+
+def test_kmv_estimate_accuracy_and_exact_smallcard(spark):
+    from pyspark.sql import functions as F2
+
+    from gamechanger_data_spark.operators.sketch import kmv_distinct
+
+    # 5000 rows over 1000 distinct keys, k=128 -> stderr ~ 1/sqrt(126) ≈ 9%
+    df = spark.range(5000).select(F2.pmod("id", F2.lit(1000)).alias("k"))
+    row = kmv_distinct(df, "k", k=128).collect()[0]
+    assert row.k_used == 128
+    assert abs(row.estimate - 1000) / 1000 < 0.3
+    # below-k cardinality: the sketch returns the EXACT count
+    small = spark.range(40).select(F2.col("id").alias("k"))
+    r2 = kmv_distinct(small, "k", k=128).collect()[0]
+    assert r2.k_used == 40 and r2.estimate == 40.0
+    # determinism: same input, any partitioning -> identical sketch
+    r3 = kmv_distinct(df.repartition(17), "k", k=128).collect()[0]
+    assert (r3.kth_hash, r3.estimate) == (row.kth_hash, row.estimate)

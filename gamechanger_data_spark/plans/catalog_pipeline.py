@@ -1062,6 +1062,19 @@ from gamechanger_data_spark.operators.sketch import (  # noqa: E402
     kmv_distinct as _kmv,
     kmv_distinct_sql as _kmv_sql,
 )
+from gamechanger_data_spark.operators.clustering import (  # noqa: E402
+    kmeans_assign as _kmeans,
+    kmeans_sql as _kmeans_sql,
+)
+
+
+@q("kmeans_embeddings", _kmeans_sql("embeddings", k=5, iters=3),
+   "distributed Lloyd's k-means over the embedding column (k=5, 3 rounds, "
+   "k-minimum-hash seeding, 6dp centroid rounding, ties to lower cluster) "
+   "— the data-curation clustering stage; corpus never collects, only the "
+   "k x dim centroid table passes the driver per round")
+def kmeans_embeddings_q(spark, sf_dir):
+    return _kmeans(load(spark, sf_dir, "embeddings"), k=5, iters=3)
 
 
 @q("kmv_distinct_users", _kmv_sql("events", "user_id", k=64),

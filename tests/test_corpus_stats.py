@@ -99,3 +99,28 @@ def test_kmv_estimate_accuracy_and_exact_smallcard(spark):
     # determinism: same input, any partitioning -> identical sketch
     r3 = kmv_distinct(df.repartition(17), "k", k=128).collect()[0]
     assert (r3.kth_hash, r3.estimate) == (row.kth_hash, row.estimate)
+
+
+def test_kmeans_separable_blobs_and_determinism(spark):
+    import numpy as np
+
+    from gamechanger_data_spark.operators.clustering import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    corners = np.eye(3) * 10.0
+    rows = [
+        (int(i), (corners[i % 3] + rng.normal(0, 0.1, 3)).tolist())
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=3, iters=4).toPandas()
+    assert len(out) == 90
+    # perfectly separable blobs -> cluster assignment == blob membership
+    blob = out.vec_id % 3
+    table = out.groupby([blob, "cluster"]).size().unstack(fill_value=0)
+    assert (table.gt(0).sum(axis=1) == 1).all()  # each blob in ONE cluster
+    assert table.to_numpy().max(axis=1).sum() == 90
+    # partitioning-independent
+    out2 = kmeans_assign(df.repartition(13), k=3, iters=4).toPandas()
+    assert out.sort_values("vec_id").cluster.tolist() == \
+        out2.sort_values("vec_id").cluster.tolist()

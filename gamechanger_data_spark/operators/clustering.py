@@ -36,24 +36,38 @@ def _sqdist(vec, cent):
     )
 
 
-def kmeans_assign(
+def _points(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _assign(pts: DataFrame, centroids: list) -> DataFrame:
+    """(pid, cl, v): nearest centroid per point, ties to the lower cluster
+    id — centroids broadcast as a literal table, argmin is one map-side-
+    combining min(struct) aggregate."""
+    cent = pts.sparkSession.createDataFrame(centroids, "cl int, c array<double>")
+    scored = pts.crossJoin(F.broadcast(cent)).select(
+        "pid", "v", "cl", _sqdist(F.col("v"), F.col("c")).alias("d")
+    )
+    return scored.groupBy("pid").agg(
+        F.min(F.struct("d", "cl")).getField("cl").alias("cl"),
+        F.first("v").alias("v"),
+    )
+
+
+def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
     iters: int = 3,
-) -> DataFrame:
-    """(id_col, cluster) after ``iters`` Lloyd rounds from deterministic
-    k-minimum-hash seeds. Each round: broadcast the centroid literals,
-    assign by squared L2 (argmin, ties to the lower cluster id), update
-    centroids as per-dimension means rounded to 6 dp. Centroid state is
-    k x dim floats on the driver — the corpus itself only ever streams
-    through one crossJoin + two aggregates per round."""
-    spark = df.sparkSession
-    pts = df.select(
-        F.col(id_col).alias("pid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+) -> list:
+    """Final ``[(cl, [dim floats]), ...]`` after ``iters`` Lloyd rounds
+    from deterministic k-minimum-hash seeds; centroid means rounded to
+    6 dp each round (the engine-reproducibility contract)."""
+    pts = _points(df, vec_col, id_col)
     seed = (
         pts.select("pid", "v", hash_bucket60("pid").alias("h"))
         .orderBy("h", "pid")
@@ -61,21 +75,10 @@ def kmeans_assign(
         .collect()
     )
     centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed)]
-
-    def assign(cent_rows):
-        cent = spark.createDataFrame(cent_rows, "cl int, c array<double>")
-        scored = pts.crossJoin(F.broadcast(cent)).select(
-            "pid", "v", "cl", _sqdist(F.col("v"), F.col("c")).alias("d")
-        )
-        return scored.groupBy("pid").agg(
-            F.min(F.struct("d", "cl")).getField("cl").alias("cl"),
-            F.first("v").alias("v"),
-        )
-
     for _ in range(iters):
-        a = assign(centroids)
         means = (
-            a.select("cl", F.posexplode("v").alias("pos", "x"))
+            _assign(pts, centroids)
+            .select("cl", F.posexplode("v").alias("pos", "x"))
             .groupBy("cl", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
         )
@@ -90,28 +93,52 @@ def kmeans_assign(
             .collect()
         )
         centroids = sorted((r["cl"], [float(x) for x in r["c"]]) for r in new)
+    return centroids
 
-    return assign(centroids).select(
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    iters: int = 3,
+) -> DataFrame:
+    """(id_col, cluster) after ``iters`` Lloyd rounds from deterministic
+    k-minimum-hash seeds. Each round: broadcast the centroid literals,
+    assign by squared L2 (argmin, ties to the lower cluster id), update
+    centroids as per-dimension means rounded to 6 dp. Centroid state is
+    k x dim floats on the driver — the corpus itself only ever streams
+    through one crossJoin + two aggregates per round."""
+    pts = _points(df, vec_col, id_col)
+    centroids = kmeans_centroids(df, vec_col, id_col, k, iters)
+    return _assign(pts, centroids).select(
         F.col("pid").alias(id_col), F.col("cl").alias("cluster")
     )
 
 
-def kmeans_sql(
+def sqdist_sql(pt_alias: str = "p", cent_alias: str = "c") -> str:
+    """DuckDB squared-L2 between ``<pt>.v`` and ``<cent>.c`` (sequential
+    list_sum matches the Spark fold order)."""
+    p, c = pt_alias, cent_alias
+    return (
+        f"list_sum(list_transform(range(len({p}.v)), "
+        f"i -> ({p}.v[i+1] - {c}.c[i+1]) * ({p}.v[i+1] - {c}.c[i+1])))"
+    )
+
+
+def kmeans_chain_sql(
     table: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
     iters: int = 3,
-) -> str:
-    """DuckDB twin of :func:`kmeans_assign` as one unrolled CTE chain —
-    same seeds, same tie rule, same 6 dp centroid rounding."""
+) -> tuple[str, str]:
+    """The shared CTE chain (pts + seeds + ``iters`` Lloyd rounds) and the
+    name of the final-centroid CTE — composed by both :func:`kmeans_sql`
+    and the IVF oracle. The fragment starts after ``WITH``."""
     h = hash_bucket60_sql("pid")  # pts renames id_col -> pid
-    sq = (
-        "list_sum(list_transform(range(len(p.v)), "
-        "i -> (p.v[i+1] - c.c[i+1]) * (p.v[i+1] - c.c[i+1])))"
-    )
-    sql = f"""
-WITH pts AS (
+    sq = sqdist_sql()
+    sql = f"""pts AS (
   SELECT {id_col} AS pid, list_transform({vec_col}, x -> x::DOUBLE) AS v
   FROM {table}
 ),
@@ -138,11 +165,25 @@ c{t} AS (
 ),
 """
         prev = f"c{t}"
-    sql += f"""fin AS (
+    return sql, prev
+
+
+def kmeans_sql(
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign` as one unrolled CTE chain —
+    same seeds, same tie rule, same 6 dp centroid rounding."""
+    chain, final = kmeans_chain_sql(table, vec_col, id_col, k, iters)
+    sq = sqdist_sql()
+    return f"""
+WITH {chain}fin AS (
   SELECT p.pid, c.cl,
          row_number() OVER (PARTITION BY p.pid ORDER BY {sq}, c.cl) AS rn
-  FROM pts p CROSS JOIN {prev} c
+  FROM pts p CROSS JOIN {final} c
 )
 SELECT pid AS {id_col}, CAST(cl AS INT) AS cluster FROM fin WHERE rn = 1
 """
-    return sql

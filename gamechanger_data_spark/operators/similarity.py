@@ -281,3 +281,71 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    train_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the learned-partition counterpart of the
+    sign-plane LSH variants. A coarse k-means quantizer (deterministic
+    k-minimum-hash seeding, operators/clustering.py) splits the corpus
+    into ``n_cells`` Voronoi cells; each query probes only its ``n_probe``
+    nearest cells and scores exact cosine inside them.
+
+    Scale shape: cell assignment is one broadcast crossJoin + min(struct)
+    over the corpus (cells = a materializable column — at 10^10 vectors
+    you'd persist it alongside the table, the FAISS IVF file layout);
+    scoring cost per query = the probed cells' population (~n_probe/
+    n_cells of the corpus), never N. Against quasi-random sandbox vectors
+    IVF prunes without the recall cliff sign-LSH hits (data-adapted cells
+    vs data-oblivious planes); tests/test_ann_recall.py pins both.
+    """
+    from gamechanger_data_spark.operators.clustering import (
+        _assign,
+        _points,
+        _sqdist,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(vectors, vec_col, id_col, k=n_cells,
+                             iters=train_iters)
+    cells = _assign(_points(vectors, vec_col, id_col), cents).select(
+        F.col("pid").alias(id_col), "cl"
+    )
+    corpus = vectors.select(id_col, vec_col).join(cells, id_col)
+
+    cent = vectors.sparkSession.createDataFrame(cents, "cl int, c array<double>")
+    qpts = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    wq = Window.partitionBy(q_id_col).orderBy("d", "cl")
+    probes = (
+        qpts.crossJoin(F.broadcast(cent))
+        .select(q_id_col, q_vec_col, "cl",
+                _sqdist(F.col("qv"), F.col("c")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(q_id_col, q_vec_col, "cl")
+    )
+    scored = corpus.join(F.broadcast(probes), "cl").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, F.round("cos", 6).alias("cos_sim"), "rank")
+    )

@@ -555,6 +555,72 @@ def ann_lsh_multiprobe_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+from gamechanger_data_spark.operators.clustering import (  # noqa: E402
+    kmeans_chain_sql as _kmeans_chain,
+    sqdist_sql as _sqdist_sql,
+)
+
+_IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 8, 3, 2
+_IVF_CHAIN, _IVF_FINAL = _kmeans_chain("embeddings", k=_IVF_CELLS,
+                                       iters=_IVF_ITERS)
+
+_ANN_IVF_SQL = f"""
+WITH {_IVF_CHAIN}cells AS (
+  SELECT pid, cl FROM (
+    SELECT p.pid, c.cl,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY {_sqdist_sql()}, c.cl) AS rn
+    FROM pts p CROSS JOIN {_IVF_FINAL} c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT q_id, q_vec, cl FROM (
+    SELECT q.q_id, q.q_vec, c.cl,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_sqdist_sql('q', 'c')}, c.cl) AS rn
+    FROM qp q CROSS JOIN {_IVF_FINAL} c
+  ) WHERE rn <= {_IVF_PROBE}
+),
+ivf_scored AS (
+  SELECT pr.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], pr.q_vec::DOUBLE[]) AS cos
+  FROM cells s
+  JOIN embeddings e ON s.pid = e.vec_id
+  JOIN probes pr ON s.cl = pr.cl
+),
+ivf_ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM ivf_scored
+)
+SELECT q_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ivf_ranked WHERE rank <= 10
+"""
+
+
+@q("ann_ivf_topk", _ANN_IVF_SQL,
+   "IVF ANN: coarse k-means quantizer (8 cells, deterministic seeding) "
+   "partitions the corpus; each query probes its 3 nearest cells and "
+   "scores exact cosine inside them — the learned-partition scale path "
+   "next to the sign-plane LSH variants (FAISS IVF layout)")
+def ann_ivf_topk_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.similarity import ann_ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann_ivf_topk(emb, queries, k=10, n_cells=_IVF_CELLS,
+                       n_probe=_IVF_PROBE, train_iters=_IVF_ITERS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _ND_MASKS = _probe_masks(4, 1)  # [0, 1, 2, 4, 8]
 _ND_PROBES_SQL = "[" + ", ".join(f"xor(bucket, {m})" for m in _ND_MASKS) + "]"
 

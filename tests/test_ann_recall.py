@@ -115,3 +115,43 @@ def test_blocked_neardup_pairs_match_exact_above_threshold(spark, emb):
     assert b <= e  # no false pairs
     if e:
         assert len(b) / len(e) >= 0.8, (len(b), len(e))
+
+
+def test_ivf_recall_beats_sign_lsh_on_quasi_random(spark, emb):
+    """IVF (data-adapted Voronoi cells) on the quasi-random corpus: with
+    3 of 8 cells probed (~3/8 of the corpus scored) recall@10 must beat
+    the measured sign-LSH floor (~0.42-0.46) decisively — the regime
+    argument for offering a learned partition next to the planes."""
+    from gamechanger_data_spark.operators.similarity import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = _truth(brute_force_topk(emb, queries, k=10).toPandas())
+    got = ann_ivf_topk(
+        emb, queries, k=10, n_cells=8, n_probe=3, train_iters=2
+    ).toPandas()
+    r = _recall(truth, got)
+    assert r >= 0.6, r
+
+
+def test_ivf_neardup_recall(spark, emb):
+    """Planted near-dups land in the SAME cell as their source almost
+    surely (cos ~0.99 >> cell diameter) -> IVF recall ~1 on that regime."""
+    import numpy as np
+
+    from gamechanger_data_spark.operators.similarity import ann_ivf_topk
+
+    pdf = emb.filter(F.col("vec_id") < 20).toPandas()
+    rng = np.random.default_rng(11)
+    qrows = []
+    for r in pdf.itertuples():
+        v = np.array(r.embedding, dtype=np.float64)
+        p = v + 0.02 * np.linalg.norm(v) * rng.standard_normal(len(v)) / np.sqrt(len(v))
+        qrows.append((int(r.vec_id), [float(x) for x in p]))
+    queries = spark.createDataFrame(qrows, "q_id long, q_vec array<double>")
+    got = ann_ivf_topk(emb, queries, k=1, n_cells=8, n_probe=2,
+                       train_iters=2).toPandas()
+    planted = (got[got["rank"] == 1].set_index("q_id").vec_id)
+    hit = sum(planted.get(q, -1) == q for q, _ in qrows) / len(qrows)
+    assert hit >= 0.9, hit

@@ -95,3 +95,20 @@ def test_after_batch_hook_keeps_derived_tables_current(spark, tmp_path):
     seen.clear()
     assert all(r["skipped"] for r in replay_feed(spark, feed, src, after_batch=hook))
     assert seen == []
+
+
+def test_sync_across_mor_and_compaction(spark, tmp_path):
+    """Maintenance commits (compact) interleave with data commits: sync
+    must skip them, and changelog diffs against a maintenance parent must
+    still yield exactly the data commit's rows."""
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=30, max_turns=6, n_batches=3,
+                              events_per_batch=300, seed=13))
+    src = LakeTable(spark, str(tmp_path / "src"), n_buckets=4,
+                    merge_mode="mor")
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+    replay_feed(spark, feed, src, compact_every=1)  # data,compact,data,...
+    r = sync_changelog(src, b)
+    assert len(r) == 3 and not any(x["skipped"] for x in r)
+    pd.testing.assert_frame_equal(_state(src), _state(b), check_dtype=False)
+    assert all(x["skipped"] for x in sync_changelog(src, b))

@@ -237,7 +237,11 @@ def main() -> None:
     )
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # Auto-generated report goes to its own file: BENCH/BASELINE.md is the
+    # CURATED evidence doc (contention log, decomposition, skew + corpus
+    # sections) and a raw re-run must never clobber it — fold numbers in
+    # by hand after judging the sample against the contention probes.
+    with open("BENCH/scaling_last_run.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — CDC replay scaling evidence
 
 Per BASELINE.json the two-cluster-size criterion (N vs 4N executors,
@@ -342,7 +346,7 @@ lineage. Events counted from committed lineage rows (rows_in), not the
 generator. On a real cluster the same entry points run unchanged under
 `spark-submit --py-files`.
 """)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    print("wrote BENCH/scaling_last_run.md", file=sys.stderr)
 
 
 if __name__ == "__main__":

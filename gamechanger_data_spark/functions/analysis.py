@@ -162,21 +162,26 @@ def tfidf_topk(
 
     Physical plan (100 TB shape): one explode -> (doc, term) count with
     map-side partial combine; df(t) is a second partial-combining count
-    over the FIRST aggregate's output (no re-scan of text); the idf join
-    keys on term (vocabulary rows, orders of magnitude smaller than the
-    corpus); top-k per doc is a window with a partial WindowGroupLimit
-    pre-rank. No UDF, no driver collect.
-    Ties break on term asc for determinism.
+    over the FIRST aggregate's output (no re-scan of text); N rides as a
+    broadcast 1-row aggregate folded into the same plan (no eager
+    driver-side count job); the idf join keys on term (vocabulary rows,
+    orders of magnitude smaller than the corpus); top-k per doc is a
+    window with a partial WindowGroupLimit pre-rank. No UDF, no driver
+    collect. Ties break on term asc for determinism.
     """
-    n_docs = docs.select(id_col).distinct().count()
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("N")
+    )
     pairs = (
         docs.select(F.col(id_col), F.explode(terms_expr(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_counts.withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    idf = df_counts.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        (F.log((F.col("N") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias("idf"),
     )
     scored = pairs.join(idf, "term").withColumn(
         "score", F.col("tf") * F.col("idf")

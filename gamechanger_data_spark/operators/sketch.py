@@ -10,10 +10,15 @@ md5-60-bit hash, the whole estimate — k rows kept, kth hash, final
 number — is bit-reproducible in DuckDB (Beyer et al., "On Synopses for
 Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007).
 
-Scale shape: ``distinct -> orderBy(h) -> limit(k)`` compiles to
-TakeOrderedAndProject — every partition keeps only its local k minima
-and the driver merges k-sized heaps; the sketch side never materializes
-the distinct set. Standard error ~ 1/sqrt(k-2).
+Scale shape (honest): ``distinct -> orderBy(h) -> limit(k)`` compiles to
+partial-hash-aggregate (map-side duplicate collapse) -> exchange of the
+per-partition-distinct hashes -> TakeOrderedAndProject. Duplicates never
+shuffle, but the distinct hash set itself does — KMV here is the
+AUDITABLE sketch (external engines reproduce it bit-exactly), not the
+cheapest one; at extreme cardinality where shuffling the distinct set is
+the bottleneck, ``approx_count_distinct`` (HLL) is the right tool and
+this is its cross-engine cross-check on samples. Standard error
+~ 1/sqrt(k-2).
 """
 
 from __future__ import annotations

@@ -529,25 +529,38 @@ _NORM_CHAIN_SQL = """trim(regexp_replace(
   '\\s+', ' ', 'g'))"""
 
 
-def _ensure_replay_feed() -> str:
-    """Publish the seeded replay feed once (atomic dir rename; concurrent
-    builders race benignly — first publish wins, content is identical)."""
-    if os.path.exists(os.path.join(_REPLAY_ROOT, "_READY_ALL")):
-        return _REPLAY_FEED
+def _publish_once(root: str, build) -> None:
+    """Build-once-per-host atomic publish shared by every cached engine
+    artifact (replay feed/table, sync tables): ``build(tmp)`` creates the
+    content under a uuid tmp dir, the ``_READY_ALL`` marker is written
+    LAST inside it, and one os.rename installs the whole tree. Concurrent
+    builders race benignly — content is deterministic, the first rename
+    wins, losers discard their tmp dir (the OSError branch)."""
+    if os.path.exists(os.path.join(root, "_READY_ALL")):
+        return
     import shutil
     import uuid as _uuid
 
-    from gamechanger_data_spark.datagen import FeedSpec, write_feed
-
-    tmp = f"{_REPLAY_ROOT}-build-{_uuid.uuid4().hex}"
-    write_feed(os.path.join(tmp, "feed"), FeedSpec(
-        n_convs=60, n_batches=3, events_per_batch=500, seed=42))
+    tmp = f"{root}-build-{_uuid.uuid4().hex}"
+    build(tmp)
     with open(os.path.join(tmp, "_READY_ALL"), "w") as f:
         f.write("ok\n")
     try:
-        os.rename(tmp, _REPLAY_ROOT)
+        os.rename(tmp, root)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ensure_replay_feed() -> str:
+    """Publish the seeded replay feed once per host."""
+
+    def build(tmp):
+        from gamechanger_data_spark.datagen import FeedSpec, write_feed
+
+        write_feed(os.path.join(tmp, "feed"), FeedSpec(
+            n_convs=60, n_batches=3, events_per_batch=500, seed=42))
+
+    _publish_once(_REPLAY_ROOT, build)
     return _REPLAY_FEED
 
 
@@ -612,21 +625,12 @@ def _ensure_replay_table(spark):
     from gamechanger_data_spark.sinks.table import LakeTable
     from gamechanger_data_spark.streaming.driver import replay_feed
 
-    done = os.path.join(_REPLAY_TABLE_ROOT, "_READY_ALL")
-    if not os.path.exists(done):
-        import shutil
-        import uuid as _uuid
-
+    def build(tmp):
         feed = _ensure_replay_feed()
-        tmp = f"{_REPLAY_TABLE_ROOT}-build-{_uuid.uuid4().hex}"
         t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
         replay_feed(spark, feed, t)
-        with open(os.path.join(tmp, "_READY_ALL"), "w") as f:
-            f.write("ok\n")
-        try:
-            os.rename(tmp, _REPLAY_TABLE_ROOT)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    _publish_once(_REPLAY_TABLE_ROOT, build)
     return LakeTable(spark, os.path.join(_REPLAY_TABLE_ROOT, "table"), n_buckets=8)
 
 
@@ -750,22 +754,13 @@ def _ensure_sync_tables(spark):
             ),
         )
 
-    done = os.path.join(_SYNC_ROOT, "_READY_ALL")
-    if not os.path.exists(done):
-        import shutil
-        import uuid as _uuid
-
+    def build(tmp):
         src = _ensure_replay_table(spark)
-        tmp = f"{_SYNC_ROOT}-build-{_uuid.uuid4().hex}"
         copy, rollup = _open(tmp)
         sync_changelog(src, copy)
         sync_aggregate(src, rollup, conv_rollup)
-        with open(os.path.join(tmp, "_READY_ALL"), "w") as f:
-            f.write("ok\n")
-        try:
-            os.rename(tmp, _SYNC_ROOT)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    _publish_once(_SYNC_ROOT, build)
     return _open(_SYNC_ROOT)
 
 

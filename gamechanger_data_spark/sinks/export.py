@@ -17,8 +17,11 @@ this is the same idempotent-publish discipline with files as the target.
 
 Scale shape: one hash projection + one repartition ON THE SHARD ID
 (each shard's rows hash to exactly one partition, so every shard is
-exactly one file), checksums ride the same job as a map-side-combined
-XOR aggregate — one pass over the data, no driver collect of row data.
+exactly one file) writes the data; the manifest checksums then come from
+a column-pruned audit read of the WRITTEN files (map-side-combined XOR
+aggregate over the key column only) — so the manifest always describes
+what is on disk, even for non-deterministic or since-changed inputs.
+The driver only ever sees the n_shards-row checksum table.
 """
 
 from __future__ import annotations
@@ -97,7 +100,13 @@ def export_shards(
         .partitionBy(SHARD_COL)
         .parquet(path)
     )
-    sums = shard_checksums(df, key_col, n_shards, salt).collect()
+    # Checksums come from the files ACTUALLY WRITTEN (column-pruned key
+    # read), not from re-running df's plan — a non-deterministic or
+    # since-changed source would otherwise produce a manifest describing
+    # data that is not on disk, and verify_shards would flag a fresh
+    # export.
+    written = df.sparkSession.read.parquet(path)
+    sums = shard_checksums(written, key_col, n_shards, salt).collect()
     shards = {
         str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
         for r in sums
@@ -182,7 +191,15 @@ def publish_bulk_jsonl(
         .partitionBy(SHARD_COL)
         .text(path)
     )
-    sums = shard_checksums(df, id_col, n_shards).collect()
+    # Audit what landed on disk: re-read the written action lines and
+    # recompute the id checksums from them (same rationale as
+    # export_shards — the manifest must describe the files, not the plan).
+    actions = (
+        df.sparkSession.read.text(path)
+        .select(F.get_json_object("value", "$.index._id").alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+    )
+    sums = shard_checksums(actions, id_col, n_shards).collect()
     shards = {
         str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
         for r in sums

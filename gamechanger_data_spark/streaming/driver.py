@@ -423,14 +423,19 @@ def sync_changelog(
     results = []
     applied = dst.applied_batches()
     for v in src.snapshots():
-        m = src._load_manifest(v)
-        if m.get("kind") != "data" or m.get("parent") is None:
-            continue
+        # applied check FIRST: the batch id is a pure function of v, so an
+        # already-synced commit costs no manifest read — keeps the
+        # after_batch continuous-maintenance mode O(new commits) per call
+        # instead of O(history) (only unapplied data commits and
+        # never-applied maintenance commits pay the JSON load)
         batch_id = f"{stream_id}-v{v:08d}"
         if batch_id in applied:
             results.append(
                 {"skipped": True, "batch_id": batch_id, "src_version": v}
             )
+            continue
+        m = src._load_manifest(v)
+        if m.get("kind") != "data" or m.get("parent") is None:
             continue
         try:
             ev = src.changelog(v)
@@ -494,14 +499,16 @@ def sync_aggregate(
     results = []
     applied = dst.applied_batches()
     for v in src.snapshots():
-        m = src._load_manifest(v)
-        if m.get("kind") != "data" or m.get("parent") is None:
-            continue
+        # applied check first — no manifest read for already-synced
+        # commits (see sync_changelog)
         batch_id = f"{stream_id}-v{v:08d}"
         if batch_id in applied:
             results.append(
                 {"skipped": True, "batch_id": batch_id, "src_version": v}
             )
+            continue
+        m = src._load_manifest(v)
+        if m.get("kind") != "data" or m.get("parent") is None:
             continue
         keys = list(dst.key_cols)
         try:

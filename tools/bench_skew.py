@@ -20,12 +20,13 @@ What it demonstrates (recorded in BENCH/BASELINE.md):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gamechanger_data_spark.operators.lww import lww_max_by, lww_salted, lww_window
 from gamechanger_data_spark.session import get_spark

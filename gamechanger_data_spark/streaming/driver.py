@@ -340,6 +340,7 @@ def stream_feed(
     checkpoint_dir: str,
     schema=None,  # kept for API compat; batch dirs carry their own schema
     use_pandas_udf: bool = False,
+    after_batch=None,
 ):
     """Structured Streaming variant: READY-MARKER stream -> foreachBatch.
 
@@ -373,8 +374,14 @@ def stream_feed(
             local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
             d = os.path.dirname(local)
             batch_id = os.path.basename(d)[len(BATCH_PREFIX):]
-            apply_batch(table, read_batch(spark, d), batch_id,
-                        use_pandas_udf=use_pandas_udf, batch_dir=d)
+            res = apply_batch(table, read_batch(spark, d), batch_id,
+                              use_pandas_udf=use_pandas_udf, batch_dir=d)
+            # same continuous-maintenance hook replay_feed offers: derived
+            # tables stay current per applied commit, and the syncs' own
+            # batch markers make a crash inside the hook re-sync safely on
+            # the next epoch/run
+            if after_batch is not None:
+                after_batch(table, res)
 
     # Python data sources don't implement Trigger.AvailableNow's
     # admission control, so Spark logs a fall-back to single-batch

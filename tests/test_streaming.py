@@ -163,3 +163,29 @@ def test_marker_stream_emits_existing_path_for_legacy_marker(tmp_path):
         assert os.path.exists(p), f"emitted marker path missing: {p}"
     assert paths[0].endswith(LEGACY_READY_MARKER)
     assert paths[1].endswith(READY_MARKER)
+
+
+def test_batch_to_stream_handoff_exactly_once(spark, tmp_path):
+    """Cross-MODE exactly-once: batches applied by batch-mode replay are
+    skipped by a later stream_feed over the same feed (shared batch-id
+    markers — no per-mode identity), and the stream's after_batch hook
+    fires only for the genuinely new commit."""
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=30, max_turns=5, n_batches=3,
+                              events_per_batch=300, seed=17))
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_feed(spark, feed, table, limit=2)          # batch mode first
+    v_after_batchmode = table.current_version()
+    seen = []
+    q = stream_feed(spark, feed, table, str(tmp_path / "ck"),
+                    after_batch=lambda t, r: seen.append(r))
+    q.awaitTermination(120)
+    # stream applied ONLY batch 3: exactly one non-skipped hook call
+    assert [r["batch_id"] for r in seen if not r.get("skipped")] != []
+    applied = [r for r in seen if not r.get("skipped")]
+    assert len(applied) == 1
+    assert table.current_version() == v_after_batchmode + 1
+    # replaying in batch mode afterwards is a full no-op
+    assert all(r["skipped"] for r in replay_feed(spark, feed, table))

@@ -53,7 +53,7 @@ _HEAD = [
     # new in round 3: corpus statistics — never driver-checked
     "tfidf_topk_terms", "unigram_surprise", "boilerplate_scrub",
     "corpus_prepare", "export_shard_checksums", "kmv_distinct_users",
-    "kmeans_embeddings", "ann_ivf_topk",
+    "kmeans_embeddings", "ann_ivf_topk", "stratified_mixture_sample",
     # flagship engine machinery — keep under driver check every round
     "transcript_replay", "replay_changelog", "replay_lineage_counts",
     "replay_time_travel", "cdc_apply_events",

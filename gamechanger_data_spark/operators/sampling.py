@@ -99,3 +99,52 @@ def split_assign_sql(
         acc += weights[name]
         parts.append(f"WHEN {h} < {threshold(acc)} THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling — the mixture-balancing primitive
+    (down-weight an over-represented source/cluster/language to target
+    proportions while keeping membership a pure function of the key).
+
+    Each group gets its own integer threshold; a key's hash is computed
+    ONCE, so the whole filter is a single codegen CASE over one md5 —
+    zero shuffle, partition/run/append-stable, and raising a group's rate
+    later only ADDS rows (the kept set is monotone in the rate: the same
+    property that makes single-rate hash sampling resumable). Groups
+    absent from ``rates`` fall back to ``default_rate`` (0.0 = drop)."""
+    h = hash_bucket60(key_col, salt)
+    expr = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, F.lit(threshold(r))) if expr is None else expr.when(
+            cond, F.lit(threshold(r))
+        )
+    thresh = (
+        F.lit(threshold(default_rate))
+        if expr is None
+        else expr.otherwise(F.lit(threshold(default_rate)))
+    )
+    return df.filter(h < thresh)
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    group_expr: str,
+    key_expr: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample_by_hash`."""
+    h = hash_bucket60_sql(key_expr, salt)
+    cases = " ".join(
+        f"WHEN {group_expr} = '{g}' THEN {threshold(r)}"
+        for g, r in sorted(rates.items())
+    )
+    return f"{h} < (CASE {cases} ELSE {threshold(default_rate)} END)"

@@ -274,6 +274,30 @@ def deterministic_sample_q(spark, sf_dir):
     )
 
 
+from gamechanger_data_spark.operators.sampling import (  # noqa: E402
+    stratified_sample_sql as _strat_sql,
+)
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+
+
+@q("stratified_mixture_sample", f"""
+SELECT doc_id, source FROM documents
+WHERE {_strat_sql(_MIX_RATES, 'source', 'doc_id', default_rate=0.25)}
+""", "mixture balancing: per-group deterministic hash sampling (keep all "
+     "of src0, half of src1, 10% of src2, 25% elsewhere) — one codegen "
+     "CASE over one md5, zero shuffle, membership monotone in the rate")
+def stratified_mixture_sample_q(spark, sf_dir):
+    from gamechanger_data_spark.operators.sampling import (
+        stratified_sample_by_hash,
+    )
+
+    return stratified_sample_by_hash(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        _MIX_RATES, "source", "doc_id", default_rate=0.25,
+    )
+
+
 @q("train_val_test_split", f"""
 SELECT doc_id, {_split_sql('doc_id')} AS split FROM documents
 """, "deterministic 80/10/10 train/val/test assignment from cumulative "

@@ -114,3 +114,35 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[2].n_phone == 2
     assert got[3].clean_text == "nothing sensitive here"
     assert (got[3].n_email, got[3].n_ssn, got[3].n_phone) == (0, 0, 0)
+
+
+def test_stratified_sample_rates_and_monotonicity(spark):
+    from pyspark.sql import functions as F2
+
+    from gamechanger_data_spark.operators.sampling import (
+        stratified_sample_by_hash,
+    )
+
+    df = spark.range(8000).select(
+        F2.col("id").alias("k"),
+        F2.concat(F2.lit("g"), F2.pmod("id", F2.lit(4)).cast("string")).alias("g"),
+    )
+    rates = {"g0": 1.0, "g1": 0.5, "g2": 0.05}
+    got = (
+        stratified_sample_by_hash(df, rates, "g", "k", default_rate=0.0)
+        .groupBy("g").count().toPandas().set_index("g")["count"]
+    )
+    assert got.get("g0") == 2000            # rate 1.0 keeps everything
+    assert abs(got.get("g1") - 1000) < 150  # ~0.5 of 2000
+    assert abs(got.get("g2") - 100) < 50    # ~0.05 of 2000
+    assert "g3" not in got                  # default_rate 0 drops the rest
+    # monotone in the rate: raising g2's rate only ADDS keys
+    low = set(r.k for r in stratified_sample_by_hash(
+        df, rates, "g", "k").filter("g = 'g2'").collect())
+    high = set(r.k for r in stratified_sample_by_hash(
+        df, {**rates, "g2": 0.2}, "g", "k").filter("g = 'g2'").collect())
+    assert low <= high and len(high) > len(low)
+    # partitioning-independent membership
+    again = set(r.k for r in stratified_sample_by_hash(
+        df.repartition(13), rates, "g", "k").filter("g = 'g2'").collect())
+    assert again == low

@@ -28,6 +28,10 @@ QUERIES = [
     "dedup_minhash_verified",
     "corpus_prepare",
     "export_shard_checksums",
+    "kmeans_embeddings",
+    "ann_ivf_topk",
+    "kmv_distinct_users",
+    "stratified_mixture_sample",
 ]
 
 

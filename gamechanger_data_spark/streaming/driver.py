@@ -457,9 +457,50 @@ def sync_changelog(
             .when(F.col("change_op") == "revoke", F.lit("revoke"))
             .otherwise(F.lit("update")),
         ).drop("change_op")
-        res = dst.merge(events, batch_id)
+        res = dst.merge(
+            events, batch_id, lineage_rows=_sync_lineage(m, batch_id)
+        )
         results.append({**res, "src_version": v})
     return results
+
+
+def _lineage_row(batch_id: str, lo, hi) -> dict:
+    return {
+        "batch_id": batch_id,
+        "partition_id": 0,
+        "offset_min": int(lo),
+        "offset_max": int(hi),
+        "rows_in": None,
+        "rows_upserted": None,
+        "rows_deleted": None,
+        "rows_revoked": None,
+        "applied_at": datetime.now(timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat(),
+    }
+
+
+def _sync_lineage(m: dict, batch_id: str) -> list[dict]:
+    """One lineage row carrying the SOURCE commit's offset range into the
+    derived table's commit — every changelog row lies inside that range
+    (changelog filters by it), so the derived table's own changelog()
+    stays derivable and sync chains compose (src -> copy -> copy-of-copy,
+    rollup -> published rollup) instead of degrading to the overwrite
+    fallback at depth 2."""
+    offsets = [
+        (r["offset_min"], r["offset_max"])
+        for r in m.get("lineage", [])
+        if r.get("offset_min") is not None
+    ]
+    if not offsets:
+        return []
+    return [
+        _lineage_row(
+            batch_id,
+            min(o[0] for o in offsets),
+            max(o[1] for o in offsets),
+        )
+    ]
 
 
 def sync_aggregate(
@@ -540,6 +581,11 @@ def sync_aggregate(
             .withColumn("op", F.lit("delete"))
         )
         events = upserts.unionByName(vanished, allowMissingColumns=True)
-        res = dst.merge(events, batch_id)
+        # rollup rows carry src_version = v as their order column, so the
+        # commit's offset range is exactly [v, v] — keeps the rollup's own
+        # changelog() derivable (chainable to a published copy)
+        res = dst.merge(
+            events, batch_id, lineage_rows=[_lineage_row(batch_id, v, v)]
+        )
         results.append({**res, "src_version": v})
     return results

@@ -112,3 +112,47 @@ def test_sync_across_mor_and_compaction(spark, tmp_path):
     assert len(r) == 3 and not any(x["skipped"] for x in r)
     pd.testing.assert_frame_equal(_state(src), _state(b), check_dtype=False)
     assert all(x["skipped"] for x in sync_changelog(src, b))
+
+
+def test_sync_chains_to_depth_two(spark, tmp_path):
+    """Sync commits carry offset lineage, so derived tables are themselves
+    sync SOURCES: src -> copy -> copy2 and rollup -> published rollup both
+    track via the delta path (no overwrite fallback at depth 2)."""
+    from gamechanger_data_spark.plans.catalog import conv_rollup
+    from gamechanger_data_spark.streaming.driver import sync_aggregate
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=2,
+                              events_per_batch=400, seed=19))
+    src = LakeTable(spark, str(tmp_path / "src"), n_buckets=4)
+    copy = LakeTable(spark, str(tmp_path / "copy"), n_buckets=8)
+    copy2 = LakeTable(spark, str(tmp_path / "copy2"), n_buckets=4)
+    roll = LakeTable(spark, str(tmp_path / "roll"), key_cols=("conv_id",),
+                     order_cols=("src_version",), n_buckets=4)
+    rollpub = LakeTable(spark, str(tmp_path / "rollpub"),
+                        key_cols=("conv_id",), order_cols=("src_version",),
+                        n_buckets=2)
+
+    replay_feed(spark, feed, src)
+    r1 = sync_changelog(src, copy)
+    r2 = sync_changelog(copy, copy2, stream_id="hop2")
+    assert not any(x.get("mode") == "overwrite" for x in r1 + r2)
+    pd.testing.assert_frame_equal(_state(src), _state(copy2),
+                                  check_dtype=False)
+
+    ra = sync_aggregate(src, roll, conv_rollup)
+    rb = sync_changelog(roll, rollpub, stream_id="rollpub")
+    assert not any(x.get("mode") == "overwrite" for x in ra + rb)
+    cols = ["conv_id", "n_turns", "n_revoked", "last_ts", "n_chars"]
+    a = roll.read().select(*cols).orderBy("conv_id").toPandas().reset_index(drop=True)
+    b = rollpub.read().select(*cols).orderBy("conv_id").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # incremental at depth 2 as well: a third src batch flows the chain
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=3,
+                              events_per_batch=400, seed=19))
+    replay_feed(spark, feed, src)
+    sync_changelog(src, copy)
+    r3 = sync_changelog(copy, copy2, stream_id="hop2")
+    assert [x.get("skipped", False) for x in r3].count(False) == 1
+    pd.testing.assert_frame_equal(_state(src), _state(copy2),
+                                  check_dtype=False)

@@ -259,6 +259,41 @@ def export_shard_checksums_q(spark, sf_dir):
     return shard_checksums(load(spark, sf_dir, "documents"), "doc_id", 16)
 
 
+_PACK_BUDGET = 512
+
+
+@q("pack_sequences", f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST({_hb_sql('doc_id')} % 8 AS INT) AS shard,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, shard,
+       CAST(cum - n AS BIGINT) AS tok_offset,
+       CAST((cum - n) // {_PACK_BUDGET} AS BIGINT) AS chunk_first,
+       CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS chunk_last,
+       ((cum - n) // {_PACK_BUDGET}) <> ((cum - 1) // {_PACK_BUDGET}) AS spans_chunks
+FROM c
+""", "GPT-style sequence packing assignment: docs concatenated per shard "
+     "in key order and chunked at a fixed token budget (docs may span "
+     "chunks) — per-shard prefix sums, no global window bottleneck; the "
+     "whole layout is reproducible from the key column")
+def pack_sequences_q(spark, sf_dir):
+    from gamechanger_data_spark.sinks.export import pack_offsets
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    return pack_offsets(d, seq_budget=_PACK_BUDGET, n_shards=8)
+
+
 @q("deterministic_sample", f"""
 SELECT doc_id, text FROM documents
 WHERE {_hb_sql('doc_id')} < {_hash_threshold(0.2)}

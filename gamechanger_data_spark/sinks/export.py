@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gamechanger_data_spark.operators.sampling import hash_bucket60
@@ -214,3 +214,50 @@ def publish_bulk_jsonl(
     }
     _write_manifest(path, manifest)
     return manifest
+
+
+def pack_offsets(
+    df: DataFrame,
+    seq_budget: int,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    len_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style sequence packing assignment: documents are concatenated
+    in deterministic order and chunked at fixed ``seq_budget`` token
+    boundaries (docs may span chunks — the standard pretraining packing,
+    not bin-packing). Returns per-doc placement:
+
+        (key, shard, tok_offset, chunk_first, chunk_last, spans_chunks)
+
+    Scale shape: a GLOBAL prefix sum would serialize on one window
+    partition, so packing is per-shard — the same deterministic hash-mod
+    shards ``export_shards`` writes, which is also how loaders consume
+    the data (each worker owns shards). Within a shard the order is
+    (key asc): one window per shard partition, all shards in parallel.
+    Every number is reproducible from the key column alone, so an
+    external engine can re-derive the entire layout (the DuckDB oracle
+    does).
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        F.col(key_col),
+        shard_expr(key_col, n_shards).alias("shard"),
+        F.col(len_col).cast("long").alias("n"),
+    )
+    cum = out.withColumn("cum", F.sum("n").over(w))
+    return cum.select(
+        key_col,
+        "shard",
+        (F.col("cum") - F.col("n")).alias("tok_offset"),
+        F.floor((F.col("cum") - F.col("n")) / seq_budget).cast("long").alias("chunk_first"),
+        F.floor((F.col("cum") - 1) / seq_budget).cast("long").alias("chunk_last"),
+        (
+            F.floor((F.col("cum") - F.col("n")) / seq_budget)
+            != F.floor((F.col("cum") - 1) / seq_budget)
+        ).alias("spans_chunks"),
+    )

@@ -101,3 +101,31 @@ def test_publish_bulk_jsonl_format_and_idempotence(spark, tmp_path):
     # idempotent re-publish: identical content, identical manifest
     m2 = publish_bulk_jsonl(docs, p, n_shards=4)
     assert m2 == m and sorted(read_lines(p)) == sorted(lines)
+
+
+def test_pack_offsets_layout_invariants(spark):
+    from pyspark.sql import functions as F2
+
+    from gamechanger_data_spark.sinks.export import pack_offsets
+
+    docs = spark.range(300).select(
+        F2.col("id").alias("doc_id"),
+        (F2.pmod("id", F2.lit(97)) + 1).cast("long").alias("n_tokens"),
+    )
+    out = pack_offsets(docs, seq_budget=128, n_shards=4).toPandas()
+    assert len(out) == 300
+    for _, g in out.merge(
+        docs.toPandas(), on="doc_id"
+    ).sort_values(["shard", "doc_id"]).groupby("shard"):
+        # offsets are contiguous: each doc starts where the previous ended
+        ends = (g.tok_offset + g.n_tokens).tolist()
+        assert g.tok_offset.tolist() == [0] + ends[:-1]
+        # chunk bookkeeping is consistent with the offsets
+        assert (g.chunk_first == g.tok_offset // 128).all()
+        assert (g.chunk_last == (g.tok_offset + g.n_tokens - 1) // 128).all()
+        assert (g.spans_chunks == (g.chunk_first != g.chunk_last)).all()
+    # partitioning-independent layout
+    out2 = pack_offsets(docs.repartition(11), 128, 4).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

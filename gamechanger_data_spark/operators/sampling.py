@@ -141,10 +141,16 @@ def stratified_sample_sql(
     default_rate: float = 0.0,
     salt: str = "",
 ) -> str:
-    """DuckDB WHERE-clause twin of :func:`stratified_sample_by_hash`."""
+    """DuckDB WHERE-clause twin of :func:`stratified_sample_by_hash` —
+    handles the empty-rates degenerate case (plain default threshold, a
+    bare ``CASE ELSE`` is a syntax error) and quotes group names (they
+    are data-derived strings)."""
     h = hash_bucket60_sql(key_expr, salt)
+    if not rates:
+        return f"{h} < {threshold(default_rate)}"
     cases = " ".join(
-        f"WHEN {group_expr} = '{g}' THEN {threshold(r)}"
+        f"WHEN {group_expr} = '{g.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {threshold(r)}"
         for g, r in sorted(rates.items())
     )
     return f"{h} < (CASE {cases} ELSE {threshold(default_rate)} END)"

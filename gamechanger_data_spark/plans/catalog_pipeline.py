@@ -278,8 +278,11 @@ c AS (
 SELECT doc_id, shard,
        CAST(cum - n AS BIGINT) AS tok_offset,
        CAST((cum - n) // {_PACK_BUDGET} AS BIGINT) AS chunk_first,
-       CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS chunk_last,
-       ((cum - n) // {_PACK_BUDGET}) <> ((cum - 1) // {_PACK_BUDGET}) AS spans_chunks
+       CAST((CASE WHEN n > 0 THEN cum - 1 ELSE cum - n END) // {_PACK_BUDGET}
+            AS BIGINT) AS chunk_last,
+       ((cum - n) // {_PACK_BUDGET})
+         <> ((CASE WHEN n > 0 THEN cum - 1 ELSE cum - n END) // {_PACK_BUDGET})
+         AS spans_chunks
 FROM c
 """, "GPT-style sequence packing assignment: docs concatenated per shard "
      "in key order and chunked at a fixed token budget (docs may span "

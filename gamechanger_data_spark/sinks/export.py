@@ -250,14 +250,23 @@ def pack_offsets(
         F.col(len_col).cast("long").alias("n"),
     )
     cum = out.withColumn("cum", F.sum("n").over(w))
-    return cum.select(
-        key_col,
-        "shard",
-        (F.col("cum") - F.col("n")).alias("tok_offset"),
-        F.floor((F.col("cum") - F.col("n")) / seq_budget).cast("long").alias("chunk_first"),
-        F.floor((F.col("cum") - 1) / seq_budget).cast("long").alias("chunk_last"),
-        (
-            F.floor((F.col("cum") - F.col("n")) / seq_budget)
-            != F.floor((F.col("cum") - 1) / seq_budget)
-        ).alias("spans_chunks"),
+    # INTEGER division throughout (`div`, == DuckDB's `//` for these
+    # non-negative operands): float floor(cum/budget) loses exactness past
+    # 2^53 cumulative tokens and would disagree with the oracle at chunk
+    # boundaries. A zero-token doc's "last token" is its offset itself —
+    # without the n=0 guard an empty doc sitting exactly on a boundary
+    # would claim chunk_last = chunk_first - 1 and spans_chunks = true.
+    first = F.expr(f"(cum - n) div {int(seq_budget)}")
+    last_tok = F.when(F.col("n") > 0, F.col("cum") - 1).otherwise(F.col("cum") - F.col("n"))
+    last = F.expr(f"__last_tok div {int(seq_budget)}")
+    return (
+        cum.withColumn("__last_tok", last_tok)
+        .select(
+            key_col,
+            "shard",
+            (F.col("cum") - F.col("n")).alias("tok_offset"),
+            first.cast("long").alias("chunk_first"),
+            last.cast("long").alias("chunk_last"),
+            (first != last).alias("spans_chunks"),
+        )
     )

@@ -33,6 +33,12 @@ from gamechanger_data_spark.sinks.table import LakeTable
 from gamechanger_data_spark.sources.feed import list_ready_batches, read_batch
 
 
+def _now_iso() -> str:
+    """Naive-UTC ISO timestamp used by every lineage row this driver
+    writes (matches the manifest's applied_at format)."""
+    return datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+
+
 def prepare_events(events: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
     """Vectorized normalization + content hash. ``use_pandas_udf`` switches
     the text normalization from the native expression chain (JVM codegen —
@@ -88,7 +94,7 @@ def lineage_from_footers(batch_dir: str, batch_id: str) -> list[dict] | None:
     files = sorted(_glob.glob(os.path.join(batch_dir, "*.parquet")))
     if not files:
         return None
-    now = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+    now = _now_iso()
     rows = []
     try:
         for i, f in enumerate(files):
@@ -165,7 +171,7 @@ def lineage_for(
     touched = (
         sorted({b for r in rows for b in r["__buckets"]}) if table is not None else None
     )
-    now = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+    now = _now_iso()
     return touched, [
         {
             "batch_id": batch_id,
@@ -376,11 +382,13 @@ def stream_feed(
             batch_id = os.path.basename(d)[len(BATCH_PREFIX):]
             res = apply_batch(table, read_batch(spark, d), batch_id,
                               use_pandas_udf=use_pandas_udf, batch_dir=d)
-            # same continuous-maintenance hook replay_feed offers: derived
-            # tables stay current per applied commit, and the syncs' own
-            # batch markers make a crash inside the hook re-sync safely on
-            # the next epoch/run
-            if after_batch is not None:
+            # same continuous-maintenance hook replay_feed offers, same
+            # contract: NEWLY-applied batches only (an epoch can re-deliver
+            # already-applied markers after checkpoint recreation or a
+            # batch-mode handoff — those must not fire maintenance). The
+            # syncs' own batch markers make a crash inside the hook re-sync
+            # safely on the next epoch/run.
+            if after_batch is not None and not res.get("skipped"):
                 after_batch(table, res)
 
     # Python data sources don't implement Trigger.AvailableNow's
@@ -465,18 +473,20 @@ def sync_changelog(
 
 
 def _lineage_row(batch_id: str, lo, hi) -> dict:
+    # partition_id = -1: the established SYNTHETIC/summary-row convention
+    # (merge's observe_ops row uses it too), so consumers that sum real
+    # input-partition rows (`lineage[partition_id >= 0]`) never count a
+    # sync's offset-range carrier as a data partition.
     return {
         "batch_id": batch_id,
-        "partition_id": 0,
+        "partition_id": -1,
         "offset_min": int(lo),
         "offset_max": int(hi),
         "rows_in": None,
         "rows_upserted": None,
         "rows_deleted": None,
         "rows_revoked": None,
-        "applied_at": datetime.now(timezone.utc)
-        .replace(tzinfo=None)
-        .isoformat(),
+        "applied_at": _now_iso(),
     }
 
 

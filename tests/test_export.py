@@ -129,3 +129,21 @@ def test_pack_offsets_layout_invariants(spark):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pack_offsets_zero_token_doc_on_boundary(spark):
+    from pyspark.sql import functions as F2
+
+    from gamechanger_data_spark.sinks.export import pack_offsets
+
+    # craft: doc A fills chunk 0 exactly; doc B is EMPTY and lands on the
+    # boundary; doc C starts chunk 1 — ids chosen so one shard holds all
+    docs = spark.createDataFrame(
+        [(1, 128), (2, 0), (3, 10)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_offsets(docs, 128, n_shards=1).collect()}
+    b = out[2]
+    assert b.tok_offset == 128
+    assert b.chunk_first == b.chunk_last == 1  # no negative chunk_last
+    assert not b.spans_chunks                  # spans nothing
+    assert out[1].chunk_last == 0 and out[3].chunk_first == 1

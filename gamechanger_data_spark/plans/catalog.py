@@ -810,5 +810,47 @@ def incremental_conv_rollup_q(spark, sf_dir):
     )
 
 
+@q("conversation_render", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx, role, {_NORM_CHAIN_SQL.format(col='text')} AS text
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS convo,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM state GROUP BY conv_id
+""", "transcript rendering: reassemble each conversation's full text from "
+     "its LWW-resolved turns in order ('role: text' lines) — the "
+     "training-example materialization of the transcript table; one "
+     "partial-combining collect per conv, order restored array-side "
+     "(no global sort)")
+def conversation_render_q(spark, sf_dir):
+    t = _ensure_replay_table(spark)
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    return (
+        t.read()
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), line.alias("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("convo"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+
+
 # Register part-2 entries (training-data-pipeline suite) into this CATALOG.
 from gamechanger_data_spark.plans import catalog_pipeline  # noqa: E402,F401

@@ -796,6 +796,46 @@ def stopword_ratio_q(spark, sf_dir):
 _TERMS_SQL = "regexp_extract_all(lower(text), '[a-z]+')"
 
 
+@q("corpus_datasheet", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TERMS_SQL}) AS term FROM documents
+),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(length(text)), 6) AS avg_chars
+  FROM documents
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(count(DISTINCT term) AS BIGINT) AS vocab_size
+  FROM toks
+)
+SELECT n_docs, avg_chars, n_terms, vocab_size,
+       round(vocab_size::DOUBLE / n_terms::DOUBLE, 6) AS type_token_ratio
+FROM d, t
+""", "dataset datasheet: one-row corpus summary (doc count, mean length, "
+     "term count, vocabulary size, type-token ratio) — two "
+     "partial-combining aggregates cross-joined, the audit header of a "
+     "training-data release")
+def corpus_datasheet_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    from gamechanger_data_spark.functions.analysis import terms_expr
+
+    toks = docs.select(F.explode(terms_expr("text")).alias("term"))
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+    t = toks.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.count_distinct("term").alias("vocab_size"),
+    )
+    return d.crossJoin(t).withColumn(
+        "type_token_ratio",
+        F.round(F.col("vocab_size").cast("double") / F.col("n_terms").cast("double"), 6),
+    )
+
+
 @q("tfidf_topk_terms", f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TERMS_SQL}) AS term FROM documents

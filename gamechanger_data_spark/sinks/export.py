@@ -81,31 +81,42 @@ def export_shards(
     n_shards: int,
     key_col: str = "doc_id",
     salt: str = "",
+    fmt: str = "parquet",
 ) -> dict:
-    """Write ``df`` as ``n_shards`` hash-assigned parquet shards plus a
+    """Write ``df`` as ``n_shards`` hash-assigned shards plus a
     ``_manifest.json`` recording per-shard row counts and checksums.
+    ``fmt`` picks the file format — parquet (default), orc, or json
+    (newline-delimited records, the common loader-facing layout).
 
-    Layout: ``path/__shard=<k>/part-*.parquet`` (exactly one data file
-    per non-empty shard — a shard's rows all hash-land in one partition)
+    Layout: ``path/__shard=<k>/part-*`` (exactly one data file per
+    non-empty shard — a shard's rows all hash-land in one partition)
     and ``path/_manifest.json``. The manifest is written AFTER the data
     (ready-marker discipline: readers treat its presence as commit).
 
     Returns the manifest dict: ``{"n_shards": n, "total_rows": r,
     "shards": {"<k>": {"rows": n_k, "checksum": c_k}}}``.
     """
+    if fmt not in ("parquet", "orc", "json"):
+        raise ValueError(f"unsupported export format {fmt!r}")
     out = df.withColumn(SHARD_COL, shard_expr(key_col, n_shards, salt))
     (
         out.repartition(n_shards, SHARD_COL)
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
     # Checksums come from the files ACTUALLY WRITTEN (column-pruned key
     # read), not from re-running df's plan — a non-deterministic or
     # since-changed source would otherwise produce a manifest describing
     # data that is not on disk, and verify_shards would flag a fresh
     # export.
-    written = df.sparkSession.read.parquet(path)
+    reader = df.sparkSession.read
+    if fmt == "json":
+        # json shards carry no embedded schema: bind the writer's (minus
+        # the shard partition column, which the directory layout restores)
+        reader = reader.schema(out.drop(SHARD_COL).schema)
+    written = reader.format(fmt).load(path)
     sums = shard_checksums(written, key_col, n_shards, salt).collect()
     shards = {
         str(r["shard"]): {"rows": r["rows"], "checksum": r["checksum"]}
@@ -115,6 +126,7 @@ def export_shards(
         "n_shards": n_shards,
         "key_col": key_col,
         "salt": salt,
+        "format": fmt,
         "total_rows": sum(s["rows"] for s in shards.values()),
         "shards": shards,
     }
@@ -131,8 +143,14 @@ def verify_shards(spark, path: str, key_col: str | None = None) -> DataFrame:
         manifest = json.load(f)
     key_col = key_col or manifest["key_col"]
     n = int(manifest["n_shards"])
+    fmt = manifest.get("format", "parquet")
+    reader = spark.read
+    if fmt == "json":
+        reader = reader.schema(
+            f"{key_col} string"  # key column suffices for the audit
+        )
     got = shard_checksums(
-        spark.read.parquet(path), key_col, n, manifest.get("salt", "")
+        reader.format(fmt).load(path), key_col, n, manifest.get("salt", "")
     )
     want = spark.createDataFrame(
         [

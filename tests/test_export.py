@@ -147,3 +147,21 @@ def test_pack_offsets_zero_token_doc_on_boundary(spark):
     assert b.chunk_first == b.chunk_last == 1  # no negative chunk_last
     assert not b.spans_chunks                  # spans nothing
     assert out[1].chunk_last == 0 and out[3].chunk_first == 1
+
+
+def test_export_formats_orc_and_json(spark, tmp_path):
+    from gamechanger_data_spark.sinks.export import export_shards
+
+    df = _docs(spark, 80)
+    base = export_shards(df, str(tmp_path / "pq"), n_shards=4)
+    for fmt in ("orc", "json"):
+        p = str(tmp_path / fmt)
+        m = export_shards(df, p, n_shards=4, fmt=fmt)
+        # identical shard membership & checksums across formats
+        assert m["shards"] == base["shards"] and m["format"] == fmt
+        ok = verify_shards(spark, p).toPandas()
+        assert ok.ok.all()
+        back = spark.read.format(fmt)
+        if fmt == "json":
+            back = back.schema("doc_id long, text string")
+        assert back.load(p).count() == 80

@@ -326,6 +326,41 @@ class LakeTable:
                 os.fsync(f.fileno())
         self._swap_version_pointer(version)
 
+    def history(self) -> DataFrame:
+        """Commit-history metadata table (the Iceberg ``table.history`` /
+        ``snapshots`` analog): one row per retained manifest with version,
+        kind (data|maintenance), parent, lineage-row count, file count,
+        and PHYSICAL resident row count (delete tombstones included —
+        read() hides them, so n_rows >= read().count()). Driver-side
+        O(#snapshots) JSON loads — an audit/ops surface, not a data-path
+        read."""
+        schema = T.StructType([
+            T.StructField("version", T.IntegerType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("parent", T.IntegerType(), True),
+            T.StructField("n_lineage_rows", T.IntegerType(), False),
+            T.StructField("n_files", T.IntegerType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+        ])
+        rows = []
+        for v in self.snapshots():
+            m = self._load_manifest(v)
+            n_files = sum(len(fl) for fl in m.get("files", {}).values()) + sum(
+                len(fl) for fl in m.get("deltas", {}).values()
+            )
+            counts = list(m.get("base_rows", {}).values()) + list(
+                m.get("delta_rows", {}).values()
+            )
+            rows.append((
+                int(v),
+                m.get("kind"),
+                int(m["parent"]) if m.get("parent") is not None else None,
+                len(m.get("lineage", [])),
+                n_files,
+                sum(int(c) for c in counts) if counts else None,
+            ))
+        return self.spark.createDataFrame(rows, schema)
+
     def verify(self, version: int | None = None) -> dict:
         """Integrity audit of one snapshot: every manifest-referenced data
         file must exist and the parquet-footer row counts per bucket must

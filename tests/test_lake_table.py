@@ -350,3 +350,23 @@ def test_verify_detects_missing_and_short_files(spark, tmp_path):
     os.remove(data_files[-1])
     r2 = t.verify()
     assert not r2["ok"] and r2["missing"]
+
+
+def test_history_metadata_table(spark, tmp_path):
+    from gamechanger_data_spark.datagen import write_feed
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=20, max_turns=4, n_batches=2,
+                              events_per_batch=200, seed=7, evolve_batch=None))
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    replay_feed(spark, feed, t, compact_every=2)
+    h = t.history().orderBy("version").toPandas()
+    assert h.version.tolist() == t.snapshots()
+    assert set(h.kind) == {"data", "maintenance"}  # compact commit present
+    # parent chain is consistent; n_rows is the PHYSICAL count
+    # (tombstones included), so it matches the tombstone-inclusive read
+    assert (h.parent.iloc[1:] == h.version.iloc[:-1].values).all()
+    physical = t.read_buckets(range(4), include_tombstones=True).count()
+    assert h.n_rows.iloc[-1] == physical >= t.read().count()
+    assert (h[h.kind == "data"].n_lineage_rows > 0).all()

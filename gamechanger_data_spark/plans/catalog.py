@@ -852,5 +852,46 @@ def conversation_render_q(spark, sf_dir):
     )
 
 
+@q("role_alternation_check", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (SELECT conv_id, turn_idx, role FROM w WHERE rn = 1 AND op <> 'delete'),
+lagged AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM state
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev = role
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats,
+       sum(CASE WHEN prev IS NOT NULL AND prev = role THEN 1 ELSE 0 END) = 0
+         AS alternates
+FROM lagged GROUP BY conv_id
+""", "transcript structural quality: consecutive same-role turns per "
+     "conversation (a dialogue-format screen for training data — "
+     "role-collapsed conversations get flagged); one lag window per conv "
+     "over the LWW-resolved state")
+def role_alternation_check_q(spark, sf_dir):
+    t = _ensure_replay_table(spark)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = t.read().select(
+        "conv_id", "role", F.lag("role").over(w).alias("prev")
+    )
+    rep = F.when(
+        F.col("prev").isNotNull() & (F.col("prev") == F.col("role")), 1
+    ).otherwise(0)
+    return lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(rep).alias("n_repeats"),
+        (F.sum(rep) == 0).alias("alternates"),
+    )
+
+
 # Register part-2 entries (training-data-pipeline suite) into this CATALOG.
 from gamechanger_data_spark.plans import catalog_pipeline  # noqa: E402,F401

@@ -125,6 +125,11 @@ def export_shards(
     manifest = {
         "n_shards": n_shards,
         "key_col": key_col,
+        # the key's Spark type travels with the manifest so the audit can
+        # re-read json shards TYPED — hashing the raw json lexeme instead
+        # (e.g. a timestamp's ISO form vs Spark's cast-to-string form)
+        # would flag an intact export as corrupt
+        "key_type": df.schema[key_col].dataType.simpleString(),
         "salt": salt,
         "format": fmt,
         "total_rows": sum(s["rows"] for s in shards.values()),
@@ -146,9 +151,9 @@ def verify_shards(spark, path: str, key_col: str | None = None) -> DataFrame:
     fmt = manifest.get("format", "parquet")
     reader = spark.read
     if fmt == "json":
-        reader = reader.schema(
-            f"{key_col} string"  # key column suffices for the audit
-        )
+        # key column suffices for the audit, bound at the WRITER's type
+        key_type = manifest.get("key_type", "string")
+        reader = reader.schema(f"{key_col} {key_type}")
     got = shard_checksums(
         reader.format(fmt).load(path), key_col, n, manifest.get("salt", "")
     )

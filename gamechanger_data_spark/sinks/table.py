@@ -345,19 +345,27 @@ class LakeTable:
         rows = []
         for v in self.snapshots():
             m = self._load_manifest(v)
-            n_files = sum(len(fl) for fl in m.get("files", {}).values()) + sum(
-                len(fl) for fl in m.get("deltas", {}).values()
+            files, deltas = m.get("files", {}), m.get("deltas", {})
+            base_rows = m.get("base_rows", {})
+            delta_rows = m.get("delta_rows", {})
+            n_files = sum(len(fl) for fl in files.values()) + sum(
+                len(fl) for fl in deltas.values()
             )
-            counts = list(m.get("base_rows", {}).values()) + list(
-                m.get("delta_rows", {}).values()
-            )
+            # n_rows is honest-or-null: a manifest with files that predate
+            # row-count tracking (or a legacy table touched by one modern
+            # merge) has only PARTIAL counts — summing them would present
+            # an undercount as the snapshot's physical size
+            complete = all(
+                bk in base_rows for bk, fl in files.items() if fl
+            ) and all(bk in delta_rows for bk, fl in deltas.items() if fl)
+            counts = list(base_rows.values()) + list(delta_rows.values())
             rows.append((
                 int(v),
                 m.get("kind"),
                 int(m["parent"]) if m.get("parent") is not None else None,
                 len(m.get("lineage", [])),
                 n_files,
-                sum(int(c) for c in counts) if counts else None,
+                sum(int(c) for c in counts) if (counts and complete) else None,
             ))
         return self.spark.createDataFrame(rows, schema)
 

@@ -204,6 +204,7 @@ def main() -> None:
         )
     sha, bw = hw["sha256"], hw["membw_gbps"]
     hw_eff_8_32 = sha[32] / (4 * sha[8])
+    peak_bw = max(bw.values())
     bw_eff_8_32 = bw[32] / (4 * bw[8])
     summary = {
         "metric": "CDC replay scaling efficiency at N->4N parallelism",
@@ -296,12 +297,15 @@ shuffle serialization and parquet encode/decode):
 | 32 | {sha[32]:,} | {bw[32]} |
 
 The two curves separate the ceilings. ALU-bound sha256 is linear to the
-physical cores (1 -> 8 at {sha[8]/(8*sha[1]):.2f}) and degrades to
-{hw_eff_8_32:.2f} across the SMT boundary. The bandwidth curve walls far
-earlier: ONE process already draws {bw[1]} of the socket's ~{bw[32]} GB/s
-peak ({bw[1]/bw[32]:.0%}), 8 processes reach {bw[8]} GB/s, and 32 add
-only {bw[32]/bw[8]:.2f}x (efficiency {bw_eff_8_32:.2f}) — the memory
-subsystem is saturated, full stop. A CDC replay is dominated by exactly
+physical cores (1 -> 8 at {sha[8]/(8*sha[1]):.2f}) and measures
+{hw_eff_8_32:.2f} across the SMT boundary THIS run (a value well below
+~0.8 on a probe leg that the same run's other legs show healthy means
+co-tenant interference in that window, not hardware). The bandwidth
+curve walls far earlier: ONE process already draws {bw[1]} of the
+socket's ~{peak_bw} GB/s observed peak ({bw[1]/peak_bw:.0%}), and past
+the peak extra processes add nothing (8 -> 32 ratio this run:
+{bw[32]/bw[8]:.2f}x; a ratio far below 1.0 is the co-tenant signature
+— read it against the per-level table above, not as saturation). A CDC replay is dominated by exactly
 that traffic (parquet decode, Tungsten row serialization, shuffle
 write/read, parquet encode), so on THIS host: (a) the 8 -> 32 pair
 measures the memory wall, not the engine — any shuffle-bearing job

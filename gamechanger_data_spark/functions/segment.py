@@ -25,7 +25,7 @@ reaches parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Blank-line paragraph boundary (syntok's paragraph rule).
@@ -139,5 +139,68 @@ def remove_boilerplate(
             id_col,
             text_col,
             (F.col("n_total") - F.col("n_kept")).cast("int").alias("n_dropped"),
+        )
+    )
+
+
+def content_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modulus: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries open where the portable
+    hash of the 3-token window ending at a position ≡ 0 (mod ``modulus``)
+    — the rolling-hash cut rule (Rabin/CDC) that makes boundaries a pure
+    function of LOCAL content. Unlike fixed-size chunking, an insertion
+    near the head shifts only its own chunk: downstream boundaries
+    re-synchronize, so sub-document dedup over chunk hashes survives
+    prefix edits (the property delta-encoding backup systems and
+    chunk-level corpus dedup rely on). Mean chunk length ≈ ``modulus``
+    tokens.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens). Plan: one explode, two
+    lags + one running sum sharing a single doc-keyed window partition,
+    one partial-combining rebuild per chunk — no UDF, no driver collect.
+    """
+    from gamechanger_data_spark.operators.dedup import tokens_expr
+    from gamechanger_data_spark.operators.sampling import hash_bucket60
+
+    t = df.select(
+        F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    g = t.select(
+        id_col, "pos", "tok",
+        F.lag("tok", 1).over(w).alias("p1"),
+        F.lag("tok", 2).over(w).alias("p2"),
+    )
+    gram = F.concat_ws(" ", F.col("p2"), F.col("p1"), F.col("tok"))
+    brk = F.when(
+        (F.col("pos") >= 2)
+        & (F.pmod(hash_bucket60(gram), F.lit(modulus)) == 0),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.withColumn("cid", F.sum(brk).over(cum))
+    return (
+        c.groupBy(id_col, "cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("cid").cast("int").alias("chunk_idx"),
+            "chunk_text",
+            "n_tokens",
         )
     )

@@ -1270,6 +1270,44 @@ def approx_distinct_users_q(spark, sf_dir):
     )
 
 
+@q("content_defined_chunks", f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+         unnest(range(len({_TOKS_SQL}))) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos, tok,
+         lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2
+               AND {_hb_sql("(p2 || ' ' || p1 || ' ' || tok)")} % 16 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM g
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+  FROM b
+)
+SELECT doc_id, CAST(cid AS INT) AS chunk_idx,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM c GROUP BY doc_id, cid
+""", "content-defined chunking (rolling-hash cut rule, Rabin/CDC): "
+     "boundaries are a pure function of local 3-token windows, so "
+     "sub-document dedup over chunk hashes survives prefix edits — the "
+     "shift-resistant companion to fixed-size chunk_documents")
+def content_defined_chunks_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.segment import content_chunks
+
+    return content_chunks(load(spark, sf_dir, "documents"), modulus=16)
+
+
 @q("chunk_documents", f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,

@@ -124,3 +124,32 @@ def test_kmeans_separable_blobs_and_determinism(spark):
     out2 = kmeans_assign(df.repartition(13), k=3, iters=4).toPandas()
     assert out.sort_values("vec_id").cluster.tolist() == \
         out2.sort_values("vec_id").cluster.tolist()
+
+
+def test_content_chunks_resynchronize_after_prefix_edit(spark):
+    """The CDC property: the same tail text chunked identically no matter
+    what prefix precedes it — downstream boundaries re-synchronize, which
+    fixed-size chunking structurally cannot do."""
+    from gamechanger_data_spark.functions.segment import content_chunks
+
+    tail = " ".join(f"w{i % 53}x{i % 7}" for i in range(400))
+    docs = spark.createDataFrame(
+        [("a", tail), ("b", "PREFIX ALPHA " + tail),
+         ("c", "completely different longer prefix here " + tail)],
+        "doc_id string, text string",
+    )
+    out = content_chunks(docs, modulus=16).toPandas()
+    chunks = {
+        d: set(g.chunk_text) for d, g in out.groupby("doc_id")
+    }
+    # all tail chunks (everything after the first re-sync point) shared
+    common = chunks["a"] & chunks["b"] & chunks["c"]
+    assert len(common) >= 0.8 * len(chunks["a"])
+    # token conservation: chunks partition each doc's token stream
+    n = out.groupby("doc_id").n_tokens.sum()
+    assert n["a"] == 400 and n["b"] == 402
+    # deterministic under repartitioning
+    out2 = content_chunks(docs.repartition(7), modulus=16).toPandas()
+    a = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert a.equals(b)

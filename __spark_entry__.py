@@ -56,7 +56,7 @@ _HEAD = [
     "corpus_prepare", "export_shard_checksums", "kmv_distinct_users",
     "kmeans_embeddings", "ann_ivf_topk", "stratified_mixture_sample",
     "pack_sequences", "conversation_render", "corpus_datasheet",
-    "role_alternation_check", "content_defined_chunks",
+    "role_alternation_check", "content_defined_chunks", "chunk_dedup_stats",
     # flagship engine machinery — keep under driver check every round
     "transcript_replay", "replay_changelog", "replay_lineage_counts",
     "replay_time_travel", "cdc_apply_events",

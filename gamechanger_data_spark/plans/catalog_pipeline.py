@@ -1308,6 +1308,58 @@ def content_defined_chunks_q(spark, sf_dir):
     return content_chunks(load(spark, sf_dir, "documents"), modulus=16)
 
 
+@q("chunk_dedup_stats", f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+         unnest(range(len({_TOKS_SQL}))) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos, tok,
+         lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2
+               AND {_hb_sql("(p2 || ' ' || p1 || ' ' || tok)")} % 16 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM g
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM c GROUP BY doc_id, cid
+)
+SELECT md5(chunk_text) AS chunk_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM chunks GROUP BY chunk_text
+HAVING count(DISTINCT doc_id) >= 2
+""", "sub-document duplication audit: content-defined chunks shared by "
+     ">=2 docs (the dedup payoff of shift-resistant boundaries — exact "
+     "per-doc dedup misses shared passages, chunk hashes catch them); "
+     "hash-groupBy with map-side combine, scales like exact dedup")
+def chunk_dedup_stats_q(spark, sf_dir):
+    from gamechanger_data_spark.functions.segment import content_chunks
+
+    chunks = content_chunks(load(spark, sf_dir, "documents"), modulus=16)
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("chunk_text").alias("chunk_hash"), "n_docs", "n_occurrences")
+    )
+
+
 @q("chunk_documents", f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,

@@ -32,6 +32,9 @@ QUERIES = [
     "ann_ivf_topk",
     "kmv_distinct_users",
     "stratified_mixture_sample",
+    "content_defined_chunks",
+    "chunk_dedup_stats",
+    "pack_sequences",
 ]
 
 

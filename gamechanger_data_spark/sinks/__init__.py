@@ -2,4 +2,4 @@
 implementation of the MERGE/commit contract; an Iceberg implementation drops
 in behind the same interface when the runtime jar is on the classpath."""
 
-from gamechanger_data_spark.sinks.table import LakeTable  # noqa: F401
+from gamechanger_data_spark.sinks.table import CommitConflictError, LakeTable  # noqa: F401

@@ -37,18 +37,36 @@ needs:
     a pointer swap (reference analog: S3 prefix backup/restore,
     gc_ingest/tools/snapshot/utils.py:158-257).
 
-Single-writer (one streaming driver) is assumed, matching a Structured
-Streaming foreachBatch sink. On a real cluster the same class works on any
-shared POSIX/HDFS-like filesystem path; swapping in Iceberg removes the
-single-writer caveat.
+Concurrent writers are supported with optimistic concurrency (the Iceberg
+commit model): data files are written lock-free under collision-proof
+(uuid-suffixed) directories, then the manifest swap runs a compare-and-swap
+inside a short file-lock critical section — commit succeeds only if the
+table is still at the parent version the writer based its manifest on.
+On conflict, a MERGE rebases (MOR delta appends re-layer onto the new
+current — LWW makes them commute; CoW re-layers only when the intervening
+commits touched disjoint buckets, else the whole merge re-runs against
+fresh state), and exactly-once is re-checked so two writers racing the
+SAME batch_id resolve to one apply + one skip. Maintenance ops retry from
+scratch. The critical section uses POSIX flock, which serializes writers
+across threads and processes on a shared POSIX filesystem; on object
+stores without flock, swap the lock for a catalog CAS (the Iceberg
+catalog / a DynamoDB-style conditional put) — the protocol is unchanged.
+Reference analog: the job-registry single-flight discipline the reference
+uses to avoid concurrent pipeline runs
+(dataPipelines/gc_db_utils/orch/sql/create_tables.sql:31-39), upgraded
+from mutual exclusion of whole jobs to per-commit CAS with bucket-level
+conflict detection.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 from typing import Iterable
 
@@ -64,6 +82,31 @@ VERSION_FILE = "VERSION"
 # an immutable chained segment file — keeps manifest size O(1) per commit
 # instead of rewriting the full batch history every commit.
 BATCH_SEGMENT_SIZE = 64
+# bounded CAS-rebase attempts per commit and whole-op re-runs per merge;
+# exceeding either raises CommitConflictError to the caller (no partial
+# state — the orphaned data files are GC'd by expire_snapshots). Whole-op
+# re-runs back off exponentially with jitter (the Iceberg commit-retry
+# discipline): under N-way hot-bucket contention a loser's conflict window
+# is its whole merge duration, so retries without backoff thrash.
+MAX_REBASE_ATTEMPTS = 8
+MAX_MERGE_ATTEMPTS = 10
+RETRY_BACKOFF_BASE_SEC = 0.1
+RETRY_BACKOFF_CAP_SEC = 2.0
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed between this writer's snapshot read and
+    its manifest swap, and the commit could not be (further) rebased. The
+    table is unchanged by the failed attempt; re-running the operation
+    re-reads fresh state and is safe (merge is exactly-once per batch_id)."""
+
+    def __init__(self, expected_parent: int, found: int, detail: str = ""):
+        self.expected_parent = expected_parent
+        self.found = found
+        super().__init__(
+            f"commit conflict: expected table at v{expected_parent}, found "
+            f"v{found}{'; ' + detail if detail else ''}"
+        )
 
 
 def _utcnow() -> str:
@@ -127,6 +170,10 @@ class LakeTable:
         self.mor_max_deltas = int(mor_max_deltas)
         # chained batch-id segments are immutable once written -> memoize
         self._segment_cache: dict[str, frozenset[str]] = {}
+        # test-only injection point: called once at the next _commit entry
+        # (before the lock) so concurrency tests can interleave a competing
+        # commit between a writer's data write and its CAS.
+        self._test_pre_commit = None
         # An existing table's bucket AND key/order spec are authoritative —
         # a constructor mismatch would silently mis-prune future merges
         # (wrong bucket hash) or mis-order LWW. Old manifests without the
@@ -178,27 +225,64 @@ class LakeTable:
         m.setdefault("batches_segment", None)
         return m
 
-    def _commit(self, manifest: dict) -> None:
-        """Write manifest v, then atomically swap the VERSION pointer.
+    @contextmanager
+    def _commit_lock(self):
+        """Exclusive writer lock for the (short) manifest-swap critical
+        section. flock serializes across threads AND processes on a shared
+        POSIX filesystem; data-file writes stay outside it, so the held
+        window is O(manifest) regardless of batch size. On storage without
+        flock semantics, replace with a catalog conditional-put."""
+        fd = os.open(
+            os.path.join(self.root, META_DIR, "COMMIT_LOCK"),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _commit(self, manifest: dict, expected_parent: int | None = None) -> int:
+        """Compare-and-swap commit: inside the writer lock, verify the table
+        is still at ``expected_parent``, allocate the final snapshot id,
+        write manifest, then atomically swap the VERSION pointer. Raises
+        CommitConflictError (table untouched) if another writer got there
+        first — callers rebase or re-run.
 
         Both files are fsync'd before the rename and the directory entry
         after it — os.replace alone is atomic only against concurrent
         READERS; across power loss the pointer could otherwise land
-        before the manifest bytes it names."""
-        v = manifest["version"]
-        manifest["committed_at"] = _utcnow()
-        # the table's key/order spec rides in every manifest so a reopen
-        # can validate/adopt it (see __init__)
-        manifest.setdefault("key_cols", list(self.key_cols))
-        manifest.setdefault("order_cols", list(self.order_cols))
-        mp = self._meta_path(v)
-        tmp = mp + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, mp)
-        self._swap_version_pointer(v)
+        before the manifest bytes it names. Returns the committed version."""
+        if self._test_pre_commit is not None:
+            hook, self._test_pre_commit = self._test_pre_commit, None
+            hook()
+        with self._commit_lock():
+            cur = self.current_version()
+            if expected_parent is not None and cur != expected_parent:
+                raise CommitConflictError(expected_parent, cur)
+            # final id allocated INSIDE the lock: two racing writers can
+            # both have provisionally named their data dirs after the same
+            # next-version guess (dirs are uuid-suffixed so files never
+            # collide), but manifest ids must be unique and dense-ordered.
+            v = self._next_version()
+            manifest["version"] = v
+            manifest["parent"] = cur
+            manifest["committed_at"] = _utcnow()
+            # the table's key/order spec rides in every manifest so a reopen
+            # can validate/adopt it (see __init__)
+            manifest.setdefault("key_cols", list(self.key_cols))
+            manifest.setdefault("order_cols", list(self.order_cols))
+            mp = self._meta_path(v)
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, mp)
+            self._swap_version_pointer(v)
+            return v
 
     def _swap_version_pointer(self, v: int) -> None:
         """fsync'd atomic pointer swap — the commit point. os.replace alone
@@ -263,6 +347,75 @@ class LakeTable:
         duplicates into segment files and silently swallowed any future
         DATA merge that happened to reuse such an id as a "replay"."""
         return m.get("applied_batches", []), m.get("batches_segment")
+
+    def _touched_between(self, cur: dict, base_version: int) -> set[int] | None:
+        """Union of buckets touched by the commits strictly after
+        ``base_version`` on ``cur``'s parent chain. None = unknown — a
+        pre-CAS manifest without the field, an all-bucket commit
+        (overwrite / rebucket / tombstone GC), or a chain that does not
+        reach base_version — in which case rebase is refused and the
+        caller re-runs against fresh state. Versions are monotone along
+        the parent chain (_next_version allocates past the max), so the
+        walk is bounded by the number of intervening commits."""
+        out: set[int] = set()
+        m = cur
+        while m["version"] != base_version:
+            tb = m.get("touched_buckets")
+            if tb is None or tb == "all":
+                return None
+            out.update(int(b) for b in tb)
+            p = m.get("parent")
+            if p is None or p < base_version:
+                return None
+            if p == base_version:
+                break
+            if not os.path.exists(self._meta_path(p)):
+                return None
+            m = self._load_manifest(p)
+        return out
+
+    def _can_rebase(
+        self, cur: dict, base_version: int, touched: list[int], write_mode: str
+    ) -> bool:
+        """Whether a merge whose files were computed against base_version
+        can be re-layered onto ``cur`` without re-reading the table.
+
+        MOR delta appends commute under LWW (the delta rows carry their
+        own order columns and are resolved against whatever base they land
+        on), so they rebase across ANY intervening per-bucket commits. A
+        CoW rewrite embeds the target rows it read, so it rebases only
+        when the intervening commits touched disjoint buckets. Neither
+        rebases across a bucket-spec change or an all-bucket rewrite."""
+        if int(cur.get("n_buckets", -1)) != self.n_buckets:
+            return False
+        inter = self._touched_between(cur, base_version)
+        if inter is None:
+            return False
+        if write_mode == "mor":
+            return True
+        return not (inter & {int(b) for b in touched})
+
+    def _with_conflict_retry(self, fn, attempts: int = MAX_MERGE_ATTEMPTS):
+        """Re-run a whole commit-producing operation on CAS conflict.
+        Each re-run re-reads fresh table state, so this is safe for any
+        operation that derives its output purely from current state
+        (maintenance ops, overwrite, and merge — which is additionally
+        exactly-once per batch_id). Jittered exponential backoff between
+        re-runs decorrelates N-way writer contention."""
+        import random
+
+        last: CommitConflictError | None = None
+        for i in range(max(1, attempts)):
+            try:
+                return fn()
+            except CommitConflictError as e:
+                last = e
+                if i + 1 < attempts:
+                    delay = min(
+                        RETRY_BACKOFF_CAP_SEC, RETRY_BACKOFF_BASE_SEC * (2**i)
+                    )
+                    time.sleep(random.uniform(0, delay))
+        raise last
 
     def _snap_bucket_files(self, snap_dir: str, buckets) -> dict[str, list[str]]:
         """root-relative parquet paths per bucket under a freshly-written
@@ -331,9 +484,11 @@ class LakeTable:
         ``snapshots`` analog): one row per retained manifest with version,
         kind (data|maintenance), parent, lineage-row count, file count,
         and PHYSICAL resident row count (delete tombstones included —
-        read() hides them, so n_rows >= read().count()). Driver-side
-        O(#snapshots) JSON loads — an audit/ops surface, not a data-path
-        read."""
+        read() hides them, so n_rows >= read().count()). ``n_rows`` is
+        honest-or-null: commits whose manifests predate row-count tracking
+        report null rather than a partial undercount — READERS MUST
+        NULL-GUARD n_rows before arithmetic. Driver-side O(#snapshots)
+        JSON loads — an audit/ops surface, not a data-path read."""
         schema = T.StructType([
             T.StructField("version", T.IntegerType(), False),
             T.StructField("kind", T.StringType(), True),
@@ -418,8 +573,22 @@ class LakeTable:
             "mismatched": mismatched,
         }
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
-        """Delete data files referenced only by expired snapshots."""
+    def expire_snapshots(self, keep_last: int = 2, grace_sec: float = 0.0) -> int:
+        """Delete data files referenced only by expired snapshots.
+
+        ``grace_sec``: age threshold below which unreferenced files are
+        SPARED. With concurrent writers, a racing merge's data files exist
+        on disk before its manifest commits — without a grace window this
+        GC would delete them mid-commit (the Iceberg orphan-file-removal
+        hazard; Iceberg defaults its equivalent to 3 days). Set it above
+        the longest plausible in-flight write; 0 (the default) is only
+        safe when no write is in flight while maintenance runs.
+
+        Retention contract for readers: a reader holding a pinned version
+        (read(version=N) not yet fully consumed) is safe only while N's
+        files are retained — run with keep_last covering the oldest
+        in-flight read, or expired pinned reads fail loudly with missing
+        input files (never a silent short result)."""
         snaps = self.snapshots()
         cur = self.current_version()
         keep = set(snaps[-keep_last:]) | {cur}
@@ -430,12 +599,22 @@ class LakeTable:
                 for files in src.values():
                     live.update(files)
         removed = 0
+        now = time.time()
+
+        def _old_enough(path: str) -> bool:
+            if grace_sec <= 0:
+                return True
+            try:
+                return (now - os.path.getmtime(path)) > grace_sec
+            except OSError:
+                return False  # vanished underneath us: nothing to remove
+
         data_dir = os.path.join(self.root, "data")
         for dirpath, _dirnames, filenames in os.walk(data_dir):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in live:
+                if fn.endswith(".parquet") and rel not in live and _old_enough(full):
                     os.remove(full)
                     removed += 1
         # manifest JSONs are kept forever: they are tiny and carry the
@@ -443,8 +622,9 @@ class LakeTable:
         # though, can be orphaned by a crash between segment write and
         # manifest commit (_advance_batches writes the segment first, on
         # purpose) — remove any segment unreachable from every manifest's
-        # chain, plus mid-write *.tmp* leftovers (single-writer model: no
-        # write is in flight while maintenance runs).
+        # chain, plus mid-write *.tmp* leftovers; both honor the same
+        # grace window as data files (an in-flight writer's fresh segment
+        # is not yet reachable from any manifest).
         meta_dir = os.path.join(self.root, META_DIR)
         reachable: set[str] = set()
         for v in snaps:
@@ -460,8 +640,9 @@ class LakeTable:
                 and fn.endswith(".json")
                 and rel not in reachable
             )
-            if is_orphan_seg or ".tmp" in fn:
-                os.remove(os.path.join(meta_dir, fn))
+            full = os.path.join(meta_dir, fn)
+            if (is_orphan_seg or ".tmp" in fn) and _old_enough(full):
+                os.remove(full)
                 removed += 1
         return removed
 
@@ -732,6 +913,7 @@ class LakeTable:
         observe_ops: bool = False,
         src_rows: int | None = None,
         mode: str | None = None,
+        on_conflict: str = "retry",
     ) -> dict:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -787,12 +969,50 @@ class LakeTable:
         base+delta with the same LWW kernel; cost ∝ batch, the round-1
         write-amplification killer for trickle feeds (reference semantics
         preserved: per-doc upsert, load/utils.py:223-278).
+
+        Concurrency (optimistic, Iceberg-style): the data write runs
+        lock-free; the commit is a CAS on the version pointer. If another
+        writer committed first, the merge REBASES without re-reading the
+        table when safe (MOR always; CoW when the intervening commits
+        touched disjoint buckets) and otherwise re-runs end-to-end against
+        fresh state (``on_conflict="retry"``, the default, bounded by
+        MAX_MERGE_ATTEMPTS) or raises CommitConflictError
+        (``on_conflict="error"``). Exactly-once holds under races: two
+        writers applying the same batch_id resolve to one apply + one
+        skip (the applied set is re-checked on every conflict).
         """
+        if on_conflict not in ("retry", "error"):
+            raise ValueError(f"unknown on_conflict {on_conflict!r}")
+        return self._with_conflict_retry(
+            lambda: self._merge_once(
+                source, batch_id, lineage_rows, touched, transform_winners,
+                observe_ops, src_rows, mode,
+            ),
+            attempts=MAX_MERGE_ATTEMPTS if on_conflict == "retry" else 1,
+        )
+
+    def _merge_once(
+        self,
+        source: DataFrame,
+        batch_id: str,
+        lineage_rows: list[dict] | None,
+        touched: list[int] | None,
+        transform_winners,
+        observe_ops: bool,
+        src_rows: int | None,
+        mode: str | None,
+    ) -> dict:
         if batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id, "version": self.current_version()}
 
         m = self._load_manifest()
-        old_schema = self.schema()
+        # ONE pinned manifest for the whole attempt: schema and bucket spec
+        # come from it, not from re-reads of the (possibly advancing)
+        # current pointer — a concurrent rebucket is then surfaced by the
+        # CAS + n_buckets check instead of silently mis-bucketing.
+        if m["version"] > 0:
+            self.n_buckets = int(m["n_buckets"])
+        old_schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
 
         src = source
         if "is_revoked" not in src.columns:
@@ -859,7 +1079,9 @@ class LakeTable:
             # the single LWW pass below resolves base, deltas, and the new
             # batch together (a CoW merge doubles as compaction of the
             # buckets it touches).
-            target = self.read_buckets(touched, include_tombstones=True, resolve=False)
+            target = self.read_buckets(
+                touched, version=m["version"], include_tombstones=True, resolve=False
+            )
             tgt_part = (
                 self._align(target, state_schema)
                 .withColumn(
@@ -898,11 +1120,16 @@ class LakeTable:
             merged = transform_winners(merged)
         merged = merged.drop("__src")
 
-        # 3) write under a new snapshot id: CoW rewrites the touched
-        # buckets' base files; MOR appends per-bucket delta files.
+        # 3) write under a provisional snapshot dir: CoW rewrites the
+        # touched buckets' base files; MOR appends per-bucket delta files.
+        # The dir name is uuid-suffixed — two racing writers can guess the
+        # same next version, but their files never collide; the REAL
+        # snapshot id is allocated inside the commit critical section.
         new_version = self._next_version()
         kind = "snap" if write_mode == "cow" else "delta"
-        snap_dir = os.path.join(self.root, "data", f"{kind}-{new_version:08d}")
+        snap_dir = os.path.join(
+            self.root, "data", f"{kind}-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         # sortWithinPartitions by key: parquet row-group min/max stats then
         # support key-range/point pruning inside each bucket (lookup_key
         # reads one bucket and skips row groups) — the Z-order-lite for a
@@ -915,24 +1142,8 @@ class LakeTable:
             .parquet(snap_dir)
         )
 
-        # 4) build new manifest: untouched buckets keep old files
-        files = dict(m["files"])
-        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
-        base_rows = dict(m.get("base_rows", {}))
-        delta_rows = dict(m.get("delta_rows", {}))
         written = self._snap_bucket_files(snap_dir, touched)
-        for b in touched:
-            bk = str(b)
-            new_files = written[bk]
-            if write_mode == "cow":
-                files[bk] = new_files
-                base_rows[bk] = self._count_rows(new_files)
-                # the CoW rewrite folded any outstanding deltas in
-                deltas[bk] = []
-                delta_rows[bk] = 0
-            else:
-                deltas[bk] = deltas.get(bk, []) + new_files
-                delta_rows[bk] = delta_rows.get(bk, 0) + self._count_rows(new_files)
+        written_rows = {bk: self._count_rows(fl) for bk, fl in written.items()}
 
         all_lineage = list(lineage_rows or [])
         if obs is not None:
@@ -956,26 +1167,79 @@ class LakeTable:
             )
 
         stored_schema = T.StructType([f for f in state_schema.fields if f.name != "__bucket"])
-        tail, seg = self._advance_batches(m, batch_id)
-        manifest = {
-            "version": new_version,
-            "schema": stored_schema.jsonValue(),
-            "n_buckets": self.n_buckets,
-            "files": files,
-            "deltas": deltas,
-            "base_rows": base_rows,
-            "delta_rows": delta_rows,
-            "applied_batches": tail,
-            "batches_segment": seg,
-            # per-commit lineage only; lineage() concatenates across the
-            # manifest history (manifests are tiny and never expired)
-            "lineage": all_lineage,
-            "parent": m["version"],
-            "kind": "data",
-        }
-        self._commit(manifest)
-        return {"skipped": False, "batch_id": batch_id, "version": new_version,
-                "touched_buckets": len(touched), "mode": write_mode}
+
+        # 4) CAS commit with bounded rebase: overlay THIS merge's written
+        # buckets on whatever base manifest the CAS lands against. On a
+        # conflict we re-layer on the new current if _can_rebase allows it
+        # (no re-read, no re-write of data files); otherwise the conflict
+        # escapes to merge()'s whole-op retry, which re-reads fresh state.
+        base, expected = m, m["version"]
+        for _ in range(MAX_REBASE_ATTEMPTS):
+            files = dict(base["files"])
+            deltas = {k: list(v) for k, v in base.get("deltas", {}).items()}
+            base_rows = dict(base.get("base_rows", {}))
+            delta_rows = dict(base.get("delta_rows", {}))
+            for b in touched:
+                bk = str(b)
+                if write_mode == "cow":
+                    files[bk] = written[bk]
+                    base_rows[bk] = written_rows[bk]
+                    # the CoW rewrite folded any outstanding deltas in
+                    deltas[bk] = []
+                    delta_rows[bk] = 0
+                else:
+                    deltas[bk] = deltas.get(bk, []) + written[bk]
+                    delta_rows[bk] = delta_rows.get(bk, 0) + written_rows[bk]
+            # schema: first attempt already evolved from the pinned base;
+            # a rebase must re-union against the (possibly further evolved)
+            # new current — additive union-by-name is order-insensitive, so
+            # both writers' columns survive whichever commit order wins.
+            sch = (
+                stored_schema
+                if base is m
+                else self._evolved_schema(
+                    T.StructType.fromJson(base["schema"]) if base["schema"] else None,
+                    stored_schema,
+                )
+            )
+            tail, seg = self._advance_batches(base, batch_id)
+            manifest = {
+                "version": new_version,  # provisional; finalized in _commit
+                "schema": sch.jsonValue(),
+                "n_buckets": self.n_buckets,
+                "files": files,
+                "deltas": deltas,
+                "base_rows": base_rows,
+                "delta_rows": delta_rows,
+                "applied_batches": tail,
+                "batches_segment": seg,
+                # per-commit lineage only; lineage() concatenates across the
+                # manifest history (manifests are tiny and never expired)
+                "lineage": all_lineage,
+                "parent": expected,
+                "kind": "data",
+                "touched_buckets": sorted(int(b) for b in touched),
+            }
+            try:
+                final_v = self._commit(manifest, expected_parent=expected)
+                return {"skipped": False, "batch_id": batch_id, "version": final_v,
+                        "touched_buckets": len(touched), "mode": write_mode}
+            except CommitConflictError:
+                cur = self._load_manifest()
+                # exactly-once under racing writers of the SAME batch:
+                # whoever lost the CAS must re-check the applied set.
+                applied = set(cur["applied_batches"]) | self._segment_ids(
+                    cur.get("batches_segment")
+                )
+                if batch_id in applied:
+                    return {"skipped": True, "batch_id": batch_id,
+                            "version": cur["version"]}
+                if not self._can_rebase(cur, expected, touched, write_mode):
+                    raise
+                base, expected = cur, cur["version"]
+        raise CommitConflictError(
+            expected, self.current_version(), "rebase attempts exhausted"
+        )
 
     def _decide_mode(
         self,
@@ -1019,7 +1283,12 @@ class LakeTable:
         rewrite_data_files). Default: every bucket with deltas. Reads
         base+delta raw, resolves with the LWW kernel, rewrites ONLY those
         buckets; delta-free buckets are untouched. Run on a maintenance
-        cadence so the read-side resolution shuffle stays bounded."""
+        cadence so the read-side resolution shuffle stays bounded. On a
+        concurrent-commit conflict the whole compaction re-runs against
+        fresh state (it is a pure function of current state)."""
+        return self._with_conflict_retry(lambda: self._compact_once(buckets, batch_id))
+
+    def _compact_once(self, buckets, batch_id: str) -> dict:
         m = self._load_manifest()
         dirty = sorted(
             int(b) for b, fl in m.get("deltas", {}).items()
@@ -1027,15 +1296,19 @@ class LakeTable:
         )
         if not dirty:
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
-        schema = self.schema()
-        raw = self.read_buckets(dirty, include_tombstones=True, resolve=False)
+        schema = self.schema(m["version"])
+        raw = self.read_buckets(
+            dirty, version=m["version"], include_tombstones=True, resolve=False
+        )
         resolved = lww_max_by(raw, self.key_cols, self.order_cols).select(
             *[F.col(f.name) for f in schema.fields]
         )
         keep = resolved.withColumn("__bucket", self._bucket_expr().cast("int"))
 
         new_version = self._next_version()
-        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        snap_dir = os.path.join(
+            self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         (
             keep.repartition(max(1, len(dirty)), "__bucket")
             .sortWithinPartitions(*self.key_cols)
@@ -1067,9 +1340,10 @@ class LakeTable:
             "lineage": [],
             "parent": m["version"],
             "kind": "maintenance",
+            "touched_buckets": dirty,
         }
-        self._commit(manifest)
-        return {"skipped": False, "batch_id": batch_id, "version": new_version,
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "compacted_buckets": len(dirty)}
 
     def changelog(self, version: int | None = None) -> DataFrame:
@@ -1131,14 +1405,23 @@ class LakeTable:
         NB ~ table_bytes / 512 MB). New snapshot; old snapshots stay
         readable under their own spec; future merges prune with the new
         one. The Iceberg analog is replacing the bucket partition spec."""
+        return self._with_conflict_retry(
+            lambda: self._rebucket_once(new_n_buckets, batch_id)
+        )
+
+    def _rebucket_once(self, new_n_buckets: int, batch_id: str) -> dict:
         m = self._load_manifest()
-        live = self.read_buckets(range(self.n_buckets), include_tombstones=True)
+        live = self.read_buckets(
+            range(self.n_buckets), version=m["version"], include_tombstones=True
+        )
         old_nb = self.n_buckets
         self.n_buckets = int(new_n_buckets)
         try:
             keep = live.withColumn("__bucket", self._bucket_expr().cast("int"))
             new_version = self._next_version()
-            snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+            snap_dir = os.path.join(
+                self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+            )
             (
                 keep.repartition(self.n_buckets, "__bucket")
                 .write.mode("overwrite")
@@ -1163,9 +1446,12 @@ class LakeTable:
                 "lineage": [],
                 "parent": m["version"],
                 "kind": "maintenance",
+                # bucket ids under the NEW spec are incomparable with the
+                # old spec's — a rebucket conflicts with everything
+                "touched_buckets": "all",
             }
-            self._commit(manifest)
-            return {"skipped": False, "batch_id": batch_id, "version": new_version,
+            final_v = self._commit(manifest, expected_parent=m["version"])
+            return {"skipped": False, "batch_id": batch_id, "version": final_v,
                     "n_buckets": self.n_buckets}
         except Exception:
             self.n_buckets = old_nb
@@ -1177,11 +1463,18 @@ class LakeTable:
         arrivals are no longer admitted). Rewrites every bucket under a NEW
         snapshot version (old files stay until expire_snapshots, so the
         lazy read is safe) — the Iceberg rewrite_data_files pattern."""
+        return self._with_conflict_retry(
+            lambda: self._expire_tombstones_once(older_than, batch_id)
+        )
+
+    def _expire_tombstones_once(self, older_than, batch_id: str) -> dict:
         m = self._load_manifest()
         # a MOR-only table keeps all its data under deltas with files == {}
         if not m["files"] and not m.get("deltas"):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
-        live = self.read_buckets(range(self.n_buckets), include_tombstones=True)
+        live = self.read_buckets(
+            range(self.n_buckets), version=m["version"], include_tombstones=True
+        )
         keep = live.filter(
             (F.col("__deleted").isNull())
             | (~F.col("__deleted"))
@@ -1189,7 +1482,9 @@ class LakeTable:
         ).withColumn("__bucket", self._bucket_expr().cast("int"))
 
         new_version = self._next_version()
-        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+        snap_dir = os.path.join(
+            self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         (
             keep.repartition(self.n_buckets, "__bucket")
             .write.mode("overwrite")
@@ -1212,9 +1507,11 @@ class LakeTable:
             "lineage": [],
             "parent": m["version"],
             "kind": "maintenance",
+            # drops rows in arbitrary buckets: conflicts with everything
+            "touched_buckets": "all",
         }
-        self._commit(manifest)
-        return {"skipped": False, "batch_id": batch_id, "version": new_version}
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "batch_id": batch_id, "version": final_v}
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> dict:
         """CREATE OR REPLACE TABLE AS SELECT (reference: truncate-and-reload
@@ -1233,6 +1530,9 @@ class LakeTable:
         make the SECOND overwrite a silent replay no-op); pass an explicit
         id to get exactly-once replay semantics for the overwrite itself.
         """
+        return self._with_conflict_retry(lambda: self._overwrite_once(df, batch_id))
+
+    def _overwrite_once(self, df: DataFrame, batch_id: str | None) -> dict:
         if batch_id is not None and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id,
                     "version": self.current_version()}
@@ -1260,8 +1560,14 @@ class LakeTable:
 
         new_version = self._next_version()
         if batch_id is None:
-            batch_id = f"__overwrite__v{new_version}"
-        snap_dir = os.path.join(self.root, "data", f"snap-{new_version:08d}")
+            # unique per attempt (uuid, not just version: two racing
+            # overwrites can guess the same provisional version, and the
+            # conflict-loser must not be mistaken for a replay of the
+            # winner when it re-runs)
+            batch_id = f"__overwrite__v{new_version}_{uuid.uuid4().hex[:8]}"
+        snap_dir = os.path.join(
+            self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         (
             merged.repartition(self.n_buckets, "__bucket")
             .sortWithinPartitions(*self.key_cols)
@@ -1287,6 +1593,8 @@ class LakeTable:
             "lineage": [],
             "parent": m["version"],
             "kind": "data",
+            # CREATE OR REPLACE: no concurrent commit can be rebased over it
+            "touched_buckets": "all",
         }
-        self._commit(manifest)
-        return {"skipped": False, "batch_id": batch_id, "version": new_version}
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "batch_id": batch_id, "version": final_v}

@@ -1255,18 +1255,131 @@ def kmv_distinct_users_q(spark, sf_dir):
     return _kmv(load(spark, sf_dir, "events"), "user_id", k=64)
 
 
-@q("approx_distinct_users", None,
-   "approximate ops (HLL approx_count_distinct + approx_percentile) — "
-   "rows-only: sketch values are engine-specific by nature; the exact "
-   "twins are value_percentiles / minmax_ingest_dates")
+@q("approx_distinct_users", """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.05 * count(DISTINCT user_id) AS hll_ok,
+       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         <= 0.05 * abs(quantile_cont(value, 0.5)) + 1e-9 AS p50_ok
+FROM events GROUP BY event_type
+""",
+   "approximate ops (HLL approx_count_distinct + approx median), "
+   "TOLERANCE-oracled: sketch values are engine-specific by nature, so "
+   "EACH engine checks ITS OWN sketch against the exact aggregate it "
+   "also computes (|err| <= 5%) and the booleans + exact counts are "
+   "hash-compared — upgrades the catalog's last rows-only entry to a "
+   "real correctness check; the bit-reproducible sketch alternative is "
+   "kmv_distinct_users")
 def approx_distinct_users_q(spark, sf_dir):
+    exact_users = F.count_distinct("user_id")
+    exact_p50 = F.percentile("value", F.lit(0.5))
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.approx_percentile("value", 0.5).alias("approx_p50"),
+            exact_users.cast("long").alias("exact_users"),
+            (
+                F.abs(F.approx_count_distinct("user_id") - exact_users)
+                <= 0.05 * exact_users
+            ).alias("hll_ok"),
+            (
+                F.abs(F.approx_percentile("value", F.lit(0.5)) - exact_p50)
+                <= 0.05 * F.abs(exact_p50) + F.lit(1e-9)
+            ).alias("p50_ok"),
         )
+    )
+
+
+# ------------------------------------------------------------- F6/F7 dates
+
+from gamechanger_data_spark.functions.dates import (  # noqa: E402
+    DATE_PATTERNS,
+    extract_dates,
+    lenient_to_timestamp,
+)
+
+# The synthetic documents table carries no date-shaped text, so the query
+# plants deterministic date sentences derived from doc_id arithmetic —
+# IDENTICALLY in Spark and the oracle — then runs the real extraction
+# machinery: one combined-regex pass (F6, reference lib/dates.py:9-151)
+# -> explode -> lenient try-chain parse (F7, common/utils/parsers.py:6-28)
+# -> per-doc count/min/max. Three of the four pattern shapes are
+# exercised ('d MMMM yyyy', 'MMMM d, yyyy', 'd MMM yyyy'); per-doc date
+# counts vary (1-3) so the aggregate isn't constant.
+_DATES_PAT_SQL = "|".join(DATE_PATTERNS).replace("'", "''")
+
+
+@q("date_extraction", f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Effective '
+              || strftime(DATE '2020-01-01' + ((doc_id*37) % 1500)::INT,
+                          '%-d %B %Y')
+              || CASE WHEN doc_id % 3 <> 0
+                      THEN '. Superseded on ' ||
+                           strftime(DATE '2020-01-01' + ((doc_id*91) % 1500)::INT,
+                                    '%B %-d, %Y')
+                      ELSE '' END
+              || CASE WHEN doc_id % 2 = 0
+                      THEN '. Ref: ' ||
+                           strftime(DATE '2020-01-01' + ((doc_id*53) % 1500)::INT,
+                                    '%-d %b %Y')
+                      ELSE '' END
+              || '.' AS aug_text
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(aug_text, '{_DATES_PAT_SQL}', 0)) AS d
+  FROM aug
+),
+p AS (
+  SELECT doc_id,
+         coalesce(try_strptime(d, '%d %B %Y'), try_strptime(d, '%B %d, %Y'),
+                  try_strptime(d, '%d %b %Y'), try_strptime(d, '%b %d, %Y')) AS ts
+  FROM x
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dates,
+       min(ts) AS first_date, max(ts) AS last_date
+FROM p GROUP BY doc_id
+""",
+   "free-text date extraction + lenient parse (F6/F7): combined "
+   "single-pass regex over all date shapes, exploded matches parsed by "
+   "the try_to_timestamp chain (unparseable -> NULL, never raises), "
+   "per-doc count/min/max — pure codegen, no UDF; scales as one "
+   "map-side pass + one key-hash aggregate")
+def date_extraction_q(spark, sf_dir):
+    base = F.lit("2020-01-01").cast("date")
+
+    def _fmt(mult, fmt):
+        day = (F.col("doc_id") * mult % 1500).cast("int")
+        return F.date_format(F.date_add(base, day), fmt)
+
+    aug = load(spark, sf_dir, "documents").withColumn(
+        "aug_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Effective "),
+            _fmt(37, "d MMMM yyyy"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(F.lit(". Superseded on "), _fmt(91, "MMMM d, yyyy")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(". Ref: "), _fmt(53, "d MMM yyyy")),
+            ).otherwise(F.lit("")),
+            F.lit("."),
+        ),
+    )
+    parsed = aug.select(
+        "doc_id", F.explode(extract_dates(F.col("aug_text"))).alias("d")
+    ).withColumn("ts", lenient_to_timestamp(F.col("d")))
+    return parsed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dates"),
+        F.min("ts").alias("first_date"),
+        F.max("ts").alias("last_date"),
     )
 
 

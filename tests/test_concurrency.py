@@ -234,6 +234,34 @@ def test_threaded_writers_converge_to_lww_oracle(spark, tmp_path):
     assert final.verify()["ok"]
 
 
+def test_compact_racing_merge_stays_consistent(spark, tmp_path):
+    """A maintenance compaction racing a data merge on the same buckets:
+    the CAS loser (whichever it is) re-runs against fresh state, no
+    committed data is lost, and the resolved read equals LWW over all
+    events. Here the merge commits first (injected via the compact's
+    pre-commit hook), so the compaction — whose resolution snapshot is
+    now stale — must re-run rather than clobber the merge."""
+    root = str(tmp_path / "t")
+    t = LakeTable(spark, root, n_buckets=4)
+    kb = _keys_by_bucket(spark, t)
+    c, tn = kb[0]
+    t.merge(_ev(spark, [(c, tn, 100, 1, "insert", "base")]), "seed")
+    # stack a delta so compact has work
+    t.merge(_ev(spark, [(c, tn, 200, 2, "update", "d1")]), "m1", mode="mor")
+
+    w = LakeTable(spark, root, n_buckets=4)
+    t._test_pre_commit = lambda: w.merge(
+        _ev(spark, [(c, tn, 300, 3, "update", "newest")]), "m2", mode="mor"
+    )
+    r = t.compact()
+    assert not r["skipped"]
+
+    final = LakeTable(spark, root, n_buckets=4)
+    assert {"seed", "m1", "m2"} <= final.applied_batches()
+    assert _read_keys(final)[(c, tn)][0] == "newest"
+    assert final.verify()["ok"]
+
+
 def test_maintenance_commits_never_enter_batch_history(spark, tmp_path):
     """Repeated compact() adds no applied-batch ids, and a DATA merge that
     happens to reuse a maintenance-looking id applies normally (never a

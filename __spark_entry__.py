@@ -27,10 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's per-round correctness pass covers the FIRST 50 entries of
 # queries(), so ordering is part of the contract. Round-4 rotation goal:
 # every catalog query hash-green in at least TWO driver rounds.
-# _HEAD front-loads (a) the round-4-new / first-time-oracled entries,
-# (b) the 34 queries whose ONLY driver hash-green was round 3 (second
+# _HEAD front-loads (a) the 2 round-4-new / first-time-oracled entries,
+# (b) the 33 queries whose ONLY driver hash-green was round 3 (second
 # confirmation), (c) the 14 entries last driver-checked in round 2, and
-# (d) the pinned flagship replay — exactly 50. Positions 51-54 hold the
+# (d) the pinned flagship replay — 2+33+14+1 = exactly 50 (asserted by
+# the window checks below). Positions 51-54 hold the
 # other four replay queries (hash-green in ALL of r1+r2+r3, re-entering
 # the window next round); everything else rotated out is triple-checked
 # history, and EVERY catalog entry stays green in the local mirror
@@ -81,6 +82,11 @@ def _ordered_catalog():
     # driver's first-50 correctness window — fail loudly instead.
     unknown = [k for k in _HEAD + _TAIL if k not in CATALOG]
     assert not unknown, f"ordering names not in CATALOG: {unknown}"
+    # the driver checks exactly the first 50; the flagship pin marks the
+    # window boundary — a miscounted rotation edit fails loudly here
+    assert _HEAD[49] == "transcript_replay", (
+        f"50-query window boundary moved: position 50 is {_HEAD[49]!r}"
+    )
     pinned = set(_HEAD) | set(_TAIL)
     mid = [k for k in CATALOG if k not in pinned]
     return [(k, CATALOG[k]) for k in _HEAD + mid + _TAIL]

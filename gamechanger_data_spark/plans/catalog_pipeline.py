@@ -1279,8 +1279,13 @@ def approx_distinct_users_q(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             exact_users.cast("long").alias("exact_users"),
+            # rsd=0.01 puts the 5% tolerance at ~5 sigma of the sketch
+            # error (the default rsd=0.05 would make 5% a 1-sigma bar —
+            # ~30% false-negative odds per group at large cardinality);
+            # DuckDB's fixed-precision HLL sits near ~1.6% rsd, so the
+            # same bar is ~3 sigma on the oracle side.
             (
-                F.abs(F.approx_count_distinct("user_id") - exact_users)
+                F.abs(F.approx_count_distinct("user_id", 0.01) - exact_users)
                 <= 0.05 * exact_users
             ).alias("hll_ok"),
             (

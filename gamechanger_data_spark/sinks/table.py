@@ -417,6 +417,29 @@ class LakeTable:
                     time.sleep(random.uniform(0, delay))
         raise last
 
+    def _pin_bucket_spec(self, m: dict) -> None:
+        """Adopt the pinned manifest's bucket count for this operation. An
+        instance constructed before a rebucket (or racing one) would
+        otherwise read/write under a stale spec — for full-rewrite
+        maintenance ops that means silently committing a fraction of the
+        table; for merge it means hashing rows into unregistered buckets."""
+        if m["version"] > 0:
+            self.n_buckets = int(m["n_buckets"])
+
+    def _provisional_snap_dir(self, kind: str, parent_version: int) -> str:
+        """Collision-proof data dir for one write attempt. The version in
+        the name is cosmetic (parent+1 guess — the REAL id is allocated
+        inside the commit lock); the uuid suffix guarantees two racing
+        writers never share a directory. Derived from the pinned parent
+        rather than _next_version() so the write path never pays a
+        directory scan (the in-lock allocation remains the authoritative
+        O(#manifests) listing)."""
+        return os.path.join(
+            self.root,
+            "data",
+            f"{kind}-{parent_version + 1:08d}-{uuid.uuid4().hex[:8]}",
+        )
+
     def _snap_bucket_files(self, snap_dir: str, buckets) -> dict[str, list[str]]:
         """root-relative parquet paths per bucket under a freshly-written
         snapshot dir, keyed by str(bucket); a bucket every row of which was
@@ -463,21 +486,29 @@ class LakeTable:
         )
 
     def rollback_to_snapshot(self, version: int) -> None:
-        """Time-travel the table pointer (Iceberg rollback_to_snapshot)."""
+        """Time-travel the table pointer (Iceberg rollback_to_snapshot).
+
+        Runs inside the writer lock: rollback deliberately wins over any
+        concurrent commit ordering (it is an explicit admin action), but
+        it must not interleave with a commit's check-then-swap — an
+        unserialized pointer swap landing between a writer's CAS check
+        and its swap would be silently undone by the writer."""
         if not os.path.exists(self._meta_path(version)):
             raise ValueError(f"no snapshot v{version}")
-        # rollback is the ONLY way an abandoned branch (commits not on the
-        # current parent chain) can arise; the flag lets lineage() skip the
-        # parent-chain walk entirely on never-rolled-back tables. Written
-        # (and fsync'd) BEFORE the pointer swap so a crash between the two
-        # can only over-trigger the walk, never under-trigger it.
-        flag = os.path.join(self.root, META_DIR, "ROLLBACK")
-        if not os.path.exists(flag):
-            with open(flag, "w") as f:
-                f.write("1")
-                f.flush()
-                os.fsync(f.fileno())
-        self._swap_version_pointer(version)
+        with self._commit_lock():
+            # rollback is the ONLY way an abandoned branch (commits not on
+            # the current parent chain) can arise; the flag lets lineage()
+            # skip the parent-chain walk entirely on never-rolled-back
+            # tables. Written (and fsync'd) BEFORE the pointer swap so a
+            # crash between the two can only over-trigger the walk, never
+            # under-trigger it.
+            flag = os.path.join(self.root, META_DIR, "ROLLBACK")
+            if not os.path.exists(flag):
+                with open(flag, "w") as f:
+                    f.write("1")
+                    f.flush()
+                    os.fsync(f.fileno())
+            self._swap_version_pointer(version)
 
     def history(self) -> DataFrame:
         """Commit-history metadata table (the Iceberg ``table.history`` /
@@ -658,8 +689,12 @@ class LakeTable:
         outstanding delta files are resolved base+delta under the same LWW
         kernel merge uses; delta-free buckets stream straight off parquet
         with no shuffle — the MOR read cost is ∝ un-compacted data only."""
+        # schema comes from the SAME loaded manifest, not a second
+        # current-pointer read: with concurrent writers, two unpinned
+        # loads could pair one version's file list with another's schema
+        # (silently-null columns instead of a consistent snapshot).
         m = self._load_manifest(version)
-        schema = self.schema(version)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
         if not m["files"] and not m.get("deltas"):
             return self.spark.createDataFrame(
                 [], schema or T.StructType([T.StructField("conv_id", T.StringType())])
@@ -689,8 +724,9 @@ class LakeTable:
         base+delta LWW resolution and returns the raw union of base and
         delta rows — ONLY for callers that feed the result into their own
         LWW pass (merge does; resolving twice would waste a shuffle)."""
+        # pinned like read(): schema from the same manifest load
         m = self._load_manifest(version)
-        schema = self.schema(version)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
         if not resolve:
             paths = [
                 os.path.join(self.root, p)
@@ -1002,16 +1038,25 @@ class LakeTable:
         src_rows: int | None,
         mode: str | None,
     ) -> dict:
-        if batch_id in self.applied_batches():
-            return {"skipped": True, "batch_id": batch_id, "version": self.current_version()}
-
         m = self._load_manifest()
-        # ONE pinned manifest for the whole attempt: schema and bucket spec
-        # come from it, not from re-reads of the (possibly advancing)
-        # current pointer — a concurrent rebucket is then surfaced by the
-        # CAS + n_buckets check instead of silently mis-bucketing.
-        if m["version"] > 0:
-            self.n_buckets = int(m["n_buckets"])
+        # ONE pinned manifest for the whole attempt: the applied-batch
+        # check, schema, bucket spec, and CAS parent ALL derive from it —
+        # separate current-pointer reads could straddle a concurrent
+        # commit (double-applying a racing same-batch writer) and a
+        # concurrent rebucket is surfaced by the CAS + n_buckets check
+        # instead of silently mis-bucketing.
+        applied = set(m.get("applied_batches", [])) | self._segment_ids(
+            m.get("batches_segment")
+        )
+        if batch_id in applied:
+            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+        old_nb = self.n_buckets
+        self._pin_bucket_spec(m)
+        if touched is not None and self.n_buckets != old_nb:
+            # caller computed the bucket set under a stale spec (e.g. a
+            # whole-merge retry after an intervening rebucket) — its ids
+            # are meaningless under the pinned spec; re-derive below
+            touched = None
         old_schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
 
         src = source
@@ -1122,13 +1167,8 @@ class LakeTable:
 
         # 3) write under a provisional snapshot dir: CoW rewrites the
         # touched buckets' base files; MOR appends per-bucket delta files.
-        # The dir name is uuid-suffixed — two racing writers can guess the
-        # same next version, but their files never collide; the REAL
-        # snapshot id is allocated inside the commit critical section.
-        new_version = self._next_version()
-        kind = "snap" if write_mode == "cow" else "delta"
-        snap_dir = os.path.join(
-            self.root, "data", f"{kind}-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        snap_dir = self._provisional_snap_dir(
+            "snap" if write_mode == "cow" else "delta", m["version"]
         )
         # sortWithinPartitions by key: parquet row-group min/max stats then
         # support key-range/point pruning inside each bucket (lookup_key
@@ -1204,7 +1244,7 @@ class LakeTable:
             )
             tail, seg = self._advance_batches(base, batch_id)
             manifest = {
-                "version": new_version,  # provisional; finalized in _commit
+                "version": m["version"] + 1,  # provisional; finalized in _commit
                 "schema": sch.jsonValue(),
                 "n_buckets": self.n_buckets,
                 "files": files,
@@ -1290,6 +1330,7 @@ class LakeTable:
 
     def _compact_once(self, buckets, batch_id: str) -> dict:
         m = self._load_manifest()
+        self._pin_bucket_spec(m)
         dirty = sorted(
             int(b) for b, fl in m.get("deltas", {}).items()
             if fl and (buckets is None or int(b) in set(buckets))
@@ -1305,10 +1346,7 @@ class LakeTable:
         )
         keep = resolved.withColumn("__bucket", self._bucket_expr().cast("int"))
 
-        new_version = self._next_version()
-        snap_dir = os.path.join(
-            self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
-        )
+        snap_dir = self._provisional_snap_dir("snap", m["version"])
         (
             keep.repartition(max(1, len(dirty)), "__bucket")
             .sortWithinPartitions(*self.key_cols)
@@ -1328,7 +1366,7 @@ class LakeTable:
             delta_rows[bk] = 0
         tail, seg = self._carry_batches(m)
         manifest = {
-            "version": new_version,
+            "version": m["version"] + 1,  # provisional; finalized in _commit
             "schema": m["schema"],
             "n_buckets": self.n_buckets,
             "files": files,
@@ -1411,6 +1449,7 @@ class LakeTable:
 
     def _rebucket_once(self, new_n_buckets: int, batch_id: str) -> dict:
         m = self._load_manifest()
+        self._pin_bucket_spec(m)  # read under the manifest's CURRENT spec
         live = self.read_buckets(
             range(self.n_buckets), version=m["version"], include_tombstones=True
         )
@@ -1418,10 +1457,7 @@ class LakeTable:
         self.n_buckets = int(new_n_buckets)
         try:
             keep = live.withColumn("__bucket", self._bucket_expr().cast("int"))
-            new_version = self._next_version()
-            snap_dir = os.path.join(
-                self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
-            )
+            snap_dir = self._provisional_snap_dir("snap", m["version"])
             (
                 keep.repartition(self.n_buckets, "__bucket")
                 .write.mode("overwrite")
@@ -1431,7 +1467,7 @@ class LakeTable:
             files = self._snap_bucket_files(snap_dir, range(self.n_buckets))
             tail, seg = self._carry_batches(m)
             manifest = {
-                "version": new_version,
+                "version": m["version"] + 1,  # provisional; finalized in _commit
                 "schema": m["schema"],
                 "n_buckets": self.n_buckets,
                 "files": files,
@@ -1469,6 +1505,7 @@ class LakeTable:
 
     def _expire_tombstones_once(self, older_than, batch_id: str) -> dict:
         m = self._load_manifest()
+        self._pin_bucket_spec(m)
         # a MOR-only table keeps all its data under deltas with files == {}
         if not m["files"] and not m.get("deltas"):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
@@ -1481,10 +1518,7 @@ class LakeTable:
             | (F.col(self.order_cols[0]) >= F.lit(older_than))
         ).withColumn("__bucket", self._bucket_expr().cast("int"))
 
-        new_version = self._next_version()
-        snap_dir = os.path.join(
-            self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
-        )
+        snap_dir = self._provisional_snap_dir("snap", m["version"])
         (
             keep.repartition(self.n_buckets, "__bucket")
             .write.mode("overwrite")
@@ -1494,7 +1528,7 @@ class LakeTable:
         files = self._snap_bucket_files(snap_dir, range(self.n_buckets))
         tail, seg = self._carry_batches(m)
         manifest = {
-            "version": new_version,
+            "version": m["version"] + 1,  # provisional; finalized in _commit
             "schema": m["schema"],
             "n_buckets": self.n_buckets,
             "files": files,
@@ -1533,10 +1567,16 @@ class LakeTable:
         return self._with_conflict_retry(lambda: self._overwrite_once(df, batch_id))
 
     def _overwrite_once(self, df: DataFrame, batch_id: str | None) -> dict:
-        if batch_id is not None and batch_id in self.applied_batches():
-            return {"skipped": True, "batch_id": batch_id,
-                    "version": self.current_version()}
         m = self._load_manifest()
+        # ONE pinned manifest: the applied check, bucket spec, and CAS
+        # parent all derive from it (an unpinned applied_batches() call
+        # could straddle a concurrent commit).
+        applied = set(m.get("applied_batches", [])) | self._segment_ids(
+            m.get("batches_segment")
+        )
+        if batch_id is not None and batch_id in applied:
+            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+        self._pin_bucket_spec(m)
         src = df
         if "op" not in src.columns:
             src = src.withColumn("op", F.lit("insert"))
@@ -1558,16 +1598,14 @@ class LakeTable:
             "__deleted", F.coalesce(F.col("op") == F.lit("delete"), F.lit(False))
         ).drop("op")
 
-        new_version = self._next_version()
+        new_version = m["version"] + 1  # provisional; finalized in _commit
         if batch_id is None:
             # unique per attempt (uuid, not just version: two racing
             # overwrites can guess the same provisional version, and the
             # conflict-loser must not be mistaken for a replay of the
             # winner when it re-runs)
             batch_id = f"__overwrite__v{new_version}_{uuid.uuid4().hex[:8]}"
-        snap_dir = os.path.join(
-            self.root, "data", f"snap-{new_version:08d}-{uuid.uuid4().hex[:8]}"
-        )
+        snap_dir = self._provisional_snap_dir("snap", m["version"])
         (
             merged.repartition(self.n_buckets, "__bucket")
             .sortWithinPartitions(*self.key_cols)

@@ -284,6 +284,36 @@ def test_maintenance_commits_never_enter_batch_history(spark, tmp_path):
     assert r["skipped"]  # true replay of a DATA batch
 
 
+def test_stale_instance_maintenance_after_rebucket_loses_nothing(spark, tmp_path):
+    """An instance constructed under the OLD bucket spec running
+    full-rewrite maintenance after another writer rebucketed: the op must
+    pin the manifest's current spec (reading only the stale spec's bucket
+    range would commit a fraction of the table as a 'full' rewrite)."""
+    root = str(tmp_path / "t")
+    old = LakeTable(spark, root, n_buckets=4)
+    rows = [(f"c{i}", i % 3, 100 + i, i + 1, "insert", f"t{i}") for i in range(30)]
+    old.merge(_ev(spark, rows), "b0")
+
+    other = LakeTable(spark, root, n_buckets=4)
+    r = other.rebucket(16)
+    assert r["n_buckets"] == 16
+
+    # `old` still believes n_buckets=4; maintenance must adopt 16
+    res = old.expire_tombstones(older_than=pd.Timestamp("1970-01-01"))
+    assert not res["skipped"]
+    final = LakeTable(spark, root)
+    assert final.read().count() == 30
+    assert final.verify()["ok"]
+
+    # same for a stale-instance merge: rows must land in registered buckets
+    old2 = LakeTable(spark, root, n_buckets=4)
+    old2.n_buckets = 4  # simulate staleness (ctor adopts; force it back)
+    old2.merge(_ev(spark, [("cX", 9, 999, 99, "insert", "late")]), "b1")
+    final2 = LakeTable(spark, root)
+    assert final2.read().count() == 31
+    assert final2.verify()["ok"]
+
+
 def test_expire_grace_spares_inflight_files(spark, tmp_path):
     """A fresh unreferenced parquet (a concurrent writer's not-yet-
     committed data) survives expire_snapshots under a grace window and is

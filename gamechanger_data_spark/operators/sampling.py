@@ -154,3 +154,64 @@ def stratified_sample_sql(
         for g, r in sorted(rates.items())
     )
     return f"{h} < (CASE {cases} ELSE {threshold(default_rate)} END)"
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int = 64, salt: str = "ws"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-``k`` by the
+    Efraimidis-Spirakis order key (Inf. Proc. Letters 97(5), 2006): each
+    row draws u = uniform(key) and ranks by u^(1/weight) — the top-k by
+    that key IS an exact weight-proportional sample. The uniform comes
+    from the repo's portable md5-60-bit hash, so the draw (and therefore
+    the SAMPLE ITSELF) is a pure function of the key: reproducible across
+    runs, partitionings, engines, and appends — df.sample(weights) can't
+    promise any of that.
+
+    Ranking uses the log form ln(u)/weight (monotone in u^(1/w), avoids
+    the near-1.0 clustering of the pow form for large weights).
+
+    Scale shape: one md5 + one log per row, then global top-k — compiles
+    to TakeOrderedAndProject (k rows kept per partition, k returned), no
+    shuffle of the data itself. Weights are clamped to >= 1.
+
+    Returns (key_col, weight, es_logkey) with the rank key rounded to
+    6dp for cross-engine comparison.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = hash_bucket60(key_col, salt)
+    # +1 keeps u in (0, 1] so ln(u) is finite (h == 0 is 2^-60 unlikely
+    # but the guard costs nothing and the oracle mirrors it)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_HASH_SPACE))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    es = F.log(u) / w
+    return (
+        df.select(
+            F.col(key_col),
+            w.cast("long").alias("weight"),
+            es.alias("__es"),
+        )
+        .orderBy(F.desc("__es"))
+        .limit(k)
+        .select(key_col, "weight", F.round("__es", 6).alias("es_logkey"))
+    )
+
+
+def weighted_sample_sql(
+    table: str, key_expr: str, weight_expr: str, k: int = 64, salt: str = "ws"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — bit-identical sample
+    membership (the rank key is rounded to 6dp on both sides)."""
+    h = hash_bucket60_sql(key_expr, salt)
+    return f"""
+WITH ranked AS (
+  SELECT {key_expr} AS k,
+         CAST(greatest(CAST({weight_expr} AS DOUBLE), 1.0) AS BIGINT) AS weight,
+         ln(({h} + 1)::DOUBLE / {float(_HASH_SPACE)!r})
+           / greatest(CAST({weight_expr} AS DOUBLE), 1.0) AS es
+  FROM {table}
+)
+SELECT k AS {key_expr}, weight, round(es, 6) AS es_logkey
+FROM ranked ORDER BY es DESC LIMIT {k}
+"""

@@ -76,3 +76,153 @@ SELECT k_used, CAST(kth_hash AS BIGINT) AS kth_hash,
              END, 4) AS estimate
 FROM agg
 """
+
+
+def cms_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    probes: tuple[str, ...] = (),
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min-sketch token-frequency estimates (Cormode & Muthukrishnan,
+    J. Algorithms 55(1), 2005) for a fixed probe vocabulary, next to the
+    exact counts.
+
+    The sketch is d x w counters: each token increments one cell per hash
+    row (md5 salted by the row index — the portable hash, so an external
+    engine rebuilds the SKETCH ITSELF bit-exactly and the estimates are
+    hash-comparable, not tolerance-checked). Estimate = min over the d
+    cells; the CMS guarantee (estimate >= exact, overshoot bounded by
+    collisions ~ N/w per row) is directly visible in the output.
+
+    Scale shape — the reason to sketch at all: token frequency at 100 TB
+    via groupBy(token) shuffles the full vocabulary; the sketch is a
+    bounded d x w aggregate with map-side combine (the per-partition
+    partial sketch is d x w integers regardless of input size), and probe
+    estimation joins the d*|probes| probe cells against it broadcast. The
+    exact counts computed here alongside are the small-scale
+    verification twin, not part of the scale path.
+
+    Returns (tok, exact_count, cms_count) per probe token.
+    """
+    if not probes:
+        raise ValueError("probes must be a non-empty tuple of tokens")
+    spark = df.sparkSession
+
+    def _cell(tok_col, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(tok_col, F.lit(salt), F.lit(str(i)))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cell(F.col("tok"), i).alias("cell")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    ).select("c.i", "c.cell")
+    sketch = cells.groupBy("i", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    probe_df = spark.createDataFrame([(t,) for t in probes], "tok string")
+    probe_cells = probe_df.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cell(F.col("tok"), i).alias("cell")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "c.i", "c.cell")
+
+    # the SKETCH is the broadcast side: it is bounded at d x w rows by
+    # construction, regardless of corpus size — the whole point of
+    # sketching (probe_cells is the preserved side of the left join, so
+    # it cannot be the build side)
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["i", "cell"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
+    )
+    exact = (
+        toks.filter(F.col("tok").isin(*probes))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok",
+            F.coalesce("exact_count", F.lit(0).cast("long")).alias("exact_count"),
+            "cms_count",
+        )
+    )
+
+
+def cms_token_counts_sql(
+    table: str,
+    text_expr: str = "text",
+    probes: tuple[str, ...] = (),
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> str:
+    """DuckDB twin of :func:`cms_token_counts` — rebuilds the identical
+    sketch and estimates, bit-exact."""
+    if not probes:
+        raise ValueError("probes must be a non-empty tuple of tokens")
+    quoted = ", ".join("('" + p.replace("'", "''") + "')" for p in probes)
+    in_list = ", ".join("'" + p.replace("'", "''") + "'" for p in probes)
+    cell = (
+        f"('0x' || substr(md5(tok || '{salt}' || CAST(i AS VARCHAR)), 1, 15))"
+        f"::UBIGINT % {w}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split({text_expr}, ' '), x -> x <> '')) AS tok
+  FROM {table}
+),
+cells AS (
+  SELECT t.i, {cell} AS cell FROM toks, range({d}) t(i)
+),
+sketch AS (
+  SELECT i, cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY i, cell
+),
+probes(tok) AS (VALUES {quoted}),
+pc AS (
+  SELECT tok, t.i, {cell} AS cell FROM probes, range({d}) t(i)
+),
+est AS (
+  SELECT tok, min(coalesce(n, 0)) AS cms_count
+  FROM pc LEFT JOIN sketch USING (i, cell) GROUP BY tok
+),
+ex AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+)
+SELECT p.tok, coalesce(ex.exact_count, 0) AS exact_count,
+       CAST(est.cms_count AS BIGINT) AS cms_count
+FROM probes p JOIN est USING (tok) LEFT JOIN ex USING (tok)
+"""

@@ -1296,6 +1296,103 @@ def approx_distinct_users_q(spark, sf_dir):
     )
 
 
+from gamechanger_data_spark.operators.sampling import (  # noqa: E402
+    weighted_sample as _wsample,
+    weighted_sample_sql as _wsample_sql,
+)
+from gamechanger_data_spark.operators.sketch import (  # noqa: E402
+    cms_token_counts as _cms,
+    cms_token_counts_sql as _cms_sql,
+)
+
+_CMS_PROBES = (
+    "table", "row", "hash", "merge", "scan", "agg",
+    "key", "value", "fast", "slow", "part", "batch",
+)
+
+
+@q("weighted_sample", _wsample_sql("documents", "doc_id", "n_chars", k=64),
+   "weighted sampling WITHOUT replacement (Efraimidis-Spirakis order "
+   "key over the portable md5 uniform): top-64 docs drawn proportional "
+   "to n_chars — token-budget-proportional corpus sampling whose "
+   "membership is a pure function of the key (reproducible across runs/"
+   "engines/appends, unlike df.sample); compiles to one md5+log per row "
+   "+ TakeOrderedAndProject, no data shuffle")
+def weighted_sample_q(spark, sf_dir):
+    return _wsample(load(spark, sf_dir, "documents"), "doc_id", "n_chars", k=64)
+
+
+@q("cms_heavy_hitters", _cms_sql("documents", "text", _CMS_PROBES),
+   "count-min-sketch token frequencies (d=4 x w=1024 counters, portable "
+   "salted md5 rows) for a fixed probe vocabulary, next to exact counts "
+   "— the sketch itself is rebuilt bit-exactly by the oracle, so the "
+   "estimates are hash-compared, not tolerance-checked; at scale the "
+   "sketch is a bounded d*w map-side-combining aggregate vs a "
+   "full-vocabulary shuffle")
+def cms_heavy_hitters_q(spark, sf_dir):
+    return _cms(load(spark, sf_dir, "documents"), "text", _CMS_PROBES)
+
+
+@q("interval_bucket_join", """
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS w_start,
+         ts + INTERVAL 45 MINUTE AS w_end
+  FROM events WHERE event_type = 'error' AND event_id % 23 = 0
+)
+SELECT i.incident_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN inc i ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.incident_id
+""",
+   "point-in-interval join (events inside 45-min incident windows) made "
+   "EQUI-JOINABLE by time-bucketing: each interval explodes into the "
+   "15-min buckets it covers (<= 4 rows), events compute one bucket key, "
+   "the join runs as a broadcast hash join on bucket, and the exact "
+   "containment predicate filters the boundary slop — the scale answer "
+   "to Spark's lack of a native range-join (a raw theta join is a "
+   "BroadcastNestedLoop over the full corpus); cost = |events| bucket "
+   "hashes + |intervals| x 4 broadcast rows")
+def interval_bucket_join_q(spark, sf_dir):
+    bucket_us = 900 * 1_000_000  # 15-minute buckets
+
+    def _us(c):
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the UTC
+        # session makes the ltz hop a no-op vs DuckDB's naive epoch_us
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
+    ev = load(spark, sf_dir, "events")
+    inc = (
+        ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 23 == 0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+        )
+    )
+    # buckets covered by [w_start, w_end): last bucket from end-1us
+    inc_b = inc.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_us(F.col("w_start")) / F.lit(bucket_us)).cast("long"),
+                F.floor(
+                    (_us(F.col("w_end")) - F.lit(1)) / F.lit(bucket_us)
+                ).cast("long"),
+            )
+        ),
+    )
+    ev_b = ev.withColumn(
+        "bucket", F.floor(_us(F.col("ts")) / F.lit(bucket_us)).cast("long")
+    )
+    joined = ev_b.join(F.broadcast(inc_b), "bucket").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 # ------------------------------------------------------------- F6/F7 dates
 
 from gamechanger_data_spark.functions.dates import (  # noqa: E402

@@ -122,3 +122,50 @@ def test_lww_window_keeps_partial_group_limit(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(lww_window(ev, keys=("user_id",), order=("ts", "event_id")))
     assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+
+
+def test_weighted_sample_is_top_k_no_data_shuffle(spark):
+    """The ES weighted sample must compile to TakeOrderedAndProject (k
+    rows kept per partition) — a global sort would shuffle the corpus."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["weighted_sample"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_sample_weight_proportional_and_deterministic(spark):
+    """A key with overwhelming weight is always drawn; the draw is a pure
+    function of (key, salt) — identical across invocations."""
+    from gamechanger_data_spark.operators.sampling import weighted_sample
+
+    rows = [(f"k{i}", 1) for i in range(200)] + [("whale", 1_000_000)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    for salt in ("a", "b", "c"):
+        got = weighted_sample(df, "k", "w", k=10, salt=salt).toPandas()
+        assert "whale" in set(got["k"]), salt
+        again = weighted_sample(df, "k", "w", k=10, salt=salt).toPandas()
+        assert sorted(got["k"]) == sorted(again["k"])
+
+
+def test_cms_sketch_is_broadcast_and_overestimates(spark):
+    """The probe join must broadcast the bounded d x w sketch, and every
+    CMS estimate must respect the one-sided error guarantee."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    df = CATALOG["cms_heavy_hitters"].fn(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+    pdf = df.toPandas()
+    assert len(pdf) == 12
+    assert (pdf["cms_count"] >= pdf["exact_count"]).all()
+
+
+def test_interval_join_is_bucketed_equi_join_not_nested_loop(spark):
+    """The point-in-interval join must compile to a broadcast HASH join on
+    the time bucket (plus a post-filter) — a raw theta join would be a
+    BroadcastNestedLoopJoin over the full event table."""
+    from gamechanger_data_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["interval_bucket_join"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan

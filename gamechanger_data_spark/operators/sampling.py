@@ -199,19 +199,35 @@ def weighted_sample(
 
 
 def weighted_sample_sql(
-    table: str, key_expr: str, weight_expr: str, k: int = 64, salt: str = "ws"
+    table: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int = 64,
+    salt: str = "ws",
+    key_alias: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`weighted_sample` — bit-identical sample
-    membership (the rank key is rounded to 6dp on both sides)."""
+    membership (the rank key is rounded to 6dp on both sides). The
+    weight column floors before the BIGINT cast: Spark's
+    ``cast(double as long)`` truncates while DuckDB's rounds, so a bare
+    cast would diverge on fractional weights. ``key_alias`` names the
+    output key column when ``key_expr`` is an expression rather than a
+    bare column (an expression is not a valid alias)."""
+    alias = key_alias or key_expr
+    if not alias.isidentifier():
+        raise ValueError(
+            f"key_expr {key_expr!r} is not a bare column; pass key_alias"
+        )
     h = hash_bucket60_sql(key_expr, salt)
     return f"""
 WITH ranked AS (
   SELECT {key_expr} AS k,
-         CAST(greatest(CAST({weight_expr} AS DOUBLE), 1.0) AS BIGINT) AS weight,
+         CAST(floor(greatest(CAST({weight_expr} AS DOUBLE), 1.0)) AS BIGINT)
+           AS weight,
          ln(({h} + 1)::DOUBLE / {float(_HASH_SPACE)!r})
            / greatest(CAST({weight_expr} AS DOUBLE), 1.0) AS es
   FROM {table}
 )
-SELECT k AS {key_expr}, weight, round(es, 6) AS es_logkey
+SELECT k AS {alias}, weight, round(es, 6) AS es_logkey
 FROM ranked ORDER BY es DESC LIMIT {k}
 """

@@ -310,8 +310,16 @@ class LakeTable:
         O(1) per commit (round 1 rewrote the full id list into every
         manifest — O(commits) bloat at 10^5+ commits); segments are
         memoized, so a replay loop pays the chain walk once."""
-        m = self._load_manifest()
-        return set(m["applied_batches"]) | self._segment_ids(m.get("batches_segment"))
+        return self._applied_ids(self._load_manifest())
+
+    def _applied_ids(self, m: dict) -> set[str]:
+        """Applied-batch ids as recorded by ONE pinned manifest — the
+        single definition of the exactly-once replay set (inline tail +
+        chained segments). Every replay/skip decision derives from this
+        so a segment-format change has exactly one place to land."""
+        return set(m.get("applied_batches", [])) | self._segment_ids(
+            m.get("batches_segment")
+        )
 
     def _segment_ids(self, seg_rel: str | None) -> frozenset[str]:
         if seg_rel is None:
@@ -795,12 +803,19 @@ class LakeTable:
         missing = [c for c in self.key_cols if c not in key_values]
         if missing:
             raise ValueError(f"lookup requires all key columns; missing {missing}")
+        # ONE pinned manifest for bucket spec, schema, path listing, AND
+        # the delta check — a concurrent commit or rebucket between
+        # separate loads could otherwise hash the probe under a stale
+        # bucket count (silently-empty lookup) or fold the deltas after
+        # we listed them but before we resolved.
+        m = self._load_manifest()
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            raise ValueError("empty table")
         # xxhash64 is TYPE-sensitive: the probe must carry exactly the
         # table's key column types (a python int would infer LONG and hash
         # into the wrong bucket for an INT key column).
-        schema = self.schema()
-        if schema is None:
-            raise ValueError("empty table")
         key_fields = T.StructType([f for f in schema.fields if f.name in self.key_cols])
         ordered = T.StructType(
             [next(f for f in key_fields if f.name == c) for c in self.key_cols]
@@ -812,14 +827,9 @@ class LakeTable:
         # Key filter BELOW the base+delta resolution: LWW partitions by the
         # same key, so the predicate pushes through it — the parquet scans
         # prune row groups on the sorted key, and only the handful of
-        # matching rows (not the whole bucket) pay the resolve. One PINNED
-        # version for both the path listing and the delta check (a
-        # concurrent commit between two manifest loads could otherwise
-        # fold the deltas after we listed them but before we resolved).
-        v = self.current_version()
-        m = self._load_manifest(v)
+        # matching rows (not the whole bucket) pay the resolve.
         out = self.read_buckets(
-            [bucket], version=v, include_tombstones=True, resolve=False
+            [bucket], version=m["version"], include_tombstones=True, resolve=False
         )
         for c in self.key_cols:
             out = out.filter(F.col(c) == F.lit(key_values[c]))
@@ -1045,10 +1055,7 @@ class LakeTable:
         # commit (double-applying a racing same-batch writer) and a
         # concurrent rebucket is surfaced by the CAS + n_buckets check
         # instead of silently mis-bucketing.
-        applied = set(m.get("applied_batches", [])) | self._segment_ids(
-            m.get("batches_segment")
-        )
-        if batch_id in applied:
+        if batch_id in self._applied_ids(m):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
         old_nb = self.n_buckets
         self._pin_bucket_spec(m)
@@ -1268,10 +1275,7 @@ class LakeTable:
                 cur = self._load_manifest()
                 # exactly-once under racing writers of the SAME batch:
                 # whoever lost the CAS must re-check the applied set.
-                applied = set(cur["applied_batches"]) | self._segment_ids(
-                    cur.get("batches_segment")
-                )
-                if batch_id in applied:
+                if batch_id in self._applied_ids(cur):
                     return {"skipped": True, "batch_id": batch_id,
                             "version": cur["version"]}
                 if not self._can_rebase(cur, expected, touched, write_mode):
@@ -1337,7 +1341,7 @@ class LakeTable:
         )
         if not dirty:
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
-        schema = self.schema(m["version"])
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
         raw = self.read_buckets(
             dirty, version=m["version"], include_tombstones=True, resolve=False
         )
@@ -1571,10 +1575,7 @@ class LakeTable:
         # ONE pinned manifest: the applied check, bucket spec, and CAS
         # parent all derive from it (an unpinned applied_batches() call
         # could straddle a concurrent commit).
-        applied = set(m.get("applied_batches", [])) | self._segment_ids(
-            m.get("batches_segment")
-        )
-        if batch_id is not None and batch_id in applied:
+        if batch_id is not None and batch_id in self._applied_ids(m):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
         self._pin_bucket_spec(m)
         src = df

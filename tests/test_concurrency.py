@@ -313,6 +313,14 @@ def test_stale_instance_maintenance_after_rebucket_loses_nothing(spark, tmp_path
     assert final2.read().count() == 31
     assert final2.verify()["ok"]
 
+    # and for a stale-instance point lookup: the probe must hash under
+    # the manifest's spec, not the instance's (a stale hash silently
+    # reads the wrong bucket and returns empty for a live key)
+    old3 = LakeTable(spark, root)
+    old3.n_buckets = 4
+    hit = old3.lookup_key(conv_id="cX", turn_idx=9).toPandas()
+    assert list(hit["text"]) == ["late"]
+
 
 def test_expire_grace_spares_inflight_files(spark, tmp_path):
     """A fresh unreferenced parquet (a concurrent writer's not-yet-

@@ -518,6 +518,52 @@ class LakeTable:
                     os.fsync(f.fileno())
             self._swap_version_pointer(version)
 
+    # ---------------- snapshot tags ----------------
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named tag to a snapshot (Iceberg tags): the tagged
+        version's files are RETAINED by expire_snapshots regardless of
+        keep_last — the mechanism for 'the corpus we trained run X on
+        stays readable'. Atomic (tmp+rename, fsync'd); re-tagging an
+        existing name moves it. Returns the tagged version."""
+        if not name.replace("-", "_").replace(".", "_").isidentifier():
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if not os.path.exists(self._meta_path(v)):
+            raise ValueError(f"no snapshot v{v}")
+        p = os.path.join(self.root, META_DIR, f"tag-{name}.json")
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "tagged_at": _utcnow()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags -> pinned snapshot version."""
+        meta_dir = os.path.join(self.root, META_DIR)
+        out: dict[str, int] = {}
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("tag-") and fn.endswith(".json") and ".tmp" not in fn:
+                with open(os.path.join(meta_dir, fn)) as f:
+                    out[fn[4:-5]] = int(json.load(f)["version"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the pinned snapshot becomes expirable again."""
+        p = os.path.join(self.root, META_DIR, f"tag-{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no tag {name!r}")
+        os.remove(p)
+
+    def tag_version(self, name: str) -> int:
+        """Resolve a tag to its snapshot version (use with read(version=))."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no tag {name!r}")
+        return tags[name]
+
     def history(self) -> DataFrame:
         """Commit-history metadata table (the Iceberg ``table.history`` /
         ``snapshots`` analog): one row per retained manifest with version,
@@ -630,7 +676,8 @@ class LakeTable:
         input files (never a silent short result)."""
         snaps = self.snapshots()
         cur = self.current_version()
-        keep = set(snaps[-keep_last:]) | {cur}
+        # tagged snapshots are pinned: retention honors every tag
+        keep = set(snaps[-keep_last:]) | {cur} | set(self.tags().values())
         live: set[str] = set()
         for v in keep:
             m = self._load_manifest(v)

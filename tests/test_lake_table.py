@@ -370,3 +370,33 @@ def test_history_metadata_table(spark, tmp_path):
     physical = t.read_buckets(range(4), include_tombstones=True).count()
     assert h.n_rows.iloc[-1] == physical >= t.read().count()
     assert (h[h.kind == "data"].n_lineage_rows > 0).all()
+
+
+def test_snapshot_tags_pin_retention(spark, tmp_path):
+    """A tagged snapshot's files survive expire_snapshots regardless of
+    keep_last (the Iceberg tag retention contract); dropping the tag
+    makes them expirable again."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    v1 = table.current_version()
+    tagged_rows = table.read(version=v1).count()
+    table.tag("train-run-1")
+    assert table.tags() == {"train-run-1": v1}
+    _apply(spark, table, 1)
+
+    table.expire_snapshots(keep_last=1)
+    # pinned: the old snapshot still reads in full
+    assert table.read(version=v1).count() == tagged_rows
+    assert table.tag_version("train-run-1") == v1
+
+    table.drop_tag("train-run-1")
+    removed = table.expire_snapshots(keep_last=1)
+    assert removed > 0  # v1's exclusive files now collected
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        table.drop_tag("train-run-1")
+    with _pytest.raises(ValueError):
+        table.tag("bad name!")
+    with _pytest.raises(ValueError):
+        table.tag("ok", version=999)

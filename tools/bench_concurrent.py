@@ -1,0 +1,139 @@
+"""Concurrent-writer throughput evidence for the round-4 CAS commit path.
+
+Applies the same 16 MOR trickle batches to one LakeTable root
+sequentially (1 writer) and concurrently (4 writer threads, each its own
+LakeTable instance), asserting identical final state both times, and
+reports wall time, per-merge latency, and the measured commit
+critical-section (lock-held) time. MOR delta appends commute under LWW,
+so concurrent writers rebase on CAS conflicts instead of re-running —
+the expected win is overlap of the data-write phase, with only the
+O(manifest) swap serialized.
+
+Usage: python tools/bench_concurrent.py [--batches 16] [--threads 4]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from gamechanger_data_spark.session import get_spark  # noqa: E402
+from gamechanger_data_spark.sinks import table as table_mod  # noqa: E402
+from gamechanger_data_spark.sinks.table import LakeTable  # noqa: E402
+
+
+def make_batch(b: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(4_242 + b)
+    conv = np.char.add("conv", np.char.zfill(rng.integers(0, 200_000, n).astype(str), 8))
+    seq = (np.int64(b) * 10_000_000 + np.arange(n)).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "op": np.where(rng.random(n) < 0.05, "delete", "update"),
+            "conv_id": conv,
+            "turn_idx": rng.integers(0, 8, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(seq, unit="us"),
+            "event_seq": seq,
+            "text": np.char.add("payload-", seq.astype(str)),
+        }
+    )
+
+
+LOCK_HELD: list[float] = []
+_orig_commit = LakeTable._commit
+
+
+def _timed_commit(self, manifest, expected_parent=None):
+    t0 = time.time()
+    try:
+        return _orig_commit(self, manifest, expected_parent)
+    finally:
+        LOCK_HELD.append(time.time() - t0)
+
+
+def run(spark, root: str, batches: list[pd.DataFrame], threads: int) -> dict:
+    shutil.rmtree(root, ignore_errors=True)
+    seed_t = LakeTable(spark, root, n_buckets=32)
+    seed_t.merge(
+        spark.createDataFrame(make_batch(999, 50_000)), "seed", mode="cow"
+    )
+    LOCK_HELD.clear()
+    t0 = time.time()
+
+    def apply_one(i: int):
+        t = LakeTable(spark, root, n_buckets=32)
+        ta = time.time()
+        r = t.merge(spark.createDataFrame(batches[i]), f"b{i}", mode="mor")
+        return time.time() - ta, r
+
+    if threads == 1:
+        results = [apply_one(i) for i in range(len(batches))]
+    else:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            results = list(ex.map(apply_one, range(len(batches))))
+    wall = time.time() - t0
+    assert all(not r["skipped"] for _, r in results)
+    final = LakeTable(spark, root, n_buckets=32)
+    assert len(final.applied_batches()) == len(batches) + 1
+    state_hash = (
+        final.read()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx", "event_seq"]]
+        .apply(tuple, axis=1)
+        .tolist()
+    )
+    lat = sorted(d for d, _ in results)
+    held = sorted(LOCK_HELD)
+    return {
+        "wall_sec": round(wall, 2),
+        "merge_p50_sec": round(lat[len(lat) // 2], 3),
+        "merge_p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+        "commit_section_p50_ms": round(held[len(held) // 2] * 1000, 1),
+        "commit_section_max_ms": round(held[-1] * 1000, 1),
+        "rows": len(state_hash),
+        "_state": state_hash,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument("--events", type=int, default=200_000)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--workdir", default="/dev/shm/gcspark_conc")
+    args = ap.parse_args()
+
+    LakeTable._commit = _timed_commit
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("conc", master=f"local[{cpus}]", shuffle_partitions=32)
+    batches = [make_batch(b, args.events) for b in range(args.batches)]
+
+    seq = run(spark, os.path.join(args.workdir, "seq"), batches, threads=1)
+    par = run(spark, os.path.join(args.workdir, "par"), batches, args.threads)
+    assert seq.pop("_state") == par.pop("_state"), "final states diverge"
+
+    out = {
+        "metric": "concurrent-writer MOR merge throughput (same 16 batches)",
+        "events": args.batches * args.events,
+        "threads": args.threads,
+        "sequential": seq,
+        "concurrent": par,
+        "speedup": round(seq["wall_sec"] / par["wall_sec"], 2),
+        "state_parity": True,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

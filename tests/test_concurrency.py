@@ -390,3 +390,75 @@ def test_concurrent_writers_across_instances_no_hook(spark, tmp_path):
     assert keys[("c1", 0)][0] == "a2"
     assert keys[("c2", 0)][0] == "b"
     assert len(final.applied_batches()) == 3
+
+
+def test_commit_lock_and_cas_across_processes(spark, tmp_path):
+    """The writer lock is flock-based, so it must serialize ACROSS
+    PROCESSES, and a commit landed by another process must CAS-conflict
+    this one. A child python process (no Spark — _commit is pure
+    metadata) takes the lock, holds it, commits, and releases; the
+    parent's commit must block until release and then fail the CAS."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = LakeTable(spark, root, n_buckets=4)
+    t.merge(_ev(spark, [("c1", 0, 100, 1, "insert", "a")]), "b0")
+    v = t.current_version()
+
+    child_src = textwrap.dedent(f"""
+        import json, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        from gamechanger_data_spark.sinks.table import LakeTable
+        t = LakeTable.__new__(LakeTable)  # no Spark session needed
+        t.root = {root!r}
+        t.key_cols = ("conv_id", "turn_idx")
+        t.order_cols = ("ts", "event_seq")
+        t._segment_cache = {{}}
+        t._test_pre_commit = None
+        m = t._load_manifest()
+        with t._commit_lock():
+            print("LOCKED", flush=True)
+            time.sleep(2.0)
+            # commit a maintenance no-op manifest while holding the lock
+            m2 = dict(m)
+            m2["parent"] = m["version"]
+            m2["kind"] = "maintenance"
+            m2["touched_buckets"] = []
+            m2["lineage"] = []
+            mp = t._meta_path(m["version"] + 1)
+            m2["version"] = m["version"] + 1
+            m2["committed_at"] = "test"
+            with open(mp, "w") as f:
+                json.dump(m2, f)
+            t._swap_version_pointer(m2["version"])
+        print("RELEASED", flush=True)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE, text=True, cwd=os.getcwd(),
+    )
+    # wait for the child to hold the lock
+    line = proc.stdout.readline().strip()
+    assert line == "LOCKED", line
+
+    # parent commit: must BLOCK until the child releases (>=1s of the
+    # child's 2s hold remains), then CAS-fail against the child's commit
+    m = t._load_manifest(v)
+    manifest = {
+        "version": v + 1, "schema": m["schema"], "n_buckets": t.n_buckets,
+        "files": m["files"], "deltas": m.get("deltas", {}),
+        "base_rows": m.get("base_rows", {}), "delta_rows": m.get("delta_rows", {}),
+        "applied_batches": m.get("applied_batches", []),
+        "batches_segment": m.get("batches_segment"),
+        "lineage": [], "parent": v, "kind": "data", "touched_buckets": [],
+    }
+    t0 = _time.time()
+    with pytest.raises(CommitConflictError):
+        t._commit(manifest, expected_parent=v)
+    blocked = _time.time() - t0
+    assert blocked > 0.5, f"parent did not block on the child's lock ({blocked:.2f}s)"
+    proc.wait(timeout=30)
+    assert t.current_version() == v + 1  # the child's commit won

@@ -27,11 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's per-round correctness pass covers the FIRST 50 entries of
 # queries(), so ordering is part of the contract. Round-4 rotation goal:
 # every catalog query hash-green in at least TWO driver rounds.
-# _HEAD front-loads (a) the 5 round-4-new / first-time-oracled entries,
+# _HEAD front-loads (a) the 7 round-4-new / first-time-oracled entries,
 # (b) the 33 queries whose ONLY driver hash-green was round 3 (second
-# confirmation), (c) 11 of the 14 entries last driver-checked in round
-# 2, and (d) the pinned flagship replay — 5+33+11+1 = exactly 50
-# (asserted by the window checks below). Positions 51-57 hold the three
+# confirmation), (c) 9 of the 14 entries last driver-checked in round
+# 2, and (d) the pinned flagship replay — 7+33+9+1 = exactly 50
+# (asserted by the window checks below). Positions 51-59 hold the five
 # displaced round-2 entries and the other four replay queries
 # (hash-green in ALL of r1+r2+r3, re-entering next round); everything
 # else rotated out is triple-checked history, and EVERY catalog entry
@@ -42,6 +42,7 @@ _HEAD = [
     # catalog's one remaining rows-only entry; now tolerance-oracled)
     "date_extraction", "approx_distinct_users",
     "weighted_sample", "cms_heavy_hitters", "interval_bucket_join",
+    "length_strata", "key_skew_audit",
     # single-green (round 3 only) — second confirmation
     "ref_extract_dictionary", "sessionize_events", "sliding_window_rates",
     "value_percentiles", "asof_last_click_before_purchase",
@@ -59,10 +60,10 @@ _HEAD = [
     "lww_latest_window", "window_max_distinct", "groupwise_max_join",
     "minmax_ingest_dates", "title_truncate", "word_count",
     "staleness_filter", "distinct_union", "collect_set_sorted",
-    "top10_keywords", "topk_per_group",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
     # ---- position 51+ (outside the 50-query window this round) ----
+    "top10_keywords", "topk_per_group",
     "op_type_counters", "sha256_surrogate_key", "case_insensitive_dedup",
     "replay_changelog", "replay_lineage_counts", "replay_time_travel",
     "cdc_apply_events",

@@ -1393,6 +1393,92 @@ def interval_bucket_join_q(spark, sf_dir):
     )
 
 
+@q("length_strata", """
+WITH th AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents
+)
+SELECT CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+            WHEN n_chars <= q3 THEN 2 ELSE 3 END AS stratum,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents, th
+GROUP BY 1
+""",
+   "equi-depth length stratification: exact quartile thresholds from ONE "
+   "1-row aggregate broadcast back over the corpus as a codegen CASE — "
+   "the scale-honest alternative to ntile() (a global-sort window that "
+   "single-partitions the corpus); per-stratum doc and char budgets are "
+   "the inputs to length-balanced training mixtures")
+def length_strata_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.50)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    stratum = (
+        F.when(F.col("n_chars") <= F.col("q1"), 0)
+        .when(F.col("n_chars") <= F.col("q2"), 1)
+        .when(F.col("n_chars") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        docs.crossJoin(F.broadcast(th))
+        .groupBy(stratum.alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@q("key_skew_audit", """
+WITH pk AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pk)
+SELECT pk.user_id, pk.n,
+       CAST(floor((pk.n::DOUBLE / tot.total) * 1000000) AS BIGINT) AS share_ppm,
+       CAST(floor(((pk.n::DOUBLE * (SELECT count(*) FROM pk)) / tot.total) * 100)
+            AS BIGINT) AS x_mean_pct
+FROM pk, tot ORDER BY pk.n DESC, pk.user_id LIMIT 20
+""",
+   "join-key skew audit: per-key cardinality of the hot side, each hot "
+   "key's share of total and multiple-of-mean — the diagnostic that "
+   "decides broadcast vs salt vs AQE skew-join BEFORE a shuffle join; "
+   "one map-side-combining count + scalar normalizers + global top-20 "
+   "(TakeOrderedAndProject), never a sort of the key space")
+def key_skew_audit_q(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    pk = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pk.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        pk.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            # integer-domain ratios (floor of an IEEE-identical double
+            # expression) — round() differs across engines at half-way
+            # points (half-up vs half-even), floor never does
+            F.floor(
+                F.col("n").cast("double") / F.col("total") * 1_000_000
+            ).cast("long").alias("share_ppm"),
+            F.floor(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("total") * 100
+            ).cast("long").alias("x_mean_pct"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------- F6/F7 dates
 
 from gamechanger_data_spark.functions.dates import (  # noqa: E402

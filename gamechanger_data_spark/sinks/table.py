@@ -524,21 +524,51 @@ class LakeTable:
         """Pin a named tag to a snapshot (Iceberg tags): the tagged
         version's files are RETAINED by expire_snapshots regardless of
         keep_last — the mechanism for 'the corpus we trained run X on
-        stays readable'. Atomic (tmp+rename, fsync'd); re-tagging an
-        existing name moves it. Returns the tagged version."""
-        if not name.replace("-", "_").replace(".", "_").isidentifier():
+        stays readable'. Runs inside the writer lock so it cannot race an
+        in-flight expire_snapshots (a tag created after expire computed
+        its keep set would otherwise be silently unhonored). Refuses to
+        pin an ALREADY-EXPIRED snapshot (manifest JSONs live forever, but
+        a tag on a snapshot whose data files are gone would be a false
+        promise). Atomic and durable (tmp+rename, file AND directory
+        entry fsync'd — a tag that returned success must survive power
+        loss, or expire later deletes the corpus the caller pinned).
+        Re-tagging an existing name moves it. Returns the tagged version."""
+        import re
+
+        # '.tmp' is reserved (mid-write files; tags()/GC skip them) and
+        # names must be safe path components
+        if ".tmp" in name or not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
             raise ValueError(f"invalid tag name {name!r}")
-        v = self.current_version() if version is None else int(version)
-        if not os.path.exists(self._meta_path(v)):
-            raise ValueError(f"no snapshot v{v}")
-        p = os.path.join(self.root, META_DIR, f"tag-{name}.json")
-        tmp = p + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "tagged_at": _utcnow()}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, p)
-        return v
+        with self._commit_lock():
+            v = self.current_version() if version is None else int(version)
+            if not os.path.exists(self._meta_path(v)):
+                raise ValueError(f"no snapshot v{v}")
+            m = self._load_manifest(v)
+            gone = [
+                pth
+                for src in (m["files"], m.get("deltas", {}))
+                for fl in src.values()
+                for pth in fl
+                if not os.path.exists(os.path.join(self.root, pth))
+            ]
+            if gone:
+                raise ValueError(
+                    f"snapshot v{v} is already expired ({len(gone)} data "
+                    f"files missing, e.g. {gone[0]!r}) — cannot pin it"
+                )
+            p = os.path.join(self.root, META_DIR, f"tag-{name}.json")
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"version": v, "tagged_at": _utcnow()}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+            dfd = os.open(os.path.join(self.root, META_DIR), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return v
 
     def tags(self) -> dict[str, int]:
         """All tags -> pinned snapshot version."""
@@ -551,18 +581,22 @@ class LakeTable:
         return out
 
     def drop_tag(self, name: str) -> None:
-        """Remove a tag; the pinned snapshot becomes expirable again."""
+        """Remove a tag; the pinned snapshot becomes expirable again.
+        Serialized with tag()/expire via the writer lock."""
+        with self._commit_lock():
+            p = os.path.join(self.root, META_DIR, f"tag-{name}.json")
+            if not os.path.exists(p):
+                raise ValueError(f"no tag {name!r}")
+            os.remove(p)
+
+    def tag_version(self, name: str) -> int:
+        """Resolve a tag to its snapshot version (use with read(version=)).
+        O(1): reads only the named tag's file."""
         p = os.path.join(self.root, META_DIR, f"tag-{name}.json")
         if not os.path.exists(p):
             raise ValueError(f"no tag {name!r}")
-        os.remove(p)
-
-    def tag_version(self, name: str) -> int:
-        """Resolve a tag to its snapshot version (use with read(version=))."""
-        tags = self.tags()
-        if name not in tags:
-            raise ValueError(f"no tag {name!r}")
-        return tags[name]
+        with open(p) as f:
+            return int(json.load(f)["version"])
 
     def history(self) -> DataFrame:
         """Commit-history metadata table (the Iceberg ``table.history`` /
@@ -673,7 +707,16 @@ class LakeTable:
         (read(version=N) not yet fully consumed) is safe only while N's
         files are retained — run with keep_last covering the oldest
         in-flight read, or expired pinned reads fail loudly with missing
-        input files (never a silent short result)."""
+        input files (never a silent short result).
+
+        Runs inside the writer lock: the keep-set (including tag pins)
+        must not go stale against a concurrent tag()/commit while files
+        are being deleted. Writers block for the GC walk — maintenance
+        cadence work, not data-path."""
+        with self._commit_lock():
+            return self._expire_snapshots_locked(keep_last, grace_sec)
+
+    def _expire_snapshots_locked(self, keep_last: int, grace_sec: float) -> int:
         snaps = self.snapshots()
         cur = self.current_version()
         # tagged snapshots are pinned: retention honors every tag

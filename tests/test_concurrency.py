@@ -401,7 +401,6 @@ def test_commit_lock_and_cas_across_processes(spark, tmp_path):
     import subprocess
     import sys
     import textwrap
-    import time as _time
 
     root = str(tmp_path / "t")
     t = LakeTable(spark, root, n_buckets=4)
@@ -440,7 +439,11 @@ def test_commit_lock_and_cas_across_processes(spark, tmp_path):
         [sys.executable, "-c", child_src],
         stdout=subprocess.PIPE, text=True, cwd=os.getcwd(),
     )
-    # wait for the child to hold the lock
+    # wait for the child to hold the lock (watchdog: a child that wedges
+    # before printing must fail the test, not hang the run)
+    import threading
+    watchdog = threading.Timer(60, proc.kill)
+    watchdog.start()
     line = proc.stdout.readline().strip()
     assert line == "LOCKED", line
 
@@ -455,10 +458,13 @@ def test_commit_lock_and_cas_across_processes(spark, tmp_path):
         "batches_segment": m.get("batches_segment"),
         "lineage": [], "parent": v, "kind": "data", "touched_buckets": [],
     }
-    t0 = _time.time()
+    # The CommitConflictError itself proves cross-process serialization:
+    # had flock NOT blocked the parent, it would have entered the
+    # critical section while the child still slept pre-commit, seen the
+    # pointer at v, and its CAS would have SUCCEEDED. (No wall-clock
+    # assertion — timing thresholds are flaky on a loaded host.)
     with pytest.raises(CommitConflictError):
         t._commit(manifest, expected_parent=v)
-    blocked = _time.time() - t0
-    assert blocked > 0.5, f"parent did not block on the child's lock ({blocked:.2f}s)"
     proc.wait(timeout=30)
+    watchdog.cancel()
     assert t.current_version() == v + 1  # the child's commit won

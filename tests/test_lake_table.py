@@ -399,4 +399,11 @@ def test_snapshot_tags_pin_retention(spark, tmp_path):
     with _pytest.raises(ValueError):
         table.tag("bad name!")
     with _pytest.raises(ValueError):
+        table.tag("sneaky.tmp")  # reserved: GC/tags() skip .tmp files
+    with _pytest.raises(ValueError):
         table.tag("ok", version=999)
+    # pinning an ALREADY-EXPIRED snapshot must refuse (the manifest JSON
+    # still exists, but the data files are gone — a tag would be a false
+    # retention promise)
+    with _pytest.raises(ValueError, match="expired"):
+        table.tag("late-pin", version=v1)

@@ -175,6 +175,12 @@ def weighted_sample(
     to TakeOrderedAndProject (k rows kept per partition, k returned), no
     shuffle of the data itself. Weights are clamped to >= 1.
 
+    PRECONDITION: ``key_col`` values must be DISTINCT. Duplicate keys draw
+    identical rank keys, and the top-k cut then breaks ties at the
+    k-boundary arbitrarily (differently across engines/partitionings), so
+    reproducible membership holds only for distinct keys — pre-aggregate
+    to one row per key (e.g. sum the weights) before sampling.
+
     Returns (key_col, weight, es_logkey) with the rank key rounded to
     6dp for cross-engine comparison.
     """

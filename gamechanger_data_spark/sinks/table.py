@@ -56,6 +56,15 @@ uses to avoid concurrent pipeline runs
 (dataPipelines/gc_db_utils/orch/sql/create_tables.sql:31-39), upgraded
 from mutual exclusion of whole jobs to per-commit CAS with bucket-level
 conflict detection.
+
+Instance-sharing contract: concurrent writer THREADS must each open their
+own LakeTable instance on the root (cheap — one manifest read). The
+commit protocol is thread/process-safe on disk state, but an instance
+caches the pinned bucket spec in ``self.n_buckets`` per operation
+(_pin_bucket_spec), so two operations interleaving on ONE shared instance
+could observe each other's pin. rebucket() itself never mutates the
+instance until its commit lands (the new spec is threaded as a local),
+and every concurrency test/bench opens one instance per thread.
 """
 
 from __future__ import annotations
@@ -390,17 +399,28 @@ class LakeTable:
 
         MOR delta appends commute under LWW (the delta rows carry their
         own order columns and are resolved against whatever base they land
-        on), so they rebase across ANY intervening per-bucket commits. A
-        CoW rewrite embeds the target rows it read, so it rebases only
-        when the intervening commits touched disjoint buckets. Neither
-        rebases across a bucket-spec change or an all-bucket rewrite."""
+        on), so they rebase across ANY intervening per-bucket commits — but
+        NOT onto a current whose delta stack for a touched bucket has
+        already reached ``mor_max_deltas``: _decide_mode checked the stack
+        against the pinned base, and letting the rebase land anyway would
+        grow read amplification unboundedly under sustained contention.
+        Such a conflict escapes to the whole-op retry, which re-runs
+        _decide_mode against fresh state (and flips to CoW, folding the
+        stack). A CoW rewrite embeds the target rows it read, so it
+        rebases only when the intervening commits touched disjoint
+        buckets. Neither rebases across a bucket-spec change or an
+        all-bucket rewrite."""
         if int(cur.get("n_buckets", -1)) != self.n_buckets:
             return False
         inter = self._touched_between(cur, base_version)
         if inter is None:
             return False
         if write_mode == "mor":
-            return True
+            cur_deltas = cur.get("deltas", {})
+            return not any(
+                len(cur_deltas.get(str(b), [])) >= self.mor_max_deltas
+                for b in touched
+            )
         return not (inter & {int(b) for b in touched})
 
     def _with_conflict_retry(self, fn, attempts: int = MAX_MERGE_ATTEMPTS):
@@ -692,16 +712,19 @@ class LakeTable:
             "mismatched": mismatched,
         }
 
-    def expire_snapshots(self, keep_last: int = 2, grace_sec: float = 0.0) -> int:
+    def expire_snapshots(self, keep_last: int = 2, grace_sec: float = 3600.0) -> int:
         """Delete data files referenced only by expired snapshots.
 
         ``grace_sec``: age threshold below which unreferenced files are
         SPARED. With concurrent writers, a racing merge's data files exist
         on disk before its manifest commits — without a grace window this
         GC would delete them mid-commit (the Iceberg orphan-file-removal
-        hazard; Iceberg defaults its equivalent to 3 days). Set it above
-        the longest plausible in-flight write; 0 (the default) is only
-        safe when no write is in flight while maintenance runs.
+        hazard; Iceberg defaults its equivalent to 3 days). The default
+        (1 h) spares any in-flight write younger than that; raise it above
+        the longest plausible write on slower clusters. ``grace_sec=0``
+        (immediate removal) is an explicit opt-in that is only safe when
+        the caller KNOWS no write is in flight — single-writer maintenance
+        windows and tests.
 
         Retention contract for readers: a reader holding a pinned version
         (read(version=N) not yet fully consumed) is safe only while N's
@@ -717,10 +740,15 @@ class LakeTable:
             return self._expire_snapshots_locked(keep_last, grace_sec)
 
     def _expire_snapshots_locked(self, keep_last: int, grace_sec: float) -> int:
+        if keep_last < 0:
+            raise ValueError(f"keep_last must be >= 0, got {keep_last}")
         snaps = self.snapshots()
         cur = self.current_version()
-        # tagged snapshots are pinned: retention honors every tag
-        keep = set(snaps[-keep_last:]) | {cur} | set(self.tags().values())
+        # tagged snapshots are pinned: retention honors every tag.
+        # keep_last=0 means "only the current version + tag pins" — guard
+        # the python slicing trap (snaps[-0:] is the WHOLE list).
+        recent = set(snaps[-keep_last:]) if keep_last > 0 else set()
+        keep = recent | {cur} | set(self.tags().values())
         live: set[str] = set()
         for v in keep:
             m = self._load_manifest(v)
@@ -1011,8 +1039,12 @@ class LakeTable:
 
     # ---------------- write path ----------------
 
-    def _bucket_expr(self):
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+    def _bucket_expr(self, n_buckets: int | None = None):
+        """Bucket hash under ``n_buckets`` (default: the instance's pinned
+        spec). Callers changing the spec (rebucket) pass the NEW count
+        explicitly so the instance state is never mutated mid-operation."""
+        nb = self.n_buckets if n_buckets is None else int(n_buckets)
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(nb))
 
     def _evolved_schema(self, old: T.StructType | None, new: T.StructType) -> T.StructType:
         """Union-by-name, additive only (Iceberg-style schema merge)."""
@@ -1547,45 +1579,45 @@ class LakeTable:
         live = self.read_buckets(
             range(self.n_buckets), version=m["version"], include_tombstones=True
         )
-        old_nb = self.n_buckets
-        self.n_buckets = int(new_n_buckets)
-        try:
-            keep = live.withColumn("__bucket", self._bucket_expr().cast("int"))
-            snap_dir = self._provisional_snap_dir("snap", m["version"])
-            (
-                keep.repartition(self.n_buckets, "__bucket")
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(snap_dir)
-            )
-            files = self._snap_bucket_files(snap_dir, range(self.n_buckets))
-            tail, seg = self._carry_batches(m)
-            manifest = {
-                "version": m["version"] + 1,  # provisional; finalized in _commit
-                "schema": m["schema"],
-                "n_buckets": self.n_buckets,
-                "files": files,
-                # the full-rewrite read resolved and folded all deltas
-                "deltas": {},
-                "base_rows": {
-                    b: self._count_rows(fl) for b, fl in files.items() if fl
-                },
-                "delta_rows": {},
-                "applied_batches": tail,
-                "batches_segment": seg,
-                "lineage": [],
-                "parent": m["version"],
-                "kind": "maintenance",
-                # bucket ids under the NEW spec are incomparable with the
-                # old spec's — a rebucket conflicts with everything
-                "touched_buckets": "all",
-            }
-            final_v = self._commit(manifest, expected_parent=m["version"])
-            return {"skipped": False, "batch_id": batch_id, "version": final_v,
-                    "n_buckets": self.n_buckets}
-        except Exception:
-            self.n_buckets = old_nb
-            raise
+        # the NEW spec stays a local until the commit lands: mutating
+        # self.n_buckets mid-write would let a concurrent merge on the
+        # same instance hash rows under the new spec while the manifest
+        # still records the old layout
+        new_nb = int(new_n_buckets)
+        keep = live.withColumn("__bucket", self._bucket_expr(new_nb).cast("int"))
+        snap_dir = self._provisional_snap_dir("snap", m["version"])
+        (
+            keep.repartition(new_nb, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        files = self._snap_bucket_files(snap_dir, range(new_nb))
+        tail, seg = self._carry_batches(m)
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": m["schema"],
+            "n_buckets": new_nb,
+            "files": files,
+            # the full-rewrite read resolved and folded all deltas
+            "deltas": {},
+            "base_rows": {
+                b: self._count_rows(fl) for b, fl in files.items() if fl
+            },
+            "delta_rows": {},
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "maintenance",
+            # bucket ids under the NEW spec are incomparable with the
+            # old spec's — a rebucket conflicts with everything
+            "touched_buckets": "all",
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        self.n_buckets = new_nb
+        return {"skipped": False, "batch_id": batch_id, "version": final_v,
+                "n_buckets": new_nb}
 
     def expire_tombstones(self, older_than, batch_id: str = "__tombstone_gc__") -> dict:
         """Maintenance op: drop tombstones whose order column is older than

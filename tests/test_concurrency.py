@@ -357,13 +357,13 @@ def test_pinned_reader_snapshot_isolation(spark, tmp_path):
     t.merge(_ev(spark, [("c1", 0, 200, 2, "update", "new")]), "b1")
 
     # retained: the pinned read still serves the old snapshot
-    t.expire_snapshots(keep_last=2)
+    t.expire_snapshots(keep_last=2, grace_sec=0)
     got = pinned.toPandas()
     assert list(got["text"]) == ["old"]
 
     # expired: v1's files are exclusively referenced -> removed; the
     # pinned plan must now fail loudly at execution
-    removed = t.expire_snapshots(keep_last=1)
+    removed = t.expire_snapshots(keep_last=1, grace_sec=0)
     assert removed > 0
     # fails at plan construction (path resolution) or execution — either
     # way loudly, never a silent short result
@@ -468,3 +468,74 @@ def test_commit_lock_and_cas_across_processes(spark, tmp_path):
     proc.wait(timeout=30)
     watchdog.cancel()
     assert t.current_version() == v + 1  # the child's commit won
+
+
+def test_mor_rebase_respects_delta_bound(spark, tmp_path):
+    """An auto-mode MOR merge whose CAS loses to a commit that filled the
+    touched bucket's delta stack to mor_max_deltas must NOT rebase (the
+    stack would exceed the read-amplification bound) — the whole-op retry
+    re-decides against fresh state and lands as CoW, folding the stack."""
+    root = str(tmp_path / "t")
+    a = LakeTable(
+        spark, root, n_buckets=4, merge_mode="auto",
+        mor_fraction=0.5, mor_max_deltas=1,
+    )
+    # seed ~10 resident rows per bucket so a 1-row batch decides "mor"
+    seed = _ev(
+        spark,
+        [(f"s{i}", 0, 100, i + 1, "insert", "seed") for i in range(40)],
+    )
+    a.merge(seed, "seed", src_rows=40)
+
+    # two DISTINCT keys hashing into the SAME bucket
+    probe = spark.createDataFrame(
+        [(f"x{i}", 0) for i in range(64)], "conv_id string, turn_idx long"
+    )
+    got = probe.select(
+        "conv_id", "turn_idx", a._bucket_expr().cast("int").alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["b"], []).append((r["conv_id"], r["turn_idx"]))
+    keys = next(v for v in by_bucket.values() if len(v) >= 2)
+    (ca, ta), (cb, tb) = keys[0], keys[1]
+
+    b = LakeTable(
+        spark, root, n_buckets=4, merge_mode="auto",
+        mor_fraction=0.5, mor_max_deltas=1,
+    )
+    src_b = _ev(spark, [(cb, tb, 200, 100, "insert", "from-B")])
+    a._test_pre_commit = lambda: b.merge(src_b, "batch-B", src_rows=1)
+
+    src_a = _ev(spark, [(ca, ta, 200, 101, "insert", "from-A")])
+    r = a.merge(src_a, "batch-A", src_rows=1)
+    assert not r["skipped"]
+    # B's delta append filled the stack to the cap; A's retry must have
+    # flipped to CoW (a rebased MOR append would report mode == "mor"
+    # and leave the stack above mor_max_deltas)
+    assert r["mode"] == "cow"
+    final = LakeTable(spark, root, n_buckets=4)
+    m = final._load_manifest()
+    assert all(len(fl) <= 1 for fl in m.get("deltas", {}).values())
+    keys_out = _read_keys(final)
+    assert keys_out[(ca, ta)][0] == "from-A"
+    assert keys_out[(cb, tb)][0] == "from-B"
+
+
+def test_expire_keep_last_zero_keeps_only_current(spark, tmp_path):
+    """keep_last=0 means 'retain only the current version (+ tag pins)' —
+    the python snaps[-0:] slicing trap must not silently keep everything;
+    negative keep_last is rejected."""
+    root = str(tmp_path / "t")
+    t = LakeTable(spark, root, n_buckets=2)
+    t.merge(_ev(spark, [("c1", 0, 100, 1, "insert", "a")]), "b0")
+    t.merge(_ev(spark, [("c1", 0, 200, 2, "update", "b")]), "b1")
+    t.merge(_ev(spark, [("c2", 0, 300, 3, "insert", "c")]), "b2")
+    removed = t.expire_snapshots(keep_last=0, grace_sec=0)
+    assert removed > 0  # pre-current versions' exclusive files are gone
+    keys = _read_keys(t)
+    assert keys[("c1", 0)][0] == "b" and keys[("c2", 0)][0] == "c"
+    with pytest.raises(Exception):
+        t.read(version=1).toPandas()  # expired snapshot fails loudly
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=-1, grace_sec=0)

@@ -53,7 +53,7 @@ def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
     _apply(spark, table, 0)
     _apply(spark, table, 1)
     n_before = table.read().count()
-    removed = table.expire_snapshots(keep_last=1)
+    removed = table.expire_snapshots(keep_last=1, grace_sec=0)
     assert removed > 0
     assert table.read().count() == n_before  # current snapshot intact
     # manifests retained for lineage even after expiry
@@ -293,7 +293,7 @@ def test_expire_snapshots_removes_orphan_metadata(spark, tmp_path):
     open(os.path.join(meta, "v00000009.json.tmp"), "w").close()
     _apply(spark, table, 1)
 
-    table.expire_snapshots(keep_last=1)
+    table.expire_snapshots(keep_last=1, grace_sec=0)
     left = set(os.listdir(meta))
     assert "batchseg-deadbeef.json" not in left
     assert not any(".tmp" in f for f in left)
@@ -384,13 +384,13 @@ def test_snapshot_tags_pin_retention(spark, tmp_path):
     assert table.tags() == {"train-run-1": v1}
     _apply(spark, table, 1)
 
-    table.expire_snapshots(keep_last=1)
+    table.expire_snapshots(keep_last=1, grace_sec=0)
     # pinned: the old snapshot still reads in full
     assert table.read(version=v1).count() == tagged_rows
     assert table.tag_version("train-run-1") == v1
 
     table.drop_tag("train-run-1")
-    removed = table.expire_snapshots(keep_last=1)
+    removed = table.expire_snapshots(keep_last=1, grace_sec=0)
     assert removed > 0  # v1's exclusive files now collected
 
     import pytest as _pytest

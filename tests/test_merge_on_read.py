@@ -236,7 +236,7 @@ def test_expire_snapshots_gcs_folded_delta_files(spark, tmp_path):
     _apply(spark, t, 1)
     n_before = t.read().count()
     t.compact()
-    removed = t.expire_snapshots(keep_last=1)
+    removed = t.expire_snapshots(keep_last=1, grace_sec=0)
     assert removed > 0
     # no delta files remain on disk anywhere
     leftovers = [

@@ -152,7 +152,7 @@ def main() -> None:
                 rec["lineage_rows"] = n_lineage
             if args.gc_every and b % args.gc_every == args.gc_every - 1:
                 t0 = time.time()
-                removed = table.expire_snapshots(keep_last=args.keep_last)
+                removed = table.expire_snapshots(keep_last=args.keep_last, grace_sec=0)
                 rec["gc_sec"] = round(time.time() - t0, 3)
                 rec["gc_removed"] = removed
                 rec["disk_bytes"] = du_bytes(table.root)

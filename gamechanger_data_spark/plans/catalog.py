@@ -616,7 +616,7 @@ except Exception:  # noqa: BLE001
 # parquet FILE PATHS (filename=true), the engine from its own metadata.
 # ---------------------------------------------------------------------
 
-_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v1"
+_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v2"
 
 
 def _ensure_replay_table(spark):
@@ -714,7 +714,7 @@ def replay_time_travel_q(spark, sf_dir):
 # incremental path must converge to what one-shot SQL computes.
 # ---------------------------------------------------------------------
 
-_SYNC_ROOT = "/tmp/gcspark_sync_tables_v1"
+_SYNC_ROOT = "/tmp/gcspark_sync_tables_v2"
 
 
 def conv_rollup(state: DataFrame) -> DataFrame:

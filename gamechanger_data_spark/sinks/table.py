@@ -122,6 +122,21 @@ def _utcnow() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
 
 
+def _canon_type(dt: T.DataType) -> T.DataType | None:
+    """Canonical hash type for a key column, or None (hash as-is).
+
+    xxhash64 is width-sensitive (hash(int 5) != hash(long 5)), so bucket
+    assignment must hash every integral key as LONG and every fractional
+    key as DOUBLE — then widening a key column (int->long, float->double,
+    the Iceberg promotions) is LAYOUT-INVARIANT: rows written before the
+    widening stay in the bucket the widened reader computes."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return T.DoubleType()
+    return None
+
+
 class LakeTable:
     """Versioned parquet table with bucket-partitioned copy-on-write MERGE."""
 
@@ -618,6 +633,48 @@ class LakeTable:
         with open(p) as f:
             return int(json.load(f)["version"])
 
+    def version_as_of(self, ts) -> int:
+        """Resolve a timestamp to the snapshot that was current AT that
+        instant — the latest version on the CURRENT parent chain with
+        ``committed_at <= ts`` (Iceberg ``FOR SYSTEM_TIME AS OF``; the
+        reference analog is its timestamped backup prefixes,
+        dataPipelines/gc_ingest/tools/snapshot/utils.py:180-218, resolved
+        by prefix timestamp).
+
+        Walking the parent chain (not the flat snapshot list) means an
+        abandoned branch left behind by rollback_to_snapshot can never
+        shadow the rolled-back truth with its later wall-clock commits.
+        Driver-side O(chain) manifest loads — an audit/read-setup path,
+        not a data path.
+
+        ``ts`` accepts a datetime (aware datetimes are converted to UTC)
+        or an ISO string in naive-UTC (the manifests' committed_at
+        format); the fixed-width format makes string comparison
+        chronological. Raises ValueError if every chain commit is newer
+        than ``ts``."""
+        if isinstance(ts, datetime):
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            probe = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        else:
+            probe = str(ts)
+        v = self.current_version()
+        oldest = None
+        while v and v > 0:
+            m = self._load_manifest(v)
+            at = m.get("committed_at")
+            if at is not None:
+                oldest = (v, at)
+                if at <= probe:
+                    return v
+            v = m.get("parent")
+        if oldest is None:
+            raise ValueError("empty table: no commit to resolve as-of against")
+        raise ValueError(
+            f"no snapshot at or before {probe!r}: oldest chain commit is "
+            f"v{oldest[0]} at {oldest[1]!r}"
+        )
+
     def history(self) -> DataFrame:
         """Commit-history metadata table (the Iceberg ``table.history`` /
         ``snapshots`` analog): one row per retained manifest with version,
@@ -809,12 +866,22 @@ class LakeTable:
         m = self._load_manifest(version)
         return T.StructType.fromJson(m["schema"]) if m["schema"] else None
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, as_of=None) -> DataFrame:
         """Snapshot read. Old files are read under the evolved schema
         (missing columns null-filled by the parquet reader). Buckets with
         outstanding delta files are resolved base+delta under the same LWW
         kernel merge uses; delta-free buckets stream straight off parquet
-        with no shuffle — the MOR read cost is ∝ un-compacted data only."""
+        with no shuffle — the MOR read cost is ∝ un-compacted data only.
+
+        Time travel: ``version=N`` pins an explicit snapshot id (pair with
+        :meth:`tag_version` for named reads); ``as_of=<ts>`` resolves the
+        snapshot that was current at that instant via
+        :meth:`version_as_of` (Iceberg ``AS OF <timestamp>``). The two are
+        mutually exclusive."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         # schema comes from the SAME loaded manifest, not a second
         # current-pointer read: with concurrent writers, two unpinned
         # loads could pair one version's file list with another's schema
@@ -826,6 +893,45 @@ class LakeTable:
                 [], schema or T.StructType([T.StructField("conv_id", T.StringType())])
             )
         return self._read_resolved(m, schema, buckets=None, include_tombstones=False)
+
+    def _scan_files(
+        self, m: dict, schema: T.StructType, paths: list[str]
+    ) -> DataFrame:
+        """One parquet scan of ``paths`` under ``schema``, resolving column
+        RENAMES (rename_column): files written before a rename carry the
+        old column name, so the read schema is extended with each retired
+        alias (same type) and the output projects
+        ``coalesce(new, alias...)`` — a pure projection, no rewrite, the
+        field-id-free analog of Iceberg's id-based column mapping. A
+        writer never emits both names into one file (aliases are reserved
+        against re-adding), so the coalesce is unambiguous. Narrow files
+        under a widened schema are handled by the parquet reader itself
+        (native int->long / float->double promotion)."""
+        renames = m.get("renames") or {}
+        active = {
+            n: olds
+            for n, olds in renames.items()
+            if any(f.name == n for f in schema.fields)
+        }
+        if not active:
+            return self.spark.read.schema(schema).parquet(*paths)
+        types = {f.name: f.dataType for f in schema.fields}
+        extra = [
+            T.StructField(o, types[n], True)
+            for n, olds in active.items()
+            for o in olds
+        ]
+        read_schema = T.StructType(list(schema.fields) + extra)
+        df = self.spark.read.schema(read_schema).parquet(*paths)
+        cols = [
+            F.coalesce(F.col(f.name), *[F.col(o) for o in active[f.name]]).alias(
+                f.name
+            )
+            if f.name in active
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
 
     def _drop_tombstones(self, df: DataFrame) -> DataFrame:
         """Delete-tombstone rows are physical (they defend keys against
@@ -863,7 +969,7 @@ class LakeTable:
             if not paths:
                 out = self.spark.createDataFrame([], schema)
             else:
-                out = self.spark.read.schema(schema).parquet(*paths)
+                out = self._scan_files(m, schema, paths)
             return out if include_tombstones else self._drop_tombstones(out)
         return self._read_resolved(m, schema, list(buckets), include_tombstones)
 
@@ -892,7 +998,7 @@ class LakeTable:
             os.path.join(self.root, p) for b in clean for p in m["files"].get(b, [])
         ]
         if clean_paths:
-            parts.append(self.spark.read.schema(schema).parquet(*clean_paths))
+            parts.append(self._scan_files(m, schema, clean_paths))
         if dirty:
             dirty_paths = [
                 os.path.join(self.root, p)
@@ -900,7 +1006,7 @@ class LakeTable:
                 for src in (m["files"], deltas)
                 for p in src.get(b, [])
             ]
-            raw = self.spark.read.schema(schema).parquet(*dirty_paths)
+            raw = self._scan_files(m, schema, dirty_paths)
             parts.append(lww_max_by(raw, self.key_cols, self.order_cols))
         if not parts:
             out = self.spark.createDataFrame([], schema)
@@ -941,7 +1047,9 @@ class LakeTable:
         probe = self.spark.createDataFrame(
             [tuple(key_values[c] for c in self.key_cols)], ordered
         )
-        bucket = probe.select(self._bucket_expr().cast("int").alias("b")).collect()[0]["b"]
+        bucket = probe.select(
+            self._bucket_expr(schema=ordered).cast("int").alias("b")
+        ).collect()[0]["b"]
         # Key filter BELOW the base+delta resolution: LWW partitions by the
         # same key, so the predicate pushes through it — the parquet scans
         # prune row groups on the sorted key, and only the handful of
@@ -1039,23 +1147,94 @@ class LakeTable:
 
     # ---------------- write path ----------------
 
-    def _bucket_expr(self, n_buckets: int | None = None):
+    def _bucket_expr(
+        self,
+        n_buckets: int | None = None,
+        schema: T.StructType | None = None,
+    ):
         """Bucket hash under ``n_buckets`` (default: the instance's pinned
         spec). Callers changing the spec (rebucket) pass the NEW count
-        explicitly so the instance state is never mutated mid-operation."""
-        nb = self.n_buckets if n_buckets is None else int(n_buckets)
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(nb))
+        explicitly so the instance state is never mutated mid-operation.
 
-    def _evolved_schema(self, old: T.StructType | None, new: T.StructType) -> T.StructType:
-        """Union-by-name, additive only (Iceberg-style schema merge)."""
+        ``schema``: the frame the expression will run against. Integral
+        key columns hash as LONG and fractional as DOUBLE (_canon_type),
+        making key-type widening layout-invariant; without a schema the
+        columns hash under their runtime types (safe only when they are
+        already canonical — string/long keys, as in the test probes)."""
+        nb = self.n_buckets if n_buckets is None else int(n_buckets)
+        types = (
+            {f.name: f.dataType for f in schema.fields}
+            if schema is not None
+            else {}
+        )
+        cols = []
+        for c in self.key_cols:
+            e = F.col(c)
+            ct = _canon_type(types[c]) if c in types else None
+            cols.append(e.cast(ct) if ct is not None else e)
+        return F.pmod(F.xxhash64(*cols), F.lit(nb))
+
+    def _evolved_schema(
+        self,
+        old: T.StructType | None,
+        new: T.StructType,
+        reserved: frozenset[str] = frozenset(),
+    ) -> T.StructType:
+        """Union-by-name with Iceberg-style promotions: new columns are
+        added (nullable), and a column present on both sides with a WIDER
+        type on either side resolves to the wider type (int->long,
+        float->double) — nothing is rewritten; old narrow files are read
+        under the widened schema (the parquet reader widens natively) and
+        bucket layout is unaffected because keys hash under canonical
+        types (_canon_type). Any other type change is refused loudly —
+        silently casting a source column down to the stored type was the
+        old behavior and could truncate.
+
+        ``reserved``: names retired by rename_column — re-adding one as a
+        new column is refused (the alias would collide with the rename
+        resolution at read time)."""
         if old is None:
             return new
-        fields = list(old.fields)
+        by_name = {f.name: f for f in new.fields}
+        fields: list[T.StructField] = []
+        for f in old.fields:
+            g = by_name.get(f.name)
+            if g is None or g.dataType == f.dataType:
+                fields.append(f)
+                continue
+            wider = self._wider_type(f.dataType, g.dataType)
+            if wider is None:
+                raise ValueError(
+                    f"incompatible type change for column {f.name!r}: "
+                    f"stored {f.dataType.simpleString()}, incoming "
+                    f"{g.dataType.simpleString()} (only int->long and "
+                    "float->double widen)"
+                )
+            fields.append(T.StructField(f.name, wider, True))
         names = {f.name for f in fields}
         for f in new.fields:
             if f.name not in names:
+                if f.name in reserved:
+                    raise ValueError(
+                        f"column name {f.name!r} was retired by a rename "
+                        "and cannot be re-added"
+                    )
                 fields.append(T.StructField(f.name, f.dataType, True))
         return T.StructType(fields)
+
+    @staticmethod
+    def _wider_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+        """The wider of two types under the legal promotions, else None."""
+        ladder = {
+            T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+            T.LongType(): 3,
+        }
+        if a in ladder and b in ladder:
+            return a if ladder[a] >= ladder[b] else b
+        fladder = {T.FloatType(): 0, T.DoubleType(): 1}
+        if a in fladder and b in fladder:
+            return a if fladder[a] >= fladder[b] else b
+        return None
 
     def _align(
         self, df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()
@@ -1189,18 +1368,29 @@ class LakeTable:
         old_schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
 
         src = source
+        # a lagging producer may still emit a RETIRED column name after a
+        # rename_column: map it to the current name before alignment
+        # (aliases are reserved against re-adding, so this is unambiguous)
+        renames = m.get("renames") or {}
+        for new_name, olds in renames.items():
+            if new_name not in src.columns:
+                for o in olds:
+                    if o in src.columns:
+                        src = src.withColumnRenamed(o, new_name)
+                        break
         if "is_revoked" not in src.columns:
             src = src.withColumn("is_revoked", F.col("op") == F.lit("revoke"))
 
-        # evolve schema (additive union-by-name); the table stores is_revoked
-        # and the __deleted tombstone flag, not op — op exists only inside
-        # the merge plan.
+        # evolve schema (union-by-name + int->long/float->double widening);
+        # the table stores is_revoked and the __deleted tombstone flag, not
+        # op — op exists only inside the merge plan.
         state_schema = self._evolved_schema(
             old_schema,
             T.StructType(
                 [f for f in src.schema.fields if f.name != "op"]
                 + [T.StructField("__deleted", T.BooleanType(), True)]
             ),
+            reserved=frozenset(a for olds in renames.values() for a in olds),
         )
 
         obs = None
@@ -1224,7 +1414,9 @@ class LakeTable:
 
         src_part = (
             self._align(src, state_schema, keep=("op",))
-            .withColumn("__bucket", self._bucket_expr().cast("int"))
+            .withColumn(
+                "__bucket", self._bucket_expr(schema=state_schema).cast("int")
+            )
             .withColumn("__src", F.lit(True))
         )
 
@@ -1264,7 +1456,9 @@ class LakeTable:
                         F.lit("update")
                     ),
                 )
-                .withColumn("__bucket", self._bucket_expr().cast("int"))
+                .withColumn(
+                    "__bucket", self._bucket_expr(schema=state_schema).cast("int")
+                )
                 .withColumn("__src", F.lit(False))
             )
             merged_in = tgt_part.unionByName(src_part)
@@ -1369,6 +1563,11 @@ class LakeTable:
                 else self._evolved_schema(
                     T.StructType.fromJson(base["schema"]) if base["schema"] else None,
                     stored_schema,
+                    reserved=frozenset(
+                        a
+                        for olds in (base.get("renames") or {}).values()
+                        for a in olds
+                    ),
                 )
             )
             tail, seg = self._advance_batches(base, batch_id)
@@ -1388,6 +1587,10 @@ class LakeTable:
                 "parent": expected,
                 "kind": "data",
                 "touched_buckets": sorted(int(b) for b in touched),
+                # partial rewrite: files under retired names survive in
+                # untouched buckets — the alias map rides along (a rename
+                # can't intervene mid-rebase: it conflicts with everything)
+                "renames": base.get("renames") or {},
             }
             try:
                 final_v = self._commit(manifest, expected_parent=expected)
@@ -1470,7 +1673,9 @@ class LakeTable:
         resolved = lww_max_by(raw, self.key_cols, self.order_cols).select(
             *[F.col(f.name) for f in schema.fields]
         )
-        keep = resolved.withColumn("__bucket", self._bucket_expr().cast("int"))
+        keep = resolved.withColumn(
+            "__bucket", self._bucket_expr(schema=schema).cast("int")
+        )
 
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         (
@@ -1505,6 +1710,8 @@ class LakeTable:
             "parent": m["version"],
             "kind": "maintenance",
             "touched_buckets": dirty,
+            # partial rewrite: untouched buckets may hold retired-name files
+            "renames": m.get("renames") or {},
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
@@ -1584,7 +1791,10 @@ class LakeTable:
         # same instance hash rows under the new spec while the manifest
         # still records the old layout
         new_nb = int(new_n_buckets)
-        keep = live.withColumn("__bucket", self._bucket_expr(new_nb).cast("int"))
+        sch = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        keep = live.withColumn(
+            "__bucket", self._bucket_expr(new_nb, schema=sch).cast("int")
+        )
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         (
             keep.repartition(new_nb, "__bucket")
@@ -1613,11 +1823,88 @@ class LakeTable:
             # bucket ids under the NEW spec are incomparable with the
             # old spec's — a rebucket conflicts with everything
             "touched_buckets": "all",
+            # full rewrite: every surviving file carries current names
+            "renames": {},
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         self.n_buckets = new_nb
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "n_buckets": new_nb}
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Rename a column — METADATA-ONLY (no data rewritten): the new
+        name replaces the old in the stored schema, and the old name is
+        recorded as a retired alias in the manifest's rename map; reads
+        resolve files written before the rename via
+        ``coalesce(new, alias...)`` (_scan_files). This is the
+        field-id-free analog of Iceberg's id-based rename; chained
+        renames (a->b->c) accumulate the alias list. Reference analog:
+        the suffix-typing rename pass the reference applies on publish
+        (common/document_parser — SURVEY §2.2 P1), here applied to the
+        table itself instead of per-export.
+
+        Rules: key/order/internal columns cannot be renamed; ``new`` must
+        not collide with any current column or retired alias (a retired
+        alias also cannot be re-added as a fresh column later —
+        _evolved_schema enforces it). The commit conflicts with
+        everything (touched="all"), so no concurrent merge can rebase
+        across a rename; full-rewrite maintenance (rebucket /
+        expire_tombstones / overwrite) clears the alias map because no
+        old-named file survives those."""
+        return self._with_conflict_retry(lambda: self._rename_once(old, new))
+
+    def _rename_once(self, old: str, new: str) -> dict:
+        import re
+
+        if old in self.key_cols or old in self.order_cols:
+            raise ValueError(
+                f"cannot rename key/order column {old!r} (bucket layout and "
+                "LWW ordering are keyed by name)"
+            )
+        if old.startswith("__") or new.startswith("__"):
+            raise ValueError("internal columns cannot be renamed")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        m = self._load_manifest()
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            raise ValueError("empty table: nothing to rename")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        renames = {k: list(v) for k, v in (m.get("renames") or {}).items()}
+        retired = {a for olds in renames.values() for a in olds}
+        if new in names or new in retired:
+            raise ValueError(f"column name {new!r} already in use/retired")
+        new_fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        # a chained rename inherits the prior aliases (files may exist
+        # under every historical name)
+        renames[new] = [old] + renames.pop(old, [])
+        tail, seg = self._carry_batches(m)
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": T.StructType(new_fields).jsonValue(),
+            "n_buckets": self.n_buckets,
+            "files": m["files"],
+            "deltas": m.get("deltas", {}),
+            "base_rows": m.get("base_rows", {}),
+            "delta_rows": m.get("delta_rows", {}),
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "maintenance",
+            # schema identity changes under every bucket: nothing rebases
+            # across a rename
+            "touched_buckets": "all",
+            "renames": renames,
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "version": final_v, "renamed": {old: new}}
 
     def expire_tombstones(self, older_than, batch_id: str = "__tombstone_gc__") -> dict:
         """Maintenance op: drop tombstones whose order column is older than
@@ -1642,7 +1929,12 @@ class LakeTable:
             (F.col("__deleted").isNull())
             | (~F.col("__deleted"))
             | (F.col(self.order_cols[0]) >= F.lit(older_than))
-        ).withColumn("__bucket", self._bucket_expr().cast("int"))
+        ).withColumn(
+            "__bucket",
+            self._bucket_expr(
+                schema=T.StructType.fromJson(m["schema"]) if m["schema"] else None
+            ).cast("int"),
+        )
 
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         (
@@ -1669,6 +1961,8 @@ class LakeTable:
             "kind": "maintenance",
             # drops rows in arbitrary buckets: conflicts with everything
             "touched_buckets": "all",
+            # full rewrite: every surviving file carries current names
+            "renames": {},
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "batch_id": batch_id, "version": final_v}
@@ -1711,7 +2005,9 @@ class LakeTable:
         )
         src_part = (
             self._align(src, state_schema, keep=("op",))
-            .withColumn("__bucket", self._bucket_expr().cast("int"))
+            .withColumn(
+                "__bucket", self._bucket_expr(schema=state_schema).cast("int")
+            )
         )
         dedup = {"window": lww_window, "max_by": lww_max_by, "salted": lww_salted}[
             self.dedup_strategy
@@ -1756,6 +2052,8 @@ class LakeTable:
             "kind": "data",
             # CREATE OR REPLACE: no concurrent commit can be rebased over it
             "touched_buckets": "all",
+            # replacement schema is the source's: no retired names survive
+            "renames": {},
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "batch_id": batch_id, "version": final_v}

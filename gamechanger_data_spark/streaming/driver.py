@@ -151,16 +151,27 @@ def lineage_for(
         F.sum(F.when(F.col("op") == "revoke", 1).otherwise(0)).alias("rows_revoked"),
     ]
     if table is not None:
-        # Hash under the TABLE's key-column types, not the raw feed's:
-        # xxhash64 is type-sensitive, so a feed delivering e.g. a long
-        # turn_idx against a stored int column would bucket outside the
-        # touched set and its winners would never reach the manifest.
+        # Hash under the TABLE's CANONICAL key-column types (the same
+        # _canon_type rule LakeTable._bucket_expr applies): xxhash64 is
+        # type-sensitive, so integral keys hash as LONG and fractional as
+        # DOUBLE regardless of the feed's width — a long turn_idx against
+        # a stored int column (or vice versa after widening) still lands
+        # in the bucket merge will write.
+        from gamechanger_data_spark.sinks.table import _canon_type
+
         stored = table.schema()
         stored_types = {f.name: f.dataType for f in stored.fields} if stored else {}
-        key_exprs = [
-            F.col(c).cast(stored_types[c]) if c in stored_types else F.col(c)
-            for c in table.key_cols
-        ]
+        ev_types = {f.name: f.dataType for f in events.schema.fields}
+        key_exprs = []
+        for c in table.key_cols:
+            st = stored_types.get(c, ev_types.get(c))
+            ct = _canon_type(st) if st is not None else None
+            if ct is not None:
+                key_exprs.append(F.col(c).cast(ct))
+            elif c in stored_types:
+                key_exprs.append(F.col(c).cast(st))
+            else:
+                key_exprs.append(F.col(c))
         bucket = F.pmod(F.xxhash64(*key_exprs), F.lit(table.n_buckets)).cast("int")
         proj = events.select("op", "event_seq", bucket.alias("__b"))
         aggs.append(F.collect_set("__b").alias("__buckets"))

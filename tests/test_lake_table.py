@@ -407,3 +407,58 @@ def test_snapshot_tags_pin_retention(spark, tmp_path):
     # retention promise)
     with _pytest.raises(ValueError, match="expired"):
         table.tag("late-pin", version=v1)
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel: read(as_of=ts) resolves through the commit
+    history to the latest version committed at or before ts — between two
+    commits it returns the EARLIER one; exactly at a commit it returns
+    that commit; before the first commit it fails loudly."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    v1 = table.current_version()
+    _apply(spark, table, 1)
+    v2 = table.current_version()
+
+    at1 = table._load_manifest(v1)["committed_at"]
+    at2 = table._load_manifest(v2)["committed_at"]
+    t1 = datetime.strptime(at1, "%Y-%m-%dT%H:%M:%S.%f")
+    t2 = datetime.strptime(at2, "%Y-%m-%dT%H:%M:%S.%f")
+
+    # between the two commits -> the earlier snapshot
+    mid = t1 + (t2 - t1) / 2
+    assert table.version_as_of(mid) == v1
+    assert table.read(as_of=mid).count() == table.read(version=v1).count()
+    # exactly at / after the second commit -> the second snapshot
+    assert table.version_as_of(at2) == v2
+    assert table.version_as_of(t2 + timedelta(seconds=1)) == v2
+    # before the first commit -> loud failure
+    with _pytest.raises(ValueError):
+        table.version_as_of(t1 - timedelta(seconds=1))
+    # mutually exclusive selectors
+    with _pytest.raises(ValueError):
+        table.read(version=v1, as_of=mid)
+
+
+def test_read_as_of_follows_current_chain_after_rollback(spark, tmp_path):
+    """After rollback_to_snapshot, as-of resolution walks the CURRENT
+    parent chain — an abandoned branch's later wall-clock commits can
+    never shadow the rolled-back truth."""
+    from datetime import datetime, timedelta
+
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, 0)
+    v1 = table.current_version()
+    _apply(spark, table, 1)  # v2: will be abandoned
+    v2 = table.current_version()
+    at2 = table._load_manifest(v2)["committed_at"]
+    t2 = datetime.strptime(at2, "%Y-%m-%dT%H:%M:%S.%f")
+
+    table.rollback_to_snapshot(v1)
+    # a probe AFTER the abandoned commit's wall-clock must resolve to v1
+    # (the abandoned v2 is not on the current chain)
+    assert table.version_as_of(t2 + timedelta(seconds=1)) == v1

@@ -25,56 +25,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness pass covers the FIRST 50 entries of
-# queries(), so ordering is part of the contract. Round-4 rotation goal:
-# every catalog query hash-green in at least TWO driver rounds.
-# _HEAD front-loads (a) the 7 round-4-new / first-time-oracled entries,
-# (b) the 33 queries whose ONLY driver hash-green was round 3 (second
-# confirmation), (c) 9 of the 14 entries last driver-checked in round
-# 2, and (d) the pinned flagship replay — 7+33+9+1 = exactly 50
-# (asserted by the window checks below). Positions 51-59 hold the five
-# displaced round-2 entries and the other four replay queries
-# (hash-green in ALL of r1+r2+r3, re-entering next round); everything
-# else rotated out is triple-checked history, and EVERY catalog entry
-# stays green in the local mirror (tools/check_oracles.py runs all of
-# them, not just the first 50).
+# queries(), so ordering is part of the contract. Round-5 rotation goal:
+# retire the single-evidence tail COMPLETELY — after this round every
+# catalog query is hash-green in >=2 driver rounds. _HEAD front-loads
+# (a) the 10 queries with exactly ONE driver green (3 similarity-family
+# entries last checked in round 2 + the 7 round-4-new entries),
+# (b) the 4 round-5-new queries (timestamp time travel, predicate
+# delete/update, widening+rename schema evolution),
+# (c) the 35 STALEST double-green queries — 26 last checked in round 2,
+# 6 in [r1,r3], 3 replay-machinery in [r2,r3] — which get a third
+# confirmation, and (d) the pinned flagship replay — 10+4+35+1 = exactly
+# 50 (asserted below). Everything displaced is green in rounds 3+4 (or
+# three rounds already), and EVERY catalog entry stays green in the
+# local mirror (tools/check_oracles.py runs all of them).
 _HEAD = [
-    # round-4 new / first hash-oracled (approx_distinct_users was the
-    # catalog's one remaining rows-only entry; now tolerance-oracled)
-    "date_extraction", "approx_distinct_users",
-    "weighted_sample", "cms_heavy_hitters", "interval_bucket_join",
-    "length_strata", "key_skew_audit",
-    # single-green (round 3 only) — second confirmation
-    "ref_extract_dictionary", "sessionize_events", "sliding_window_rates",
-    "value_percentiles", "asof_last_click_before_purchase",
-    "chunk_documents", "cube_order_stats",
-    "paragraph_segment", "dedup_clusters", "deterministic_sample",
-    "train_val_test_split", "decontaminate_ngram", "repetition_quality",
-    "pii_scrub", "multimodal_features", "multimodal_frame_sample",
-    "replay_synced_copy", "incremental_conv_rollup",
-    "tfidf_topk_terms", "unigram_surprise", "boilerplate_scrub",
-    "corpus_prepare", "export_shard_checksums", "kmv_distinct_users",
-    "kmeans_embeddings", "ann_ivf_topk", "stratified_mixture_sample",
-    "pack_sequences", "conversation_render", "corpus_datasheet",
-    "role_alternation_check", "content_defined_chunks", "chunk_dedup_stats",
-    # last driver-checked in round 2 (green r1+r2) — re-confirmation
-    "lww_latest_window", "window_max_distinct", "groupwise_max_join",
-    "minmax_ingest_dates", "title_truncate", "word_count",
-    "staleness_filter", "distinct_union", "collect_set_sorted",
+    # single driver green only (r2): the similarity-family tail
+    "ann_lsh_multiprobe", "dedup_minhash_verified", "embedding_neardup_lsh",
+    # single driver green only (r4-new) — second confirmation
+    "date_extraction", "approx_distinct_users", "weighted_sample",
+    "cms_heavy_hitters", "interval_bucket_join", "length_strata",
+    "key_skew_audit",
+    # round-5 new: as-of time travel, predicate DML, schema evolution
+    "replay_as_of", "delete_where_rewrite", "update_where_rewrite",
+    "replay_schema_evolution",
+    # stalest double-green (last checked round 2) — third confirmation
+    "ann_lsh_bucketed", "ann_topk_cosine", "case_insensitive_dedup",
+    "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
+    "dedup_simhash", "defaulting_projection", "derived_key_join",
+    "dict_hash_contract", "doc_fingerprint", "embedding_neardup",
+    "es_publish_projection", "lang_id_heuristic", "min_length_gate",
+    "op_type_counters", "producer_filter", "quality_score",
+    "sha256_surrogate_key", "stopword_ratio", "suffix_rename_project",
+    "text_normalize_chain", "token_count_bpe", "top10_keywords",
+    "topk_per_group", "tpch_q1_pricing_summary",
+    # double-green with a round-2/3-era gap ([r1,r3] and [r2,r3])
+    "alias_resolution", "pivot_value_by_status", "ref_count_map",
+    "rollup_order_counts", "tumbling_window_counts", "turn_renumber",
+    "replay_changelog", "replay_lineage_counts", "replay_time_travel",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
-    # ---- position 51+ (outside the 50-query window this round) ----
-    "top10_keywords", "topk_per_group",
-    "op_type_counters", "sha256_surrogate_key", "case_insensitive_dedup",
-    "replay_changelog", "replay_lineage_counts", "replay_time_travel",
-    "cdc_apply_events",
 ]
 _TAIL = [
-    # most-checked queries (green in 2-3 driver rounds incl. round 3),
+    # most-checked queries (triple-green, or green in both r3 and r4),
     # redundantly covered by in-window entries of the same operator family
-    "alias_resolution", "ref_count_map", "turn_renumber",
-    "tumbling_window_counts", "rollup_order_counts", "pivot_value_by_status",
     "lww_latest_max_by", "lww_latest_salted", "revoke_by_absence",
-    "hash_anti_join_dedup", "dim_lookup_join",
+    "hash_anti_join_dedup", "dim_lookup_join", "cdc_apply_events",
+    "lww_latest_window", "window_max_distinct", "groupwise_max_join",
+    "minmax_ingest_dates", "staleness_filter", "title_truncate",
+    "word_count", "distinct_union", "collect_set_sorted",
 ]
 
 

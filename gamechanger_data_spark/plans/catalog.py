@@ -706,6 +706,167 @@ def replay_time_travel_q(spark, sf_dir):
     )
 
 
+@q("replay_as_of", f"""
+WITH ev AS (
+  SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')
+  WHERE event_seq < {_B2_LO}
+),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role,
+       {_NORM_CHAIN_SQL.format(col='text')} AS text,
+       ts, (op = 'revoke') AS is_revoked
+FROM w WHERE rn = 1 AND op <> 'delete'
+""", "TIMESTAMP time travel: read(as_of=<instant between the batch-1 and "
+     "batch-2 commits>) must resolve through the commit history to the "
+     "batches-0..1 state — the Iceberg AS OF <timestamp> form, vs the same "
+     "seq-bounded prefix oracle as replay_time_travel (which pins by "
+     "version id; this pins by wall-clock)")
+def replay_as_of_q(spark, sf_dir):
+    from datetime import datetime
+
+    t = _ensure_replay_table(spark)
+    fmt = "%Y-%m-%dT%H:%M:%S.%f"
+    at2 = datetime.strptime(t._load_manifest(2)["committed_at"], fmt)
+    at3 = datetime.strptime(t._load_manifest(3)["committed_at"], fmt)
+    mid = at2 + (at3 - at2) / 2
+    return t.read(as_of=mid).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "is_revoked"
+    )
+
+
+# ---------------------------------------------------------------------
+# Predicate DML + schema evolution machinery: each builds the replayed
+# table once per host, applies the engine operation, and is hash-compared
+# against SQL recomputing the expected final state from the raw feed.
+# ---------------------------------------------------------------------
+
+_DML_ROOT = "/tmp/gcspark_dml_table_v1"
+
+
+def _ensure_dml_table(spark):
+    """Replay the feed, then apply two predicate-DML commits: an
+    update_where prefixing system-role text and a delete_where
+    tombstoning tool-role rows (disjoint predicates, order-insensitive)."""
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        t.update_where(
+            "role = 'system'",
+            {"text": "concat('[sys] ', text)"},
+            "dml-up-1",
+        )
+        t.delete_where("role = 'tool'", "dml-del-1")
+
+    _publish_once(_DML_ROOT, build)
+    return LakeTable(spark, os.path.join(_DML_ROOT, "table"), n_buckets=8)
+
+
+_DML_STATE_SQL = f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'system'
+              THEN '[sys] ' || {_NORM_CHAIN_SQL.format(col='text')}
+              ELSE {_NORM_CHAIN_SQL.format(col='text')} END AS text,
+         ts, (op = 'revoke') AS is_revoked
+  FROM w WHERE rn = 1 AND op <> 'delete' AND role <> 'tool'
+)
+"""
+
+
+@q("delete_where_rewrite", _DML_STATE_SQL + """
+SELECT conv_id, turn_idx, role, ts, is_revoked FROM state
+""", "predicate DELETE as a first-class commit: delete_where(role='tool') "
+     "compiles to a touched-bucket CoW rewrite writing tombstones; the "
+     "final table must equal the oracle state with tool rows absent "
+     "(cli.py:267-284 delete pipeline analog)")
+def delete_where_rewrite_q(spark, sf_dir):
+    t = _ensure_dml_table(spark)
+    return t.read().select("conv_id", "turn_idx", "role", "ts", "is_revoked")
+
+
+@q("update_where_rewrite", _DML_STATE_SQL + """
+SELECT conv_id, turn_idx, text FROM state
+""", "predicate UPDATE as a first-class commit: update_where(role='system', "
+     "text := '[sys] ' || text) rewrites only matching rows in touched "
+     "buckets, leaves every other row byte-identical, and never bumps "
+     "order columns")
+def update_where_rewrite_q(spark, sf_dir):
+    t = _ensure_dml_table(spark)
+    return t.read().select("conv_id", "turn_idx", "text")
+
+
+_EVO_ROOT = "/tmp/gcspark_evo_table_v1"
+
+
+def _ensure_evo_table(spark):
+    """Replay batch 0 under the original schema, rename tool->tool_name
+    (metadata-only), then apply the remaining batches delivering a WIDER
+    turn_idx (long vs stored int) and still carrying the RETIRED column
+    name — exercising widening + rename + lagging-producer mapping in one
+    replay."""
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.sources.feed import list_ready_batches, read_batch
+    from gamechanger_data_spark.streaming.driver import apply_batch, replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t, limit=1)
+        t.rename_column("tool", "tool_name")
+        applied = t.applied_batches()
+        for batch_id, d in list_ready_batches(feed):
+            if batch_id in applied:
+                continue
+            ev = read_batch(spark, d).withColumn(
+                "turn_idx", F.col("turn_idx").cast("long")
+            )
+            apply_batch(t, ev, batch_id, batch_dir=d)
+
+    _publish_once(_EVO_ROOT, build)
+    return LakeTable(spark, os.path.join(_EVO_ROOT, "table"), n_buckets=8)
+
+
+@q("replay_schema_evolution", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       {_NORM_CHAIN_SQL.format(col='text')} AS text,
+       tool AS tool_name, ts, (op = 'revoke') AS is_revoked
+FROM w WHERE rn = 1 AND op <> 'delete'
+""", "schema evolution mid-replay: batch 0 lands under (tool, int "
+     "turn_idx); the column is renamed metadata-only; batches 1-2 arrive "
+     "with a WIDENED long turn_idx and the retired column name — the final "
+     "state must still equal the one-shot LWW oracle, with old int files "
+     "read under the widened schema and old-named files resolved through "
+     "the alias map (no rewrite at any step)")
+def replay_schema_evolution_q(spark, sf_dir):
+    t = _ensure_evo_table(spark)
+    return t.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool_name", "ts", "is_revoked"
+    )
+
+
 # ---------------------------------------------------------------------
 # Derived-table machinery: lake-to-lake changelog sync (sync_changelog)
 # and incremental aggregate maintenance (sync_aggregate). Both run the

@@ -1906,6 +1906,205 @@ class LakeTable:
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "version": final_v, "renamed": {old: new}}
 
+    def delete_where(
+        self, condition, batch_id: str, buckets: Iterable[int] | None = None
+    ) -> dict:
+        """DELETE FROM this table WHERE ``condition`` — a first-class
+        predicate-DML commit compiling to a touched-bucket CoW rewrite:
+        matching live rows become tombstones (carrying their own order
+        columns, so they keep defending their keys against out-of-order
+        older events, exactly like merge deletes). Reference analog: the
+        delete pipeline (dataPipelines/gc_ingest/pipelines/core/
+        cli.py:267-284), which deletes by id list against Postgres/ES.
+
+        ``condition``: a Column or SQL string evaluated against LIVE rows
+        (tombstones are never re-matched). ``buckets``: optional pruning
+        — when the caller knows which buckets the predicate can touch
+        (e.g. from :meth:`buckets_for_keys` on a key list), ONLY those
+        buckets are scanned and rewritten, 1/NB of the table per bucket;
+        without it one resolved scan finds the touched buckets first.
+        Exactly-once on ``batch_id`` (replays are no-ops); concurrent
+        commits are handled by whole-op retry (the rewrite is a pure
+        function of current state). The commit carries no offset lineage,
+        so a downstream sync_changelog treats it like an overwrite (full
+        re-sync) — run admin DML at maintenance cadence, not data-path.
+        """
+        return self._with_conflict_retry(
+            lambda: self._dml_once(condition, None, batch_id, buckets)
+        )
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        batch_id: str,
+        buckets: Iterable[int] | None = None,
+    ) -> dict:
+        """UPDATE this table SET ``assignments`` WHERE ``condition`` —
+        same commit shape, pruning, exactly-once, and concurrency rules
+        as :meth:`delete_where`. ``assignments`` maps existing non-key,
+        non-internal column names to Column/SQL-string expressions
+        (evaluated per matching row; cast to the stored column type, so
+        an update can never mutate the schema). Order columns are NOT
+        bumped: this is an administrative state rewrite, not a new event
+        — a later CDC event still out-orders the updated row."""
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        return self._with_conflict_retry(
+            lambda: self._dml_once(condition, assignments, batch_id, buckets)
+        )
+
+    def buckets_for_keys(self, keys: list[dict]) -> list[int]:
+        """Bucket ids for explicit key tuples — the pruning aid for
+        predicate DML on known keys (a point delete prunes to one
+        bucket). ``keys``: list of {key_col: value} dicts. Driver-side
+        O(len(keys)) with one tiny job."""
+        m = self._load_manifest()
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            raise ValueError("empty table")
+        key_fields = T.StructType(
+            [f for f in schema.fields if f.name in self.key_cols]
+        )
+        ordered = T.StructType(
+            [next(f for f in key_fields if f.name == c) for c in self.key_cols]
+        )
+        probe = self.spark.createDataFrame(
+            [tuple(k[c] for c in self.key_cols) for k in keys], ordered
+        )
+        rows = (
+            probe.select(
+                self._bucket_expr(schema=ordered).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def _dml_once(
+        self, condition, assignments, batch_id: str, buckets
+    ) -> dict:
+        m = self._load_manifest()
+        if batch_id in self._applied_ids(m):
+            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            raise ValueError("empty table: nothing to delete/update")
+        types = {f.name: f.dataType for f in schema.fields}
+        if assignments is not None:
+            for name in assignments:
+                if name in self.key_cols or name.startswith("__"):
+                    raise ValueError(f"cannot assign key/internal column {name!r}")
+                if name not in types:
+                    raise ValueError(
+                        f"unknown column {name!r} (DML cannot add columns; "
+                        "use merge for schema evolution)"
+                    )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        live = F.col("__deleted").isNull() | (~F.col("__deleted"))
+        hit = live & cond
+
+        if buckets is not None:
+            touched = sorted({int(b) for b in buckets})
+        else:
+            # one resolved scan finds which buckets hold matching live
+            # rows; only those are re-read and rewritten below
+            scan = self._read_resolved(m, schema, None, include_tombstones=True)
+            rows = (
+                scan.filter(hit)
+                .select(self._bucket_expr(schema=schema).cast("int").alias("b"))
+                .distinct()
+                .collect()
+            )
+            touched = sorted(r["b"] for r in rows)
+        tail, seg = self._advance_batches(m, batch_id)
+        if not touched:
+            # nothing matched: commit ONLY the batch marker (exactly-once
+            # must still hold for an empty DML under replay)
+            manifest = {
+                **{k: m[k] for k in ("schema", "n_buckets", "files")},
+                "version": m["version"] + 1,
+                "deltas": m.get("deltas", {}),
+                "base_rows": m.get("base_rows", {}),
+                "delta_rows": m.get("delta_rows", {}),
+                "applied_batches": tail,
+                "batches_segment": seg,
+                "lineage": [],
+                "parent": m["version"],
+                "kind": "data",
+                "touched_buckets": [],
+                "renames": m.get("renames") or {},
+            }
+            final_v = self._commit(manifest, expected_parent=m["version"])
+            return {"skipped": False, "batch_id": batch_id, "version": final_v,
+                    "touched_buckets": 0, "rows_hit": 0}
+        cur = self.read_buckets(
+            touched, version=m["version"], include_tombstones=True
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"dml-{batch_id}")
+        cur = cur.observe(
+            obs, F.sum(hit.cast("long")).alias("rows_hit")
+        )
+        if assignments is None:
+            out = cur.withColumn(
+                "__deleted",
+                F.when(hit, F.lit(True)).otherwise(F.col("__deleted")),
+            )
+        else:
+            out = cur
+            for name, expr in assignments.items():
+                e = F.expr(expr) if isinstance(expr, str) else expr
+                out = out.withColumn(
+                    name,
+                    F.when(hit, e.cast(types[name])).otherwise(F.col(name)),
+                )
+        out = out.withColumn(
+            "__bucket", self._bucket_expr(schema=schema).cast("int")
+        )
+        snap_dir = self._provisional_snap_dir("snap", m["version"])
+        (
+            out.repartition(max(1, len(touched)), "__bucket")
+            .sortWithinPartitions(*self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        files = dict(m["files"])
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        base_rows = dict(m.get("base_rows", {}))
+        delta_rows = dict(m.get("delta_rows", {}))
+        files.update(self._snap_bucket_files(snap_dir, touched))
+        for b in touched:
+            bk = str(b)
+            base_rows[bk] = self._count_rows(files[bk])
+            # the resolved rewrite folded any outstanding deltas
+            deltas[bk] = []
+            delta_rows[bk] = 0
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": m["schema"],
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "deltas": deltas,
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "data",
+            "touched_buckets": touched,
+            "renames": m.get("renames") or {},
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "batch_id": batch_id, "version": final_v,
+                "touched_buckets": len(touched),
+                "rows_hit": int(obs.get["rows_hit"] or 0)}
+
     def expire_tombstones(self, older_than, batch_id: str = "__tombstone_gc__") -> dict:
         """Maintenance op: drop tombstones whose order column is older than
         ``older_than`` (the retention horizon after which out-of-order

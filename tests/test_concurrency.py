@@ -539,3 +539,82 @@ def test_expire_keep_last_zero_keeps_only_current(spark, tmp_path):
         t.read(version=1).toPandas()  # expired snapshot fails loudly
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=-1, grace_sec=0)
+
+
+def test_two_concurrent_streaming_drivers_disjoint_feeds(spark, tmp_path):
+    """Two replay_feed drivers running CONCURRENTLY over disjoint feeds
+    into one table (each through its own LakeTable instance, per the
+    instance-sharing contract): every batch id from both feeds lands
+    exactly once, a re-run of both drivers is all-skips, and the final
+    state equals the single-driver oracle over the union of events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gamechanger_data_spark.datagen import (
+        BATCH_PREFIX,
+        READY_MARKER,
+        FeedSpec,
+        all_events,
+        batch_id_for,
+        generate_batch,
+        pandas_oracle,
+        write_feed,
+    )
+    from gamechanger_data_spark.functions.text import normalize_text_pandas
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    spec_a = FeedSpec(n_convs=30, n_batches=3, events_per_batch=300, seed=11)
+    spec_b = FeedSpec(n_convs=30, n_batches=3, events_per_batch=300, seed=23)
+    feed_a = str(tmp_path / "feedA")
+    feed_b = str(tmp_path / "feedB")
+    write_feed(feed_a, spec_a)
+    # feed B: disjoint batch ids (suffix) AND disjoint conv keys (prefix)
+    for b in range(spec_b.n_batches):
+        pdf = generate_batch(spec_b, b)
+        pdf["conv_id"] = "B-" + pdf["conv_id"]
+        d = os.path.join(feed_b, f"{BATCH_PREFIX}{batch_id_for(b)}-B")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(d, "part-0000.parquet"))
+        open(os.path.join(d, READY_MARKER), "w").write("ready\n")
+
+    root = str(tmp_path / "t")
+    ta = LakeTable(spark, root, n_buckets=NB)
+    tb = LakeTable(spark, root, n_buckets=NB)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(replay_feed, spark, feed_a, ta)
+        fb = ex.submit(replay_feed, spark, feed_b, tb)
+        ra, rb = fa.result(timeout=600), fb.result(timeout=600)
+    assert all(not r.get("skipped") for r in ra)
+    assert all(not r.get("skipped") for r in rb)
+
+    final = LakeTable(spark, root, n_buckets=NB)
+    ids = final.applied_batches()
+    assert len(ids) == 6 and sum(1 for i in ids if i.endswith("-B")) == 3
+
+    # a re-run of BOTH drivers is pure skips (exactly-once)
+    assert all(r.get("skipped") for r in replay_feed(spark, feed_a, ta))
+    assert all(r.get("skipped") for r in replay_feed(spark, feed_b, tb))
+
+    ev_b = pd.concat(
+        [generate_batch(spec_b, b) for b in range(spec_b.n_batches)],
+        ignore_index=True,
+    )
+    ev_b["conv_id"] = "B-" + ev_b["conv_id"]
+    ev = pd.concat([all_events(spec_a), ev_b], ignore_index=True)
+    want = pandas_oracle(ev, normalize=normalize_text_pandas)
+    got = (
+        final.read()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols].reset_index(drop=True), check_dtype=False
+    )
+
+    # lineage rows survive the interleaving: per-feed rows_in totals match
+    lin = final.lineage().toPandas()
+    lin = lin[lin.partition_id >= 0]
+    assert int(lin.rows_in.sum()) == len(ev)

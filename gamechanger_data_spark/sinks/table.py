@@ -407,7 +407,12 @@ class LakeTable:
         return out
 
     def _can_rebase(
-        self, cur: dict, base_version: int, touched: list[int], write_mode: str
+        self,
+        cur: dict,
+        base_version: int,
+        touched: list[int],
+        write_mode: str,
+        bound_deltas: bool = True,
     ) -> bool:
         """Whether a merge whose files were computed against base_version
         can be re-layered onto ``cur`` without re-reading the table.
@@ -421,16 +426,23 @@ class LakeTable:
         grow read amplification unboundedly under sustained contention.
         Such a conflict escapes to the whole-op retry, which re-runs
         _decide_mode against fresh state (and flips to CoW, folding the
-        stack). A CoW rewrite embeds the target rows it read, so it
-        rebases only when the intervening commits touched disjoint
-        buckets. Neither rebases across a bucket-spec change or an
-        all-bucket rewrite."""
+        stack). That bound applies only when the mode decision IS auto
+        (``bound_deltas``): under a caller-forced ``mor`` the retry would
+        re-run the very same append at full cost and fold nothing —
+        refusing the rebase there converts a cheap manifest re-layer
+        into pure waste (measured: 4 forced-MOR writers fell from ~2x to
+        ~1x when the bound was applied unconditionally). A CoW rewrite
+        embeds the target rows it read, so it rebases only when the
+        intervening commits touched disjoint buckets. Neither rebases
+        across a bucket-spec change or an all-bucket rewrite."""
         if int(cur.get("n_buckets", -1)) != self.n_buckets:
             return False
         inter = self._touched_between(cur, base_version)
         if inter is None:
             return False
         if write_mode == "mor":
+            if not bound_deltas:
+                return True
             cur_deltas = cur.get("deltas", {})
             return not any(
                 len(cur_deltas.get(str(b), [])) >= self.mor_max_deltas
@@ -1330,13 +1342,22 @@ class LakeTable:
         """
         if on_conflict not in ("retry", "error"):
             raise ValueError(f"unknown on_conflict {on_conflict!r}")
-        return self._with_conflict_retry(
-            lambda: self._merge_once(
+        runs = {"n": 0}
+
+        def _run():
+            runs["n"] += 1
+            return self._merge_once(
                 source, batch_id, lineage_rows, touched, transform_winners,
                 observe_ops, src_rows, mode,
-            ),
-            attempts=MAX_MERGE_ATTEMPTS if on_conflict == "retry" else 1,
+            )
+
+        res = self._with_conflict_retry(
+            _run, attempts=MAX_MERGE_ATTEMPTS if on_conflict == "retry" else 1
         )
+        # contention telemetry: whole-op re-runs (each re-reads and
+        # re-writes data) — the useful-work denominator for writer benches
+        res["attempts"] = runs["n"]
+        return res
 
     def _merge_once(
         self,
@@ -1537,7 +1558,7 @@ class LakeTable:
         # (no re-read, no re-write of data files); otherwise the conflict
         # escapes to merge()'s whole-op retry, which re-reads fresh state.
         base, expected = m, m["version"]
-        for _ in range(MAX_REBASE_ATTEMPTS):
+        for rebase_i in range(MAX_REBASE_ATTEMPTS):
             files = dict(base["files"])
             deltas = {k: list(v) for k, v in base.get("deltas", {}).items()}
             base_rows = dict(base.get("base_rows", {}))
@@ -1595,7 +1616,9 @@ class LakeTable:
             try:
                 final_v = self._commit(manifest, expected_parent=expected)
                 return {"skipped": False, "batch_id": batch_id, "version": final_v,
-                        "touched_buckets": len(touched), "mode": write_mode}
+                        "touched_buckets": len(touched), "mode": write_mode,
+                        # CAS losses absorbed WITHOUT re-running the merge
+                        "rebases": rebase_i}
             except CommitConflictError:
                 cur = self._load_manifest()
                 # exactly-once under racing writers of the SAME batch:
@@ -1603,7 +1626,11 @@ class LakeTable:
                 if batch_id in self._applied_ids(cur):
                     return {"skipped": True, "batch_id": batch_id,
                             "version": cur["version"]}
-                if not self._can_rebase(cur, expected, touched, write_mode):
+                if not self._can_rebase(
+                    cur, expected, touched, write_mode,
+                    bound_deltas=(self.merge_mode if mode is None else mode)
+                    == "auto",
+                ):
                     raise
                 base, expected = cur, cur["version"]
         raise CommitConflictError(

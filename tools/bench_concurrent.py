@@ -82,7 +82,10 @@ def _timed_commit(self, manifest, expected_parent=None):
         COMMIT_TOTAL.append(time.time() - t0)
 
 
-def run(spark, root: str, batches: list[pd.DataFrame], threads: int) -> dict:
+def run(
+    spark, root: str, batches: list[pd.DataFrame], threads: int,
+    merge_mode: str = "mor",
+) -> dict:
     shutil.rmtree(root, ignore_errors=True)
     seed_t = LakeTable(spark, root, n_buckets=32)
     seed_t.merge(
@@ -93,10 +96,22 @@ def run(spark, root: str, batches: list[pd.DataFrame], threads: int) -> dict:
     t0 = time.time()
 
     def apply_one(i: int):
+        # one instance per writer thread (the documented sharing contract);
+        # a merge that exhausts its bounded retries aborts with
+        # CommitConflictError — the caller re-runs it (counted), which is
+        # the documented recovery and must preserve exactly-once
         t = LakeTable(spark, root, n_buckets=32)
         ta = time.time()
-        r = t.merge(spark.createDataFrame(batches[i]), f"b{i}", mode="mor")
-        return time.time() - ta, r
+        aborts = 0
+        while True:
+            try:
+                r = t.merge(
+                    spark.createDataFrame(batches[i]), f"b{i}", mode=merge_mode
+                )
+                break
+            except table_mod.CommitConflictError:
+                aborts += 1
+        return time.time() - ta, r, aborts
 
     if threads == 1:
         results = [apply_one(i) for i in range(len(batches))]
@@ -104,7 +119,7 @@ def run(spark, root: str, batches: list[pd.DataFrame], threads: int) -> dict:
         with ThreadPoolExecutor(max_workers=threads) as ex:
             results = list(ex.map(apply_one, range(len(batches))))
     wall = time.time() - t0
-    assert all(not r["skipped"] for _, r in results)
+    assert all(not r["skipped"] for _, r, _ in results)
     final = LakeTable(spark, root, n_buckets=32)
     assert len(final.applied_batches()) == len(batches) + 1
     state_hash = (
@@ -114,9 +129,17 @@ def run(spark, root: str, batches: list[pd.DataFrame], threads: int) -> dict:
         .apply(tuple, axis=1)
         .tolist()
     )
-    lat = sorted(d for d, _ in results)
+    lat = sorted(d for d, _, _ in results)
     held = sorted(LOCK_HELD)
     total = sorted(COMMIT_TOTAL)
+    # contention accounting: each whole-op attempt re-does the data work,
+    # each rebase absorbs a CAS loss for only a manifest re-layer, each
+    # abort burned MAX_MERGE_ATTEMPTS attempts before the caller re-ran
+    n = len(batches)
+    attempts = sum(r["attempts"] for _, r, _ in results)
+    rebases = sum(r.get("rebases", 0) for _, r, _ in results)
+    aborts = sum(a for _, _, a in results)
+    attempts_total = attempts + aborts * table_mod.MAX_MERGE_ATTEMPTS
     return {
         "wall_sec": round(wall, 2),
         "merge_p50_sec": round(lat[len(lat) // 2], 3),
@@ -125,6 +148,11 @@ def run(spark, root: str, batches: list[pd.DataFrame], threads: int) -> dict:
         "lock_held_max_ms": round(held[-1] * 1000, 1),
         "commit_incl_wait_p50_ms": round(total[len(total) // 2] * 1000, 1),
         "commit_incl_wait_max_ms": round(total[-1] * 1000, 1),
+        "whole_op_attempts": attempts_total,
+        "retries": attempts_total - n,
+        "rebases": rebases,
+        "aborts": aborts,
+        "useful_work_frac": round(n / attempts_total, 3),
         "rows": len(state_hash),
         "_state": state_hash,
     }
@@ -135,6 +163,11 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--events", type=int, default=200_000)
     ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument(
+        "--mode", default="mor", choices=("mor", "cow"),
+        help="mor: trickle deltas (rebase path); cow: dense overlapping "
+        "bucket rewrites (worst-case whole-op-retry contention)",
+    )
     ap.add_argument("--workdir", default="/dev/shm/gcspark_conc")
     args = ap.parse_args()
 
@@ -144,12 +177,19 @@ def main() -> None:
     spark = get_spark("conc", master=f"local[{cpus}]", shuffle_partitions=32)
     batches = [make_batch(b, args.events) for b in range(args.batches)]
 
-    seq = run(spark, os.path.join(args.workdir, "seq"), batches, threads=1)
-    par = run(spark, os.path.join(args.workdir, "par"), batches, args.threads)
+    seq = run(
+        spark, os.path.join(args.workdir, "seq"), batches, threads=1,
+        merge_mode=args.mode,
+    )
+    par = run(
+        spark, os.path.join(args.workdir, "par"), batches, args.threads,
+        merge_mode=args.mode,
+    )
     assert seq.pop("_state") == par.pop("_state"), "final states diverge"
 
     out = {
-        "metric": "concurrent-writer MOR merge throughput (same 16 batches)",
+        "metric": f"concurrent-writer {args.mode.upper()} merge throughput "
+                  f"(same {args.batches} batches)",
         "events": args.batches * args.events,
         "threads": args.threads,
         "sequential": seq,

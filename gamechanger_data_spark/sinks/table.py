@@ -1214,6 +1214,25 @@ class LakeTable:
             if g is None or g.dataType == f.dataType:
                 fields.append(f)
                 continue
+            # TIMESTAMP vs TIMESTAMP_NTZ is a session-representation
+            # difference, not a type change: the engine pins the session
+            # to UTC (session.py), under which the cast is
+            # value-preserving — keep the STORED flavor and let _align
+            # cast the source (the pre-round-5 behavior; a parquet feed
+            # read yields NTZ while createDataFrame events yield LTZ)
+            ts_pair = {T.TimestampType(), T.TimestampNTZType()}
+            if {f.dataType, g.dataType} == ts_pair:
+                fields.append(f)
+                continue
+            # VOID (an all-null source column, or a stored column whose
+            # first batch was all null) is compatible with anything:
+            # resolve to the non-void side — null casts losslessly
+            if isinstance(g.dataType, T.NullType):
+                fields.append(f)
+                continue
+            if isinstance(f.dataType, T.NullType):
+                fields.append(T.StructField(f.name, g.dataType, True))
+                continue
             wider = self._wider_type(f.dataType, g.dataType)
             if wider is None:
                 raise ValueError(

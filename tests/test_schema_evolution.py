@@ -215,3 +215,29 @@ def test_replay_with_widening_and_rename_mid_stream(spark, tmp_path):
     assert dict(t.read().dtypes)["turn_idx"] == "bigint"
     assert list(got["text"]) == ["t1v2", "t2", "t3"]
     assert list(got["tool_name"]) == ["a2", "b", "c"]
+
+
+def test_timestamp_flavor_and_void_are_compatible(spark, tmp_path):
+    """TIMESTAMP vs TIMESTAMP_NTZ (parquet-born vs createDataFrame-born)
+    and VOID (an all-null source column) must NOT trip the incompatible-
+    type guard: ts keeps the stored flavor; void resolves to the non-void
+    side in either direction."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2)
+    # batch 0 via parquet round-trip -> ts lands as TIMESTAMP_NTZ
+    p = str(tmp_path / "seed.parquet")
+    _ev(spark, [("c1", 0, 100, 1, "insert", "a")],
+        extra={"meta": ["x"], "later": [None]}).write.parquet(p)
+    t.merge(spark.read.parquet(p), "b0")
+    stored_ts = dict(t.read().dtypes)["ts"]
+    # batch 1 via createDataFrame -> LTZ timestamp + all-null meta (void)
+    b1 = _ev(spark, [("c2", 0, 100, 2, "insert", "b")]).withColumn(
+        "meta", F.lit(None)
+    ).withColumn("later", F.lit("now-real"))
+    t.merge(b1, "b1")
+    dts = dict(t.read().dtypes)
+    assert dts["ts"] == stored_ts          # flavor kept, no error
+    assert dts["meta"] == "string"         # void never narrows
+    assert dts["later"] == "string"        # stored void widened to real type
+    got = t.read().orderBy("conv_id").toPandas()
+    assert list(got["meta"]) == ["x", None]
+    assert list(got["later"]) == [None, "now-real"]

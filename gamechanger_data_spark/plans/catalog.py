@@ -811,6 +811,47 @@ def update_where_rewrite_q(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "text")
 
 
+_WAP_ROOT = "/tmp/gcspark_wap_table_v1"
+
+
+def _ensure_wap_table(spark):
+    """Write-audit-publish: replay batch 0 on main, stage batches 1-2 on
+    an ``audit`` branch (invisible on main until publish), run the audit
+    gate, then fast-forward main to the branch head."""
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        root = os.path.join(tmp, "table")
+        main = LakeTable(spark, root, n_buckets=8)
+        replay_feed(spark, feed, main, limit=1)
+        main.create_branch("audit")
+        audit = LakeTable(spark, root, n_buckets=8, branch="audit")
+        replay_feed(spark, feed, audit)
+        # the audit gate: staged state must be non-empty and key-unique
+        staged = audit.read()
+        n, nk = staged.count(), staged.select("conv_id", "turn_idx").distinct().count()
+        assert n > 0 and n == nk, (n, nk)
+        main.fast_forward("audit")
+
+    _publish_once(_WAP_ROOT, build)
+    return LakeTable(spark, os.path.join(_WAP_ROOT, "table"), n_buckets=8)
+
+
+@q("replay_wap_publish", _TRANSCRIPT_REPLAY_SQL,
+   "write-audit-publish: batches 1-2 staged on an 'audit' BRANCH "
+   "(Iceberg branch model — shared manifests/data/lock, own fsync'd head "
+   "pointer), validated, then fast_forward'd into main; main's final "
+   "state must equal the one-shot LWW oracle over the full feed, with "
+   "the branch's applied-batch history carried across the publish")
+def replay_wap_publish_q(spark, sf_dir):
+    t = _ensure_wap_table(spark)
+    return t.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
+    )
+
+
 _EVO_ROOT = "/tmp/gcspark_evo_table_v1"
 
 

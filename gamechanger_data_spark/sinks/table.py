@@ -151,6 +151,7 @@ class LakeTable:
         merge_mode: str = "auto",
         mor_fraction: float = 0.2,
         mor_max_deltas: int = 8,
+        branch: str = "main",
     ):
         """``dedup_strategy`` picks the physical LWW form used by merge:
 
@@ -178,9 +179,28 @@ class LakeTable:
           otherwise. The 10^10-row design point: a trickle CDC batch pays
           O(batch), a backfill pays O(touched buckets) — never both worst
           cases.
+
+        ``branch`` opens the instance against a named write branch
+        (Iceberg branches): all reads/commits follow that branch's
+        pointer instead of main's. Branches share the manifest history,
+        data files, commit lock, and exactly-once machinery (a branch
+        head's parent chain IS its applied-batch set). Create with
+        :meth:`create_branch` first — opening a nonexistent branch is
+        refused (a typo'd name must not silently read an empty table).
+        The write-audit-publish flow: stage merges on an ``audit``
+        branch instance, validate its read(), then
+        ``main_instance.fast_forward("audit")``.
         """
         self.spark = spark
         self.root = root
+        self.branch = str(branch)
+        if self.branch != "main" and not os.path.exists(
+            os.path.join(root, META_DIR, f"BRANCH-{self.branch}")
+        ):
+            raise ValueError(
+                f"no branch {self.branch!r} — create_branch() it from an "
+                "existing instance first"
+            )
         self.key_cols = tuple(key_cols)
         self.order_cols = tuple(order_cols)
         self.n_buckets = n_buckets
@@ -217,8 +237,16 @@ class LakeTable:
     def _meta_path(self, version: int) -> str:
         return os.path.join(self.root, META_DIR, f"v{version:08d}.json")
 
+    def _pointer_path(self) -> str:
+        """This instance's branch-head pointer file. ``main`` stays the
+        legacy VERSION file (full back-compat with existing tables);
+        other branches live in BRANCH-<name> files with identical
+        fsync'd-swap discipline."""
+        fn = VERSION_FILE if self.branch == "main" else f"BRANCH-{self.branch}"
+        return os.path.join(self.root, META_DIR, fn)
+
     def current_version(self) -> int:
-        p = os.path.join(self.root, META_DIR, VERSION_FILE)
+        p = self._pointer_path()
         if not os.path.exists(p):
             return 0
         with open(p) as f:
@@ -314,8 +342,9 @@ class LakeTable:
         pointer could land before the bytes it names, so both the file and
         the directory entry are fsync'd. Shared by _commit and
         rollback_to_snapshot (rollback previously skipped the fsync
-        discipline and could lose the rollback across power loss)."""
-        vp = os.path.join(self.root, META_DIR, VERSION_FILE)
+        discipline and could lose the rollback across power loss).
+        Branch-aware: swaps THIS instance's branch pointer."""
+        vp = self._pointer_path()
         vtmp = vp + f".tmp-{uuid.uuid4().hex}"
         with open(vtmp, "w") as f:
             f.write(str(v))
@@ -645,6 +674,110 @@ class LakeTable:
         with open(p) as f:
             return int(json.load(f)["version"])
 
+    # ---------------- branches (write-audit-publish) ----------------
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        """Create a write branch pointing at ``at_version`` (default: this
+        instance's current head) — the Iceberg branch model: branches
+        share manifests, data files, and the commit lock; each has its
+        own fsync'd head pointer, so commits against a branch instance
+        advance only that branch. The staging leg of write-audit-publish
+        (the reference's analog: loading into a staging prefix and
+        promoting, gc_ingest snapshot/backup tooling). Runs inside the
+        writer lock (the head it pins must not move mid-create); refuses
+        an existing name. Returns the branch's initial head version."""
+        import re
+
+        if name == "main" or not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        with self._commit_lock():
+            p = os.path.join(self.root, META_DIR, f"BRANCH-{name}")
+            if os.path.exists(p):
+                raise ValueError(f"branch {name!r} already exists")
+            # off-chain manifests may exist from now on (even after the
+            # branch is dropped): make lineage() filter to the current
+            # chain, same mechanism as rollback (fsync'd BEFORE the
+            # pointer lands so a crash can only over-trigger the walk)
+            flag = os.path.join(self.root, META_DIR, "BRANCHED")
+            if not os.path.exists(flag):
+                with open(flag, "w") as f:
+                    f.write("1")
+                    f.flush()
+                    os.fsync(f.fileno())
+            v = self.current_version() if at_version is None else int(at_version)
+            if v > 0 and not os.path.exists(self._meta_path(v)):
+                raise ValueError(f"no snapshot v{v}")
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+            dfd = os.open(os.path.join(self.root, META_DIR), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return v
+
+    def branches(self) -> dict[str, int]:
+        """All branch heads, including main."""
+        meta_dir = os.path.join(self.root, META_DIR)
+        out: dict[str, int] = {}
+        vp = os.path.join(meta_dir, VERSION_FILE)
+        if os.path.exists(vp):
+            with open(vp) as f:
+                out["main"] = int(f.read().strip())
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("BRANCH-") and ".tmp" not in fn:
+                with open(os.path.join(meta_dir, fn)) as f:
+                    out[fn[len("BRANCH-"):]] = int(f.read().strip())
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch pointer; its exclusive commits become
+        expirable (manifests are kept forever as always)."""
+        if name == "main":
+            raise ValueError("cannot drop main")
+        with self._commit_lock():
+            p = os.path.join(self.root, META_DIR, f"BRANCH-{name}")
+            if not os.path.exists(p):
+                raise ValueError(f"no branch {name!r}")
+            os.remove(p)
+
+    def fast_forward(self, from_branch: str) -> int:
+        """Advance THIS instance's branch to ``from_branch``'s head —
+        the publish leg of write-audit-publish (Iceberg fastForward).
+        Inside the writer lock, the target head must be an ANCESTOR of
+        the source head (walking the source's parent chain): everything
+        being published builds on what the target already shows, so the
+        target's applied-batch history extends monotonically and
+        exactly-once is preserved across the publish. A diverged target
+        (concurrent commits the source never saw) is refused loudly —
+        re-stage against fresh state rather than silently dropping
+        either side. Returns the new head version."""
+        with self._commit_lock():
+            heads = self.branches()
+            if from_branch not in heads:
+                raise ValueError(f"no branch {from_branch!r}")
+            src = heads[from_branch]
+            cur = self.current_version()
+            if src == cur:
+                return cur
+            # ancestor walk: versions are monotone along parent chains
+            v = src
+            while v and v > 0 and v > cur:
+                v = self._load_manifest(v).get("parent") or 0
+            if v != cur and cur != 0:
+                raise ValueError(
+                    f"cannot fast-forward {self.branch!r} (at v{cur}) to "
+                    f"{from_branch!r} (at v{src}): v{cur} is not an "
+                    "ancestor — the branches diverged; re-stage against "
+                    "fresh state"
+                )
+            self._swap_version_pointer(src)
+            return src
+
     def version_as_of(self, ts) -> int:
         """Resolve a timestamp to the snapshot that was current AT that
         instant — the latest version on the CURRENT parent chain with
@@ -813,11 +946,17 @@ class LakeTable:
             raise ValueError(f"keep_last must be >= 0, got {keep_last}")
         snaps = self.snapshots()
         cur = self.current_version()
-        # tagged snapshots are pinned: retention honors every tag.
-        # keep_last=0 means "only the current version + tag pins" — guard
-        # the python slicing trap (snaps[-0:] is the WHOLE list).
+        # tagged snapshots and EVERY branch head are pinned: retention
+        # honors tags and keeps each branch readable. keep_last=0 means
+        # "only the current version + pins" — guard the python slicing
+        # trap (snaps[-0:] is the WHOLE list).
         recent = set(snaps[-keep_last:]) if keep_last > 0 else set()
-        keep = recent | {cur} | set(self.tags().values())
+        keep = (
+            recent
+            | {cur}
+            | set(self.tags().values())
+            | set(self.branches().values())
+        )
         live: set[str] = set()
         for v in keep:
             m = self._load_manifest(v)
@@ -1137,8 +1276,14 @@ class LakeTable:
         # survive the dedup and over-report applied work — so when (and
         # only when) a rollback has ever happened, filter to the current
         # chain. The chain walk is driver-side O(chain) JSON reads, paid
-        # solely by rolled-back tables on an audit query.
-        if os.path.exists(os.path.join(meta_dir, "ROLLBACK")):
+        # solely by rolled-back tables on an audit query. WRITE BRANCHES
+        # create the same hazard (staged-not-yet-published or dropped
+        # branches leave off-chain manifests), so the BRANCHED flag —
+        # written by create_branch, persisting past drop_branch —
+        # triggers the same filter.
+        if os.path.exists(os.path.join(meta_dir, "ROLLBACK")) or os.path.exists(
+            os.path.join(meta_dir, "BRANCHED")
+        ):
             chain, v = [], self.current_version()
             while v and v > 0:
                 chain.append(v)

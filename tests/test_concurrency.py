@@ -417,6 +417,7 @@ def test_commit_lock_and_cas_across_processes(spark, tmp_path):
         t.order_cols = ("ts", "event_seq")
         t._segment_cache = {{}}
         t._test_pre_commit = None
+        t.branch = "main"
         m = t._load_manifest()
         with t._commit_lock():
             print("LOCKED", flush=True)

@@ -152,3 +152,45 @@ def test_dml_conflict_retries_against_fresh_state(spark, tmp_path):
     got = t.read().toPandas()
     assert "tool" not in set(got["role"])
     assert "c9" not in set(got["conv_id"])
+
+
+def test_final_state_invariant_under_batching_around_dml(spark, tmp_path):
+    """The batching-invariance property extended across a DML point: with
+    the event stream split at a fixed boundary and a delete_where applied
+    between the halves, the final state must not depend on how either
+    half is internally batched (or on the CoW/MOR path)."""
+    import numpy as np
+
+    from gamechanger_data_spark.datagen import FeedSpec, all_events
+    from gamechanger_data_spark.streaming.driver import apply_batch
+
+    spec = FeedSpec(n_convs=25, max_turns=5, n_batches=3,
+                    events_per_batch=300, seed=41, evolve_batch=None)
+    events = all_events(spec)
+    cut = len(events) // 2
+    e1, e2 = events.iloc[:cut], events.iloc[cut:]
+    cond = "role = 'tool'"
+    cols = ["conv_id", "turn_idx", "role", "text", "ts", "event_seq"]
+
+    def run(name, seed, merge_mode):
+        t = LakeTable(spark, str(tmp_path / name), n_buckets=4,
+                      merge_mode=merge_mode)
+        rng = np.random.default_rng(seed)
+        for half_i, half in enumerate((e1, e2)):
+            nb = int(rng.integers(1, 4))
+            assign = rng.integers(0, nb, len(half))
+            for bi in range(nb):
+                idx = rng.permutation(np.flatnonzero(assign == bi))
+                if len(idx) == 0:
+                    continue
+                apply_batch(t, spark.createDataFrame(half.iloc[idx]),
+                            f"{name}-h{half_i}-b{bi}")
+            if half_i == 0:
+                t.delete_where(cond, f"{name}-dml")
+        return (t.read().orderBy("conv_id", "turn_idx")
+                .toPandas()[cols].reset_index(drop=True))
+
+    want = run("ref", 0, "auto")
+    for seed, mode in ((1, "auto"), (2, "mor"), (3, "auto")):
+        got = run(f"v{seed}{mode}", seed, mode)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -156,3 +156,40 @@ def test_sync_chains_to_depth_two(spark, tmp_path):
     assert [x.get("skipped", False) for x in r3].count(False) == 1
     pd.testing.assert_frame_equal(_state(src), _state(copy2),
                                   check_dtype=False)
+
+
+def test_sync_across_predicate_dml_commits(spark, tmp_path):
+    """A predicate DML commit (delete_where / update_where) carries no
+    offset lineage, so sync_changelog must take the documented overwrite
+    fallback for it — and the downstream copy still converges exactly,
+    with syncs before and after staying incremental."""
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=2,
+                              events_per_batch=500, seed=31))
+    a = LakeTable(spark, str(tmp_path / "a"), n_buckets=8)
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+
+    replay_feed(spark, feed, a, limit=1)
+    sync_changelog(a, b)
+
+    a.update_where(
+        F.col("role") == "system",
+        {"text": F.concat(F.lit("[sys] "), F.col("text"))},
+        "dml-up",
+    )
+    a.delete_where(F.col("role") == "tool", "dml-del")
+    r = sync_changelog(a, b)
+    applied = [x for x in r if not x.get("skipped")]
+    assert [x.get("mode") for x in applied] == ["overwrite", "overwrite"]
+    pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+    assert b.read().filter("role = 'tool'").count() == 0
+    assert b.read().filter("text like '[sys] %'").count() > 0
+
+    # the next ordinary commit syncs incrementally again (merge, not
+    # overwrite) and parity holds
+    replay_feed(spark, feed, a)
+    r2 = [x for x in sync_changelog(a, b) if not x.get("skipped")]
+    assert len(r2) == 1 and r2[0].get("mode") != "overwrite"
+    pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)

@@ -125,3 +125,29 @@ def test_branch_rollback_moves_only_branch_pointer(spark, tmp_path):
     assert bx.current_version() == v0
     assert main.current_version() == v0  # untouched all along
     assert bx.read().count() == 1
+
+
+def test_streaming_driver_into_branch_then_publish(spark, tmp_path):
+    """The Structured Streaming driver composes with branches: a
+    stream_feed drains into a branch instance (main untouched), and the
+    publish carries the stream's applied batches to main exactly-once."""
+    from gamechanger_data_spark.datagen import FeedSpec, write_feed
+    from gamechanger_data_spark.streaming.driver import replay_feed, stream_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=20, n_batches=2,
+                              events_per_batch=200, seed=7))
+    root = str(tmp_path / "t")
+    main = LakeTable(spark, root, n_buckets=4)
+    main.merge(_ev(spark, [("seed", 0, 1, 1, "insert", "s")]), "pre")
+    main.create_branch("ingest")
+    branch = LakeTable(spark, root, n_buckets=4, branch="ingest")
+
+    q = stream_feed(spark, feed, branch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert main.read().count() == 1          # staged only on the branch
+    assert branch.read().count() > 1
+    main.fast_forward("ingest")
+    assert main.read().count() == branch.read().count()
+    # the published batches are exactly-once on main too
+    assert all(r.get("skipped") for r in replay_feed(spark, feed, main))

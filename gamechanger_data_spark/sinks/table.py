@@ -2116,9 +2116,12 @@ class LakeTable:
         without it one resolved scan finds the touched buckets first.
         Exactly-once on ``batch_id`` (replays are no-ops); concurrent
         commits are handled by whole-op retry (the rewrite is a pure
-        function of current state). The commit carries no offset lineage,
-        so a downstream sync_changelog treats it like an overwrite (full
-        re-sync) — run admin DML at maintenance cadence, not data-path.
+        function of current state). The commit carries no offset lineage;
+        when ``condition`` (and every assignment) is a SQL STRING the
+        engine-independent spec rides in the manifest and a downstream
+        sync_changelog REPLAYS the DML (cost ∝ its own touched buckets) —
+        Column-expression forms fall back to a full overwrite re-sync, so
+        prefer SQL strings for DML on synced tables.
         """
         return self._with_conflict_retry(
             lambda: self._dml_once(condition, None, batch_id, buckets)
@@ -2193,6 +2196,22 @@ class LakeTable:
                         f"unknown column {name!r} (DML cannot add columns; "
                         "use merge for schema evolution)"
                     )
+        # When the predicate (and every assignment) arrived as SQL STRINGS,
+        # the DML is engine-independent — record it in the manifest so a
+        # downstream sync_changelog can REPLAY it (cost ∝ its own touched
+        # buckets) instead of falling back to a whole-table overwrite.
+        # Column-expression forms are not serializable; those commits keep
+        # the overwrite fallback.
+        dml_spec = None
+        if isinstance(condition, str) and (
+            assignments is None
+            or all(isinstance(v, str) for v in assignments.values())
+        ):
+            dml_spec = {
+                "op": "delete" if assignments is None else "update",
+                "condition": condition,
+                "assignments": assignments,
+            }
         cond = F.expr(condition) if isinstance(condition, str) else condition
         live = F.col("__deleted").isNull() | (~F.col("__deleted"))
         hit = live & cond
@@ -2227,6 +2246,7 @@ class LakeTable:
                 "kind": "data",
                 "touched_buckets": [],
                 "renames": m.get("renames") or {},
+                "dml": dml_spec,
             }
             final_v = self._commit(manifest, expected_parent=m["version"])
             return {"skipped": False, "batch_id": batch_id, "version": final_v,
@@ -2290,6 +2310,7 @@ class LakeTable:
             "kind": "data",
             "touched_buckets": touched,
             "renames": m.get("renames") or {},
+            "dml": dml_spec,
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "batch_id": batch_id, "version": final_v,

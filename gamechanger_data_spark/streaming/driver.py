@@ -466,7 +466,22 @@ def sync_changelog(
         try:
             ev = src.changelog(v)
         except ValueError:
-            # no offset lineage on this commit (overwrite): full replace
+            # No offset lineage on this commit. If it was a predicate DML
+            # whose condition/assignments were SQL strings, the manifest
+            # carries the engine-independent spec — REPLAY the same DML
+            # downstream under the same batch id (exactly-once; cost ∝
+            # dst's own touched buckets). Otherwise (overwrite, or a
+            # column-expression DML): full replace.
+            spec = m.get("dml")
+            if spec is not None:
+                if spec["op"] == "delete":
+                    res = dst.delete_where(spec["condition"], batch_id)
+                else:
+                    res = dst.update_where(
+                        spec["condition"], spec["assignments"], batch_id
+                    )
+                results.append({**res, "src_version": v, "mode": "dml"})
+                continue
             res = dst.overwrite(src.read(version=v), batch_id=batch_id)
             results.append({**res, "src_version": v, "mode": "overwrite"})
             continue

@@ -193,3 +193,28 @@ def test_sync_across_predicate_dml_commits(spark, tmp_path):
     r2 = [x for x in sync_changelog(a, b) if not x.get("skipped")]
     assert len(r2) == 1 and r2[0].get("mode") != "overwrite"
     pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+
+
+def test_sync_replays_string_dml_incrementally(spark, tmp_path):
+    """A predicate DML given as SQL STRINGS is recorded in the manifest
+    and REPLAYED downstream by sync_changelog (mode 'dml', exactly-once,
+    cost ∝ dst's touched buckets) — no whole-table overwrite."""
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=2,
+                              events_per_batch=500, seed=31))
+    a = LakeTable(spark, str(tmp_path / "a"), n_buckets=8)
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+
+    replay_feed(spark, feed, a)
+    sync_changelog(a, b)
+
+    a.update_where("role = 'system'",
+                   {"text": "concat('[sys] ', text)"}, "dml-up")
+    a.delete_where("role = 'tool'", "dml-del")
+    r = [x for x in sync_changelog(a, b) if not x.get("skipped")]
+    assert [x.get("mode") for x in r] == ["dml", "dml"]
+    pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+    assert b.read().filter("role = 'tool'").count() == 0
+    assert b.read().filter("text like '[sys] %'").count() > 0
+    # replaying the sync is still a pure no-op (same batch ids downstream)
+    assert all(x.get("skipped") for x in sync_changelog(a, b))

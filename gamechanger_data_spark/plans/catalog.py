@@ -616,7 +616,7 @@ except Exception:  # noqa: BLE001
 # parquet FILE PATHS (filename=true), the engine from its own metadata.
 # ---------------------------------------------------------------------
 
-_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v2"
+_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v3"
 
 
 def _ensure_replay_table(spark):
@@ -745,7 +745,7 @@ def replay_as_of_q(spark, sf_dir):
 # against SQL recomputing the expected final state from the raw feed.
 # ---------------------------------------------------------------------
 
-_DML_ROOT = "/tmp/gcspark_dml_table_v1"
+_DML_ROOT = "/tmp/gcspark_dml_table_v2"
 
 
 def _ensure_dml_table(spark):
@@ -811,7 +811,7 @@ def update_where_rewrite_q(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "text")
 
 
-_WAP_ROOT = "/tmp/gcspark_wap_table_v1"
+_WAP_ROOT = "/tmp/gcspark_wap_table_v2"
 
 
 def _ensure_wap_table(spark):
@@ -852,7 +852,7 @@ def replay_wap_publish_q(spark, sf_dir):
     )
 
 
-_EVO_ROOT = "/tmp/gcspark_evo_table_v1"
+_EVO_ROOT = "/tmp/gcspark_evo_table_v2"
 
 
 def _ensure_evo_table(spark):
@@ -916,7 +916,7 @@ def replay_schema_evolution_q(spark, sf_dir):
 # incremental path must converge to what one-shot SQL computes.
 # ---------------------------------------------------------------------
 
-_SYNC_ROOT = "/tmp/gcspark_sync_tables_v2"
+_SYNC_ROOT = "/tmp/gcspark_sync_tables_v3"
 
 
 def conv_rollup(state: DataFrame) -> DataFrame:

@@ -137,6 +137,20 @@ def _canon_type(dt: T.DataType) -> T.DataType | None:
     return None
 
 
+# Bucket-layout (key-hash) version stamped into every manifest. Version 2 =
+# canonical-type key hashing (_canon_type: integral keys hash as LONG,
+# fractional as DOUBLE). A manifest WITHOUT the stamp whose key columns
+# hash differently under canonical types may have been written by
+# pre-canonical code: opening it for hash-dependent work would silently
+# misbucket (merges land keys in a different bucket than the resident row;
+# read() unions clean buckets without cross-bucket LWW -> duplicate keys;
+# lookups come back empty). __init__ refuses such tables unless
+# ``allow_legacy_layout=True``, under which only full-rewrite ops
+# (rebucket/overwrite/expire_tombstones) and read() are permitted —
+# rebucket() rewrites under the current hash and stamps the new layout.
+LAYOUT_VERSION = 2
+
+
 class LakeTable:
     """Versioned parquet table with bucket-partitioned copy-on-write MERGE."""
 
@@ -152,6 +166,7 @@ class LakeTable:
         mor_fraction: float = 0.2,
         mor_max_deltas: int = 8,
         branch: str = "main",
+        allow_legacy_layout: bool = False,
     ):
         """``dedup_strategy`` picks the physical LWW form used by merge:
 
@@ -229,8 +244,55 @@ class LakeTable:
                 self.key_cols = tuple(existing["key_cols"])
             if existing.get("order_cols"):
                 self.order_cols = tuple(existing["order_cols"])
+        # bucket-layout guard (see LAYOUT_VERSION): an unstamped manifest
+        # with int/float key columns may predate canonical key hashing —
+        # hash-dependent ops on it would silently corrupt, so refuse at
+        # open time rather than detect duplicates later.
+        self._legacy_layout = existing["version"] > 0 and self._layout_hazard(
+            existing
+        )
+        if self._legacy_layout and not allow_legacy_layout:
+            raise ValueError(
+                f"table at {root!r} has no bucket-layout stamp and its key "
+                "columns hash differently under canonical types — it may "
+                "have been written under the pre-canonical layout, and "
+                "merging into it would silently misbucket. Reopen with "
+                "allow_legacy_layout=True and run rebucket() (a full "
+                "rewrite under the current hash) to migrate."
+            )
         os.makedirs(os.path.join(root, META_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    def _layout_hazard(self, m: dict) -> bool:
+        """True when ``m`` predates the bucket-layout stamp AND the key
+        columns' types actually hash differently under canonical types
+        (int/float keys). String/long/double keys hash identically under
+        both layouts, so unstamped tables with only those stay usable
+        (the next commit stamps them)."""
+        if int(m.get("layout") or 1) >= LAYOUT_VERSION:
+            return False
+        if not m.get("schema"):
+            return False
+        types = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(m["schema"]).fields
+        }
+        return any(
+            (ct := _canon_type(types[c])) is not None and ct != types[c]
+            for c in self.key_cols
+            if c in types
+        )
+
+    def _require_canonical_layout(self, op: str) -> None:
+        """Gate for hash-dependent ops on a legacy-layout instance
+        (opened with allow_legacy_layout=True): partial-bucket writes and
+        key-hash lookups under the wrong layout corrupt silently, so only
+        read() and the full-rewrite ops are permitted until rebucket()."""
+        if self._legacy_layout:
+            raise ValueError(
+                f"{op} refused: table layout predates canonical key "
+                "hashing — run rebucket() (full rewrite) first"
+            )
 
     # ---------------- manifest / version plumbing ----------------
 
@@ -267,6 +329,7 @@ class LakeTable:
                 "batches_segment": None,
                 "lineage": [],
                 "parent": None,
+                "layout": LAYOUT_VERSION,
             }
         with open(self._meta_path(v)) as f:
             m = json.load(f)
@@ -323,9 +386,11 @@ class LakeTable:
             manifest["parent"] = cur
             manifest["committed_at"] = _utcnow()
             # the table's key/order spec rides in every manifest so a reopen
-            # can validate/adopt it (see __init__)
+            # can validate/adopt it (see __init__); every modern commit
+            # writes canonically-hashed data, so it stamps the layout
             manifest.setdefault("key_cols", list(self.key_cols))
             manifest.setdefault("order_cols", list(self.order_cols))
+            manifest["layout"] = LAYOUT_VERSION
             mp = self._meta_path(v)
             tmp = mp + ".tmp"
             with open(tmp, "w") as f:
@@ -1175,6 +1240,7 @@ class LakeTable:
         pushed into the parquet scan where the sorted-by-key row groups
         let min/max stats skip pages. At 10^10 rows with NB=4096 a lookup
         touches ~0.02% of the data before pushdown."""
+        self._require_canonical_layout("lookup_key")
         missing = [c for c in self.key_cols if c not in key_values]
         if missing:
             raise ValueError(f"lookup requires all key columns; missing {missing}")
@@ -1534,6 +1600,7 @@ class LakeTable:
         src_rows: int | None,
         mode: str | None,
     ) -> dict:
+        self._require_canonical_layout("merge")
         m = self._load_manifest()
         # ONE pinned manifest for the whole attempt: the applied-batch
         # check, schema, bucket spec, and CAS parent ALL derive from it —
@@ -1849,6 +1916,7 @@ class LakeTable:
         return self._with_conflict_retry(lambda: self._compact_once(buckets, batch_id))
 
     def _compact_once(self, buckets, batch_id: str) -> dict:
+        self._require_canonical_layout("compact")
         m = self._load_manifest()
         self._pin_bucket_spec(m)
         dirty = sorted(
@@ -2019,6 +2087,8 @@ class LakeTable:
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         self.n_buckets = new_nb
+        # the rewrite hashed every row canonically: layout is current now
+        self._legacy_layout = False
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "n_buckets": new_nb}
 
@@ -2097,6 +2167,70 @@ class LakeTable:
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "version": final_v, "renamed": {old: new}}
 
+    def _expression_sql(self, expr, schema: T.StructType, boolean: bool) -> str | None:
+        """Engine-independent SQL for a predicate/assignment expression
+        resolved against ``schema``, or None when it cannot safely ride
+        the manifest ``dml`` spec. Accepts SQL strings and Column
+        expressions alike — both are ANALYZED against an empty local
+        relation (plan-only, no job) and the resolved Catalyst tree is
+        printed back with ``Expression.sql()``, which canonicalizes
+        either form into parseable ANSI-ish SQL. Refused (-> None) when
+        the resolved tree is nondeterministic (replaying ``rand()``
+        downstream diverges), embeds a UDF (not resolvable in another
+        session), or the printed form fails to re-parse/re-resolve.
+
+        Classic-mode only (walks the JVM plan via the private
+        ``_jdf`` handle); any failure degrades to None — the caller
+        falls back to the overwrite re-sync, never corrupts."""
+        try:
+            probe = self.spark.createDataFrame([], schema)
+            col = F.expr(expr) if isinstance(expr, str) else expr
+            if boolean:
+                je = probe.where(col)._jdf.queryExecution().analyzed().condition()
+            else:
+                alias = (
+                    probe.select(col.alias("__dml_expr"))
+                    ._jdf.queryExecution()
+                    .analyzed()
+                    .projectList()
+                    .head()
+                )
+                je = alias.child()
+            if not je.deterministic() or self._tree_has_udf(je):
+                return None
+            sql = je.sql()
+            # round-trip: the printed form must re-parse AND re-resolve
+            # against the same schema (analysis is eager in classic mode)
+            reparsed = F.expr(sql)
+            if boolean:
+                probe.where(reparsed)
+            else:
+                probe.select(reparsed)
+            return sql
+        except Exception:  # noqa: BLE001 - any printing failure -> fallback
+            return None
+
+    @staticmethod
+    def _tree_has_udf(je, budget: int = 256) -> bool:
+        """Driver-side walk of an analyzed Catalyst expression looking
+        for UDF nodes (PythonUDF/ScalaUDF/Invoke): their printed SQL
+        names session-local functions that another engine/session cannot
+        resolve — or worse, resolves to something else. Budget-bounded;
+        an exhausted budget answers True (conservative: no spec)."""
+        stack, seen = [je], 0
+        while stack:
+            seen += 1
+            if seen > budget:
+                return True
+            e = stack.pop()
+            name = e.getClass().getName()
+            if "UDF" in name or "Invoke" in name:
+                return True
+            ch = e.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
     def delete_where(
         self, condition, batch_id: str, buckets: Iterable[int] | None = None
     ) -> dict:
@@ -2117,11 +2251,16 @@ class LakeTable:
         Exactly-once on ``batch_id`` (replays are no-ops); concurrent
         commits are handled by whole-op retry (the rewrite is a pure
         function of current state). The commit carries no offset lineage;
-        when ``condition`` (and every assignment) is a SQL STRING the
-        engine-independent spec rides in the manifest and a downstream
-        sync_changelog REPLAYS the DML (cost ∝ its own touched buckets) —
-        Column-expression forms fall back to a full overwrite re-sync, so
-        prefer SQL strings for DML on synced tables.
+        when ``condition`` (and every assignment) prints to
+        engine-independent SQL — user strings and deterministic built-in
+        Column expressions both do (_expression_sql) — the spec rides in
+        the manifest and a downstream sync_changelog REPLAYS the DML
+        (cost ∝ its own touched buckets). Unprintable forms
+        (nondeterministic / UDF-backed) warn loudly and fall back to a
+        full overwrite re-sync downstream. A DML with an explicit
+        ``buckets`` list never records a spec: the list may deliberately
+        UNDER-cover the predicate, and replaying the bare predicate
+        against a copy would then delete rows the source kept.
         """
         return self._with_conflict_retry(
             lambda: self._dml_once(condition, None, batch_id, buckets)
@@ -2179,6 +2318,7 @@ class LakeTable:
     def _dml_once(
         self, condition, assignments, batch_id: str, buckets
     ) -> dict:
+        self._require_canonical_layout("predicate DML")
         m = self._load_manifest()
         if batch_id in self._applied_ids(m):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
@@ -2196,22 +2336,52 @@ class LakeTable:
                         f"unknown column {name!r} (DML cannot add columns; "
                         "use merge for schema evolution)"
                     )
-        # When the predicate (and every assignment) arrived as SQL STRINGS,
-        # the DML is engine-independent — record it in the manifest so a
-        # downstream sync_changelog can REPLAY it (cost ∝ its own touched
-        # buckets) instead of falling back to a whole-table overwrite.
-        # Column-expression forms are not serializable; those commits keep
-        # the overwrite fallback.
+        # When the predicate (and every assignment) prints to
+        # engine-independent SQL — user strings and most Column
+        # expressions do (_expression_sql resolves against the stored
+        # schema and prints the analyzed Catalyst tree) — record the spec
+        # in the manifest so a downstream sync_changelog can REPLAY it
+        # (cost ∝ its own touched buckets) instead of falling back to a
+        # whole-table overwrite. Not recorded when:
+        #   * the caller passed an explicit ``buckets`` pruning list — it
+        #     is allowed to UNDER-cover the predicate (a pruning aid, not
+        #     a constraint), so replaying the bare predicate downstream
+        #     could delete rows src kept, silently diverging the copy;
+        #   * the expression is nondeterministic (rand), embeds a UDF, or
+        #     fails the re-parse check — replaying those diverges or
+        #     breaks in another session. Warned loudly: the user is about
+        #     to pay an O(table) overwrite on every synced copy.
         dml_spec = None
-        if isinstance(condition, str) and (
-            assignments is None
-            or all(isinstance(v, str) for v in assignments.values())
-        ):
-            dml_spec = {
-                "op": "delete" if assignments is None else "update",
-                "condition": condition,
-                "assignments": assignments,
-            }
+        if buckets is None:
+            cond_sql = self._expression_sql(condition, schema, boolean=True)
+            asn_sqls = None
+            printable = cond_sql is not None
+            if printable and assignments is not None:
+                asn_sqls = {}
+                for name, e in assignments.items():
+                    s = self._expression_sql(e, schema, boolean=False)
+                    if s is None:
+                        printable = False
+                        break
+                    asn_sqls[name] = s
+            if printable:
+                dml_spec = {
+                    "op": "delete" if assignments is None else "update",
+                    "condition": cond_sql,
+                    "assignments": asn_sqls,
+                }
+            else:
+                import warnings
+
+                warnings.warn(
+                    "predicate DML expression is not printable as "
+                    "engine-independent SQL (nondeterministic, UDF-backed, "
+                    "or unparseable): downstream sync_changelog will fall "
+                    "back to a FULL overwrite re-sync for this commit — "
+                    "prefer deterministic built-in expressions for DML on "
+                    "synced tables",
+                    stacklevel=4,
+                )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         live = F.col("__deleted").isNull() | (~F.col("__deleted"))
         hit = live & cond
@@ -2376,6 +2546,7 @@ class LakeTable:
             "renames": {},
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
+        self._legacy_layout = False  # full canonical rewrite
         return {"skipped": False, "batch_id": batch_id, "version": final_v}
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> dict:
@@ -2467,4 +2638,5 @@ class LakeTable:
             "renames": {},
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
+        self._legacy_layout = False  # full canonical rewrite
         return {"skipped": False, "batch_id": batch_id, "version": final_v}

@@ -418,11 +418,72 @@ def stream_feed(
     )
 
 
+def _pending_chain(
+    src: LakeTable, applied: set[str], stream_id: str
+) -> tuple[list[dict], list[tuple[int, dict]]]:
+    """The source commits a sync still has to consider, ascending, walking
+    SRC'S CURRENT PARENT CHAIN — never the flat manifest listing: staged
+    (or later dropped) write-branch commits, rollback orphans, and
+    abandoned branches all leave kind='data' manifests in the same
+    META_DIR, and replaying those into a downstream copy would break
+    write-audit-publish isolation (unaudited staged rows visible
+    downstream) and permanently diverge dst if the branch is refused —
+    the same hazard lineage() filters with its ROLLBACK/BRANCHED chain
+    walk. Early-stop: syncs apply in ascending chain order, so the
+    NEWEST chain commit whose sync batch id is already applied proves
+    everything at or below it is synced — the walk loads O(unsynced
+    commits + trailing maintenance commits) manifests, not O(history).
+
+    Returns ``(results_prefix, [(version, manifest), ...])`` — the
+    prefix carries one skip record for the early-stop commit (so a
+    fully-synced call still reports something), the list is ascending.
+    """
+    results: list[dict] = []
+    pending: list[tuple[int, dict]] = []
+    v = src.current_version()
+    while v and v > 0:
+        batch_id = f"{stream_id}-v{v:08d}"
+        if batch_id in applied:
+            results.append(
+                {"skipped": True, "batch_id": batch_id, "src_version": v}
+            )
+            break
+        m = src._load_manifest(v)
+        pending.append((v, m))
+        v = m.get("parent")
+    pending.reverse()
+    return results, pending
+
+
+def _propagate_renames(dst: LakeTable, prev: dict, cur: dict) -> None:
+    """Apply a source rename_column commit to the synced copy.
+
+    Rename commits are kind='maintenance' (no rows), so the data loop
+    skips them — but a rename changes the schema's NAMES: without
+    propagation the next data commit's changelog arrives under the new
+    name and dst schema-evolves it in as a brand-new (mostly-null)
+    column beside the stale old one, permanently diverging from src's
+    coalesced view. Additions to the manifest renames alias map identify
+    the commit; the dst apply is idempotent via column presence (a crash
+    between the dst rename and the next data sync re-runs safely), and a
+    column dst never saw is a no-op (it will arrive under its new name).
+    """
+    for new_name, olds in cur.items():
+        if new_name in prev:
+            continue
+        old = olds[0]
+        sch = dst.schema()
+        names = {f.name for f in sch.fields} if sch is not None else set()
+        if old in names and new_name not in names:
+            dst.rename_column(old, new_name)
+
+
 def sync_changelog(
     src: LakeTable, dst: LakeTable, stream_id: str = "sync"
 ) -> list[dict]:
     """Chain CDC-out into a downstream table: apply every source DATA
-    commit ``dst`` has not yet seen, in commit order, exactly-once.
+    commit on src's CURRENT branch chain that ``dst`` has not yet seen,
+    in commit order, exactly-once.
 
     This is the lake-to-lake leg of the binlog pattern — the reference
     republishes table state to downstream stores wholesale (ES bulk
@@ -443,24 +504,31 @@ def sync_changelog(
     * Source snapshots must not be expired past dst's sync horizon
       (``expire_snapshots`` keeps manifests, but changelog reads the
       commit's data files) — run sync before aggressive data GC.
+    * Only src's CURRENT parent chain is synced (``_pending_chain``):
+      commits staged on a write branch stay invisible downstream until
+      ``fast_forward`` publishes them, and dropped-branch/rollback
+      orphans are never replayed. A source ``rollback_to_snapshot`` does
+      NOT retract already-synced commits from dst — resync a rolled-back
+      source with an explicit ``dst.overwrite(src.read())``.
+    * ``rename_column`` commits are propagated to dst's schema
+      (``_propagate_renames``) so post-rename changelogs resolve into
+      the renamed column instead of schema-evolving a duplicate.
 
-    Returns one result dict per source data commit (applied or skipped).
+    Returns one result dict per considered source commit: applied
+    commits, plus one skip record marking the already-synced frontier.
     """
-    results = []
-    applied = dst.applied_batches()
-    for v in src.snapshots():
-        # applied check FIRST: the batch id is a pure function of v, so an
-        # already-synced commit costs no manifest read — keeps the
-        # after_batch continuous-maintenance mode O(new commits) per call
-        # instead of O(history) (only unapplied data commits and
-        # never-applied maintenance commits pay the JSON load)
-        batch_id = f"{stream_id}-v{v:08d}"
-        if batch_id in applied:
-            results.append(
-                {"skipped": True, "batch_id": batch_id, "src_version": v}
+    results, pending = _pending_chain(src, dst.applied_batches(), stream_id)
+    prev_renames: dict | None = None  # resolved lazily from the first parent
+    for v, m in pending:
+        cur_renames = m.get("renames") or {}
+        if prev_renames is None:
+            p = m.get("parent")
+            prev_renames = (
+                (src._load_manifest(p).get("renames") or {}) if p else {}
             )
-            continue
-        m = src._load_manifest(v)
+        _propagate_renames(dst, prev_renames, cur_renames)
+        prev_renames = cur_renames
+        batch_id = f"{stream_id}-v{v:08d}"
         if m.get("kind") != "data" or m.get("parent") is None:
             continue
         try:
@@ -578,20 +646,16 @@ def sync_aggregate(
     A source commit without offset lineage (an ``overwrite``) falls back
     to one full recompute + ``dst.overwrite`` under the same batch id.
 
-    Returns one result dict per source data commit (applied or skipped).
+    Like sync_changelog, only src's CURRENT parent chain feeds the
+    rollup (branch-staged and orphaned commits never do), with the same
+    early-stop at the already-synced frontier.
+
+    Returns one result dict per considered source commit: applied
+    commits, plus one skip record marking the already-synced frontier.
     """
-    results = []
-    applied = dst.applied_batches()
-    for v in src.snapshots():
-        # applied check first — no manifest read for already-synced
-        # commits (see sync_changelog)
+    results, pending = _pending_chain(src, dst.applied_batches(), stream_id)
+    for v, m in pending:
         batch_id = f"{stream_id}-v{v:08d}"
-        if batch_id in applied:
-            results.append(
-                {"skipped": True, "batch_id": batch_id, "src_version": v}
-            )
-            continue
-        m = src._load_manifest(v)
         if m.get("kind") != "data" or m.get("parent") is None:
             continue
         keys = list(dst.key_cols)

@@ -462,3 +462,93 @@ def test_read_as_of_follows_current_chain_after_rollback(spark, tmp_path):
     # a probe AFTER the abandoned commit's wall-clock must resolve to v1
     # (the abandoned v2 is not on the current chain)
     assert table.version_as_of(t2 + timedelta(seconds=1)) == v1
+
+
+def test_legacy_layout_guard_refuses_then_rebuckets(spark, tmp_path):
+    """A manifest WITHOUT the bucket-layout stamp whose key columns hash
+    differently under canonical types (here an int key, pre-canonical
+    layout hashed it as int32) is refused at open — merging into it
+    would silently misbucket. allow_legacy_layout permits read() and the
+    full-rewrite migration path only; rebucket() rewrites every row
+    under the current hash and stamps the layout."""
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    t = LakeTable(spark, root, key_cols=("k",), order_cols=("ts",),
+                  n_buckets=4)
+    schema = T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("ts", T.LongType()),
+                           T.StructField("op", T.StringType())])
+    df = spark.createDataFrame(
+        [(i, i * 10, "upsert") for i in range(50)], schema
+    )
+    t.merge(df, "b0")
+
+    # strip the stamp from every manifest — simulating a table written by
+    # a pre-canonical-layout build
+    mp = os.path.join(root, META_DIR)
+    for name in os.listdir(mp):
+        if name.endswith(".json"):
+            p = os.path.join(mp, name)
+            with open(p) as f:
+                m = json.load(f)
+            m.pop("layout", None)
+            with open(p, "w") as f:
+                json.dump(m, f)
+
+    with pytest.raises(ValueError, match="layout"):
+        LakeTable(spark, root, n_buckets=4)
+
+    legacy = LakeTable(spark, root, n_buckets=4, allow_legacy_layout=True)
+    assert legacy.read().count() == 50  # reads stay available
+    with pytest.raises(ValueError, match="rebucket"):
+        legacy.merge(df, "b1")
+    with pytest.raises(ValueError, match="rebucket"):
+        legacy.delete_where("k = 1", "dml-legacy")
+
+    legacy.rebucket(4, batch_id="migrate")
+    r = legacy.merge(
+        spark.createDataFrame([(1, 999, "upsert")], schema), "b1"
+    )  # now permitted
+    assert not r.get("skipped")
+    # reopen: stamped — no refusal, and the migrated row is resident
+    t2 = LakeTable(spark, root, n_buckets=4)
+    assert t2.read().filter("k = 1").collect()[0]["ts"] == 999
+
+
+def test_unstamped_string_long_keys_stay_usable(spark, tmp_path):
+    """String/long keys hash identically under both layouts, so an
+    unstamped manifest with only those key types opens and merges
+    normally (the next commit stamps it) — no gratuitous migration.
+    (The default transcript key includes an int32 turn_idx, which IS
+    hazardous — see the refusal test above.)"""
+    import json
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    t = LakeTable(spark, root, key_cols=("k",), order_cols=("ts",),
+                  n_buckets=4)
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("ts", T.LongType()),
+                           T.StructField("op", T.StringType())])
+    t.merge(spark.createDataFrame(
+        [(f"c{i}", i * 10, "upsert") for i in range(50)], schema), "b0")
+
+    mp = os.path.join(root, META_DIR)
+    for name in os.listdir(mp):
+        if name.endswith(".json"):
+            p = os.path.join(mp, name)
+            with open(p) as f:
+                m = json.load(f)
+            m.pop("layout", None)
+            with open(p, "w") as f:
+                json.dump(m, f)
+
+    t2 = LakeTable(spark, root, n_buckets=4)  # no refusal
+    t2.merge(spark.createDataFrame([("c1", 999, "upsert")], schema), "b1")
+    assert t2._load_manifest()["layout"] >= 2  # re-stamped by the commit
+    assert t2.read().filter("k = 'c1'").collect()[0]["ts"] == 999

@@ -34,10 +34,12 @@ def test_sync_parity_idempotence_and_increment(spark, tmp_path):
     r2 = sync_changelog(a, b)
     assert all(x["skipped"] for x in r2)
 
-    # a new source commit syncs incrementally: exactly one new apply
+    # a new source commit syncs incrementally: exactly one new apply,
+    # with one skip record marking the already-synced frontier (the
+    # chain walk early-stops there instead of enumerating history)
     replay_feed(spark, feed, a)
     r3 = sync_changelog(a, b)
-    assert [x["skipped"] for x in r3] == [True, True, False]
+    assert [x["skipped"] for x in r3] == [True, False]
     pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
     # deletes/revocations propagated, not just upserts
     assert b.read().filter("is_revoked").count() > 0
@@ -158,11 +160,11 @@ def test_sync_chains_to_depth_two(spark, tmp_path):
                                   check_dtype=False)
 
 
-def test_sync_across_predicate_dml_commits(spark, tmp_path):
-    """A predicate DML commit (delete_where / update_where) carries no
-    offset lineage, so sync_changelog must take the documented overwrite
-    fallback for it — and the downstream copy still converges exactly,
-    with syncs before and after staying incremental."""
+def test_sync_replays_column_dml_incrementally(spark, tmp_path):
+    """Deterministic built-in COLUMN-expression DML prints back to SQL
+    (_expression_sql) and rides the manifest dml spec exactly like the
+    string form: sync_changelog replays it (mode 'dml'), never the
+    whole-table overwrite — and the copy converges exactly."""
     from pyspark.sql import functions as F
 
     feed = str(tmp_path / "feed")
@@ -182,7 +184,7 @@ def test_sync_across_predicate_dml_commits(spark, tmp_path):
     a.delete_where(F.col("role") == "tool", "dml-del")
     r = sync_changelog(a, b)
     applied = [x for x in r if not x.get("skipped")]
-    assert [x.get("mode") for x in applied] == ["overwrite", "overwrite"]
+    assert [x.get("mode") for x in applied] == ["dml", "dml"]
     pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
     assert b.read().filter("role = 'tool'").count() == 0
     assert b.read().filter("text like '[sys] %'").count() > 0
@@ -193,6 +195,131 @@ def test_sync_across_predicate_dml_commits(spark, tmp_path):
     r2 = [x for x in sync_changelog(a, b) if not x.get("skipped")]
     assert len(r2) == 1 and r2[0].get("mode") != "overwrite"
     pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+
+
+def test_unprintable_dml_warns_and_falls_back_to_overwrite(spark, tmp_path):
+    """A DML whose predicate cannot be printed as engine-independent SQL
+    (here: UDF-backed) warns loudly at commit time and makes the
+    downstream sync take the documented overwrite fallback — converging
+    exactly, never silently diverging."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=30, max_turns=5, n_batches=1,
+                              events_per_batch=300, seed=7, evolve_batch=None))
+    a = LakeTable(spark, str(tmp_path / "a"), n_buckets=4)
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+    replay_feed(spark, feed, a)
+    sync_changelog(a, b)
+
+    is_tool = F.udf(lambda s: s == "tool", BooleanType())
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        a.delete_where(is_tool(F.col("role")), "dml-udf")
+    assert any("overwrite re-sync" in str(w.message) for w in caught)
+    assert a._load_manifest().get("dml") is None
+
+    r = [x for x in sync_changelog(a, b) if not x.get("skipped")]
+    assert [x.get("mode") for x in r] == ["overwrite"]
+    pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+    assert b.read().filter("role = 'tool'").count() == 0
+
+
+def test_bucket_pruned_dml_never_records_spec(spark, tmp_path):
+    """An explicit ``buckets`` pruning list may deliberately UNDER-cover
+    the predicate, so the commit must NOT record a replayable dml spec —
+    replaying the bare predicate downstream would delete rows the source
+    kept. Sync takes the overwrite fallback and still converges to the
+    source's (partially-deleted) state."""
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=30, max_turns=5, n_batches=1,
+                              events_per_batch=300, seed=11, evolve_batch=None))
+    a = LakeTable(spark, str(tmp_path / "a"), n_buckets=8)
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+    replay_feed(spark, feed, a)
+    sync_changelog(a, b)
+
+    # under-covering prune: only bucket 0 of the matching rows is deleted
+    res = a.delete_where("role = 'tool'", "dml-pruned", buckets=[0])
+    assert a._load_manifest().get("dml") is None
+    r = [x for x in sync_changelog(a, b) if not x.get("skipped")]
+    if not res["skipped"] and res["touched_buckets"] > 0:
+        assert [x.get("mode") for x in r] == ["overwrite"]
+    # convergence to src's ACTUAL state (tool rows outside bucket 0 kept)
+    pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+
+
+def test_sync_ignores_staged_branch_commits(spark, tmp_path):
+    """Write-audit-publish isolation: commits staged on an audit branch
+    are manifests in the same META_DIR, but sync walks the CURRENT
+    parent chain — dst must not see staged rows until fast_forward
+    publishes them, and a dropped branch must never leak into dst."""
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=3,
+                              events_per_batch=400, seed=17))
+    root = str(tmp_path / "src")
+    main = LakeTable(spark, root, n_buckets=4)
+    dst = LakeTable(spark, str(tmp_path / "dst"), n_buckets=4)
+
+    replay_feed(spark, feed, main, limit=1)
+    main.create_branch("audit")
+    audit = LakeTable(spark, root, n_buckets=4, branch="audit")
+    replay_feed(spark, feed, audit, limit=2)  # stages batch 2 on the branch
+
+    r = [x for x in sync_changelog(main, dst) if not x.get("skipped")]
+    assert len(r) == 1  # ONLY main's commit — the staged one is invisible
+    pd.testing.assert_frame_equal(_state(main), _state(dst),
+                                  check_dtype=False)
+
+    # a dropped experiment branch never reaches dst either
+    main.create_branch("scratch")
+    scratch = LakeTable(spark, root, n_buckets=4, branch="scratch")
+    replay_feed(spark, feed, scratch)
+    main.drop_branch("scratch")
+    assert all(x.get("skipped") for x in sync_changelog(main, dst))
+    pd.testing.assert_frame_equal(_state(main), _state(dst),
+                                  check_dtype=False)
+
+    # publish: fast-forward main to the audit head; NOW the staged commit
+    # syncs (exactly-once, under its chain version id)
+    main.fast_forward("audit")
+    r2 = [x for x in sync_changelog(main, dst) if not x.get("skipped")]
+    assert len(r2) == 1
+    pd.testing.assert_frame_equal(_state(main), _state(dst),
+                                  check_dtype=False)
+
+
+def test_sync_propagates_rename(spark, tmp_path):
+    """rename_column is a maintenance commit (no rows), but sync must
+    propagate it: otherwise the next data commit's changelog arrives
+    under the new name and dst evolves a duplicate column beside the
+    stale old one."""
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=40, max_turns=6, n_batches=2,
+                              events_per_batch=400, seed=29))
+    a = LakeTable(spark, str(tmp_path / "a"), n_buckets=4)
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+
+    replay_feed(spark, feed, a, limit=1)
+    sync_changelog(a, b)
+    a.rename_column("tool", "tool_name")
+    replay_feed(spark, feed, a)  # batch 2 still carries the retired name
+    r = [x for x in sync_changelog(a, b) if not x.get("skipped")]
+    assert len(r) == 1
+
+    a_cols = set(a.read().columns)
+    b_cols = set(b.read().columns)
+    assert "tool_name" in b_cols and "tool" not in b_cols
+    assert a_cols == b_cols
+    cols = ["conv_id", "turn_idx", "role", "text", "tool_name", "ts"]
+    av = a.read().orderBy("conv_id", "turn_idx").toPandas()[cols].reset_index(drop=True)
+    bv = b.read().orderBy("conv_id", "turn_idx").toPandas()[cols].reset_index(drop=True)
+    pd.testing.assert_frame_equal(av, bv, check_dtype=False)
+    # idempotent under re-sync (rename apply is column-presence guarded)
+    assert all(x.get("skipped") for x in sync_changelog(a, b))
 
 
 def test_sync_replays_string_dml_incrementally(spark, tmp_path):

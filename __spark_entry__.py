@@ -25,54 +25,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness pass covers the FIRST 50 entries of
-# queries(), so ordering is part of the contract. Round-5 rotation goal:
-# retire the single-evidence tail COMPLETELY — after this round every
-# catalog query is hash-green in >=2 driver rounds. _HEAD front-loads
-# (a) the 10 queries with exactly ONE driver green (3 similarity-family
-# entries last checked in round 2 + the 7 round-4-new entries),
-# (b) the 4 round-5-new queries (timestamp time travel, predicate
-# delete/update, widening+rename schema evolution),
-# (c) the 35 STALEST double-green queries — 26 last checked in round 2,
-# 6 in [r1,r3], 3 replay-machinery in [r2,r3] — which get a third
-# confirmation, and (d) the pinned flagship replay — 10+4+35+1 = exactly
-# 50 (asserted below). Everything displaced is green in rounds 3+4 (or
-# three rounds already), and EVERY catalog entry stays green in the
-# local mirror (tools/check_oracles.py runs all of them).
+# queries(), so ordering is part of the contract. Round-6 rotation goal:
+# close the last zero-evidence entry and re-confirm everything new.
+# _HEAD front-loads (a) replay_wap_publish — the ONLY catalog query with
+# zero driver greens (landed mid-catalog in r5, outside the window),
+# (b) the 4 round-5-new queries (one green each) for their second
+# confirmation, (c) the 3 round-6-new SQL-front-end queries (tag travel,
+# two-pin diff join, @branch read), (d) the 33 double-green queries last
+# checked in round 4, (e) the 6 stalest triple-greens (last checked
+# round 3) + 2 last checked round 4, and (f) the pinned flagship replay —
+# 1+4+3+33+8+1 = exactly 50 (asserted below). Everything displaced was
+# re-confirmed green in round 5, and EVERY catalog entry stays green in
+# the local mirror (tools/check_oracles.py runs all of them).
 _HEAD = [
-    # single driver green only (r2): the similarity-family tail
-    "ann_lsh_multiprobe", "dedup_minhash_verified", "embedding_neardup_lsh",
-    # single driver green only (r4-new) — second confirmation
-    "date_extraction", "approx_distinct_users", "weighted_sample",
-    "cms_heavy_hitters", "interval_bucket_join", "length_strata",
-    "key_skew_audit",
-    # round-5 new: as-of time travel, predicate DML, schema evolution
+    # zero driver evidence (r5-new, landed outside the r5 window)
+    "replay_wap_publish",
+    # round-5 new (one green) — second confirmation
     "replay_as_of", "delete_where_rewrite", "update_where_rewrite",
     "replay_schema_evolution",
-    # stalest double-green (last checked round 2) — third confirmation
-    "ann_lsh_bucketed", "ann_topk_cosine", "case_insensitive_dedup",
-    "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
-    "dedup_simhash", "defaulting_projection", "derived_key_join",
-    "dict_hash_contract", "doc_fingerprint", "embedding_neardup",
-    "es_publish_projection", "lang_id_heuristic", "min_length_gate",
-    "op_type_counters", "producer_filter", "quality_score",
-    "sha256_surrogate_key", "stopword_ratio", "suffix_rename_project",
-    "text_normalize_chain", "token_count_bpe", "top10_keywords",
-    "topk_per_group", "tpch_q1_pricing_summary",
-    # double-green with a round-2/3-era gap ([r1,r3] and [r2,r3])
-    "alias_resolution", "pivot_value_by_status", "ref_count_map",
-    "rollup_order_counts", "tumbling_window_counts", "turn_renumber",
-    "replay_changelog", "replay_lineage_counts", "replay_time_travel",
+    # round-6 new: SQL front-end travel forms
+    "sql_travel_tag", "sql_travel_diff_join", "sql_branch_read",
+    # double-green, last checked round 4 — third confirmation
+    "replay_synced_copy", "incremental_conv_rollup", "conversation_render",
+    "role_alternation_check", "dedup_clusters", "export_shard_checksums",
+    "pack_sequences", "deterministic_sample", "stratified_mixture_sample",
+    "train_val_test_split", "decontaminate_ngram", "repetition_quality",
+    "pii_scrub", "ann_ivf_topk", "corpus_datasheet", "tfidf_topk_terms",
+    "unigram_surprise", "multimodal_features", "multimodal_frame_sample",
+    "ref_extract_dictionary", "value_percentiles", "sessionize_events",
+    "asof_last_click_before_purchase", "kmeans_embeddings",
+    "kmv_distinct_users", "content_defined_chunks", "chunk_dedup_stats",
+    "chunk_documents", "paragraph_segment", "boilerplate_scrub",
+    "sliding_window_rates", "cube_order_stats", "corpus_prepare",
+    # stalest triple-greens (last checked round 3, then two from round 4)
+    "lww_latest_max_by", "lww_latest_salted", "revoke_by_absence",
+    "hash_anti_join_dedup", "dim_lookup_join", "cdc_apply_events",
+    "lww_latest_window", "groupwise_max_join",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
 ]
 _TAIL = [
-    # most-checked queries (triple-green, or green in both r3 and r4),
+    # most-checked queries, all re-confirmed green in round 5 and
     # redundantly covered by in-window entries of the same operator family
-    "lww_latest_max_by", "lww_latest_salted", "revoke_by_absence",
-    "hash_anti_join_dedup", "dim_lookup_join", "cdc_apply_events",
-    "lww_latest_window", "window_max_distinct", "groupwise_max_join",
-    "minmax_ingest_dates", "staleness_filter", "title_truncate",
-    "word_count", "distinct_union", "collect_set_sorted",
+    "window_max_distinct", "minmax_ingest_dates", "staleness_filter",
+    "title_truncate", "word_count", "distinct_union", "collect_set_sorted",
+    "tpch_q1_pricing_summary", "top10_keywords", "topk_per_group",
+    "dedup_exact", "dedup_minhash_lsh", "ann_topk_cosine",
+    "text_normalize_chain", "sha256_surrogate_key",
 ]
 
 

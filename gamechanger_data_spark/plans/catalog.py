@@ -681,7 +681,9 @@ def replay_lineage_counts_q(spark, sf_dir):
     )
 
 
-@q("replay_time_travel", f"""
+# LWW state over the batches-0..1 feed PREFIX — the oracle for every
+# pin-at-version-2 travel form (by id, by tag, by wall-clock).
+_PREFIX_STATE_SQL = f"""
 WITH ev AS (
   SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')
   WHERE event_seq < {_B2_LO}
@@ -696,7 +698,11 @@ SELECT conv_id, turn_idx, role,
        {_NORM_CHAIN_SQL.format(col='text')} AS text,
        ts, (op = 'revoke') AS is_revoked
 FROM w WHERE rn = 1 AND op <> 'delete'
-""", "snapshot time travel: read(version=2) — the state after replaying "
+"""
+
+
+@q("replay_time_travel", _PREFIX_STATE_SQL,
+   "snapshot time travel: read(version=2) — the state after replaying "
      "only batches 0-1 — vs a pure-SQL LWW over the seq-bounded feed "
      "prefix; verifies manifest versioning + snapshot isolation")
 def replay_time_travel_q(spark, sf_dir):
@@ -706,22 +712,8 @@ def replay_time_travel_q(spark, sf_dir):
     )
 
 
-@q("replay_as_of", f"""
-WITH ev AS (
-  SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')
-  WHERE event_seq < {_B2_LO}
-),
-w AS (
-  SELECT conv_id, turn_idx, role, text, tool, ts, op,
-         row_number() OVER (PARTITION BY conv_id, turn_idx
-                            ORDER BY ts DESC, event_seq DESC) AS rn
-  FROM ev
-)
-SELECT conv_id, turn_idx, role,
-       {_NORM_CHAIN_SQL.format(col='text')} AS text,
-       ts, (op = 'revoke') AS is_revoked
-FROM w WHERE rn = 1 AND op <> 'delete'
-""", "TIMESTAMP time travel: read(as_of=<instant between the batch-1 and "
+@q("replay_as_of", _PREFIX_STATE_SQL,
+   "TIMESTAMP time travel: read(as_of=<instant between the batch-1 and "
      "batch-2 commits>) must resolve through the commit history to the "
      "batches-0..1 state — the Iceberg AS OF <timestamp> form, vs the same "
      "seq-bounded prefix oracle as replay_time_travel (which pins by "
@@ -905,6 +897,109 @@ def replay_schema_evolution_q(spark, sf_dir):
     t = _ensure_evo_table(spark)
     return t.read().select(
         "conv_id", "turn_idx", "role", "text", "tool_name", "ts", "is_revoked"
+    )
+
+
+# ---------------------------------------------------------------------
+# SQL front-end machinery (plans/sqlfront.py): the same travel reads the
+# replay_* queries make through the Python API, issued as PLAIN SQL TEXT
+# with Iceberg/Delta travel clauses — VERSION AS OF <tag>, two pins of
+# one table in one query, and <table>@<branch>. Reference analog: the
+# reference's consumers read published state through SQL views
+# (create_views.sql:24-31 latest_only), not a Python API.
+# ---------------------------------------------------------------------
+
+
+@q("sql_travel_tag", _PREFIX_STATE_SQL,
+   "SQL time travel by TAG: SELECT ... FROM transcripts VERSION AS OF "
+   "'after-b1' through SqlLake — the tag pins snapshot v2, so the result "
+   "must equal the batches-0..1 prefix oracle (same contract as "
+   "replay_time_travel, but the pin travels through SQL text + tag "
+   "resolution instead of read(version=))")
+def sql_travel_tag_q(spark, sf_dir):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+
+    t = _ensure_replay_table(spark)
+    t.tag("after-b1", version=2)  # idempotent: re-tagging moves/keeps it
+    lake = SqlLake(spark).register("transcripts", t)
+    return lake.sql(
+        "SELECT conv_id, turn_idx, role, text, ts, is_revoked "
+        "FROM transcripts VERSION AS OF 'after-b1'"
+    )
+
+
+@q("sql_travel_diff_join", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, text, op, event_seq,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+cur AS (
+  SELECT conv_id, turn_idx,
+         {_NORM_CHAIN_SQL.format(col='text')} AS text,
+         (op = 'revoke') AS is_revoked
+  FROM w WHERE rn = 1 AND op <> 'delete'
+),
+wp AS (
+  SELECT conv_id, turn_idx, text, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev WHERE event_seq < {_B2_LO}
+),
+old AS (
+  SELECT conv_id, turn_idx,
+         {_NORM_CHAIN_SQL.format(col='text')} AS text,
+         (op = 'revoke') AS is_revoked
+  FROM wp WHERE rn = 1 AND op <> 'delete'
+)
+SELECT cur.conv_id, cur.turn_idx, (old.conv_id IS NULL) AS is_new
+FROM cur LEFT JOIN old
+  ON cur.conv_id = old.conv_id AND cur.turn_idx = old.turn_idx
+WHERE old.conv_id IS NULL OR cur.text <> old.text
+   OR cur.is_revoked <> old.is_revoked
+""", "two snapshot pins of ONE table in ONE SQL query: head LEFT JOIN "
+     "VERSION AS OF 2 — rows added or changed since the batch-1 commit. "
+     "Each pin resolves to its own snapshot view, so the join is "
+     "head-vs-v2, not head-vs-head; the oracle recomputes both LWW "
+     "states from the raw feed and diffs them")
+def sql_travel_diff_join_q(spark, sf_dir):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+
+    t = _ensure_replay_table(spark)
+    lake = SqlLake(spark).register("transcripts", t)
+    return lake.sql("""
+        SELECT cur.conv_id, cur.turn_idx, (old.conv_id IS NULL) AS is_new
+        FROM transcripts cur
+        LEFT JOIN transcripts VERSION AS OF 2 old
+          ON cur.conv_id = old.conv_id AND cur.turn_idx = old.turn_idx
+        WHERE old.conv_id IS NULL OR cur.text <> old.text
+           OR cur.is_revoked <> old.is_revoked
+    """)
+
+
+@q("sql_branch_read", f"""
+WITH state AS ({_TRANSCRIPT_REPLAY_SQL})
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN is_revoked THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revoked
+FROM state GROUP BY role
+""", "branch read through SQL: SELECT ... FROM transcripts@audit on the "
+     "write-audit-publish table — the @branch reference resolves along "
+     "the audit branch's own head pointer (which, post-publish, carries "
+     "the full-feed state), vs per-role aggregates of the one-shot LWW "
+     "oracle")
+def sql_branch_read_q(spark, sf_dir):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+
+    t = _ensure_wap_table(spark)
+    lake = SqlLake(spark).register("transcripts", t)
+    return lake.sql(
+        "SELECT role, CAST(count(*) AS BIGINT) AS n_turns, "
+        "CAST(sum(CASE WHEN is_revoked THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_revoked "
+        "FROM transcripts@audit GROUP BY role"
     )
 
 

@@ -385,6 +385,11 @@ class LakeTable:
             manifest["version"] = v
             manifest["parent"] = cur
             manifest["committed_at"] = _utcnow()
+            # ancestor chain log: O(1) ancestry checks (fast_forward) and
+            # timestamp resolution (version_as_of) without parent walks
+            manifest["chain_tail"], manifest["chain_segments"] = (
+                self._advance_chain(self._load_manifest(cur))
+            )
             # the table's key/order spec rides in every manifest so a reopen
             # can validate/adopt it (see __init__); every modern commit
             # writes canonically-hashed data, so it stamps the layout
@@ -449,6 +454,114 @@ class LakeTable:
         ids = frozenset(seg["batch_ids"]) | self._segment_ids(seg.get("prev"))
         self._segment_cache[seg_rel] = ids
         return ids
+
+    # ---------------- ancestor chain log (O(1) ancestry/as-of) ----------------
+
+    def _advance_chain(self, pm: dict) -> tuple[list, list]:
+        """Chain log for a CHILD of manifest ``pm``: every ancestor's
+        ``[version, committed_at]`` — the recent ones inline
+        (``chain_tail``), the rest rolled into immutable segment files
+        whose version/timestamp bounds ride in the manifest
+        (``chain_segments``: ``[seg_rel, lo_v, hi_v, lo_at, hi_at]``,
+        oldest->newest). Same pattern as the applied-batch segments:
+        manifests stay O(1) per commit, and ancestry / as-of resolution
+        needs at most one manifest + one segment load instead of an
+        O(chain) parent walk (versions are monotone along a chain, so
+        segment ranges are disjoint and sorted). A legacy parent without
+        a chain log is reconstructed by walking its parents once — the
+        first modern commit over an old table pays O(chain), every
+        commit after that O(1) amortized."""
+        if pm["version"] == 0:
+            return [], []
+        if "chain_tail" in pm:
+            tail = list(pm["chain_tail"])
+            segments = list(pm.get("chain_segments", []))
+            entries = [[pm["version"], pm.get("committed_at")]]
+        else:
+            entries, m = [], pm
+            while m["version"] and m["version"] > 0:
+                entries.append([m["version"], m.get("committed_at")])
+                p = m.get("parent")
+                if not p:
+                    break
+                m = self._load_manifest(p)
+            entries.reverse()
+            tail, segments = [], []
+        for e in entries:
+            tail.append(e)
+            if len(tail) >= BATCH_SEGMENT_SIZE:
+                seg_rel = os.path.join(
+                    META_DIR, f"chainseg-{uuid.uuid4().hex}.json"
+                )
+                with open(os.path.join(self.root, seg_rel), "w") as f:
+                    json.dump({"entries": tail}, f)
+                segments.append(
+                    [seg_rel, tail[0][0], tail[-1][0], tail[0][1], tail[-1][1]]
+                )
+                tail = []
+        return tail, segments
+
+    def _chain_has_ancestor(self, m: dict, v: int) -> bool | None:
+        """Is ``v`` equal to, or an ancestor of, manifest ``m``? ``None``
+        means unknown (legacy manifest without a chain log — caller falls
+        back to the parent walk). At most ONE segment load: along a chain
+        versions are monotone, so ``v`` can live in exactly one segment's
+        [lo_v, hi_v] range; versions inside the range but on OTHER
+        branches are absent from the segment's entry list."""
+        if m["version"] == v:
+            return True
+        if "chain_tail" not in m:
+            return None
+        if any(e[0] == v for e in m["chain_tail"]):
+            return True
+        for seg_rel, lo_v, hi_v, *_ in reversed(m.get("chain_segments", [])):
+            if lo_v <= v <= hi_v:
+                with open(os.path.join(self.root, seg_rel)) as f:
+                    seg = json.load(f)
+                return any(e[0] == v for e in seg["entries"])
+        return False
+
+    def _chain_version_as_of(self, m: dict, probe: str) -> int | None:
+        """Resolve ``probe`` (committed_at string) against ``m``'s chain
+        log: the newest chain commit with committed_at <= probe. Returns
+        None when the log can't answer (legacy manifest, or entries with
+        missing timestamps) — caller falls back to the parent walk.
+        Raises ValueError (same contract as version_as_of) when every
+        chain commit is newer than ``probe``. At most one segment load."""
+        if "chain_tail" not in m:
+            return None
+        at = m.get("committed_at")
+        if at is None:
+            return None
+        if at <= probe:
+            return m["version"]
+        tail = m["chain_tail"]
+        segments = m.get("chain_segments", [])
+        if any(e[1] is None for e in tail) or any(
+            s[3] is None or s[4] is None for s in segments
+        ):
+            return None  # legacy timestamps in the log: walk instead
+        for v_e, at_e in reversed(tail):
+            if at_e <= probe:
+                return v_e
+        for seg_rel, _lo_v, _hi_v, lo_at, _hi_at in reversed(segments):
+            if lo_at <= probe:
+                with open(os.path.join(self.root, seg_rel)) as f:
+                    seg = json.load(f)
+                for v_e, at_e in reversed(seg["entries"]):
+                    if at_e is not None and at_e <= probe:
+                        return v_e
+                return None  # mixed legacy timestamps: walk instead
+        if segments:
+            oldest_v, oldest_at = segments[0][1], segments[0][3]
+        elif tail:
+            oldest_v, oldest_at = tail[0][0], tail[0][1]
+        else:
+            oldest_v, oldest_at = m["version"], at
+        raise ValueError(
+            f"no snapshot at or before {probe!r}: oldest chain commit is "
+            f"v{oldest_v} at {oldest_at!r}"
+        )
 
     def _advance_batches(self, m: dict, batch_id: str) -> tuple[list[str], str | None]:
         """Append ``batch_id`` to the applied set; roll the inline tail into
@@ -829,11 +942,17 @@ class LakeTable:
             cur = self.current_version()
             if src == cur:
                 return cur
-            # ancestor walk: versions are monotone along parent chains
-            v = src
-            while v and v > 0 and v > cur:
-                v = self._load_manifest(v).get("parent") or 0
-            if v != cur and cur != 0:
+            # chain-log ancestry: <=2 metadata loads (src manifest + at
+            # most one segment); legacy manifests without a chain log
+            # fall back to the O(divergence) parent walk
+            src_m = self._load_manifest(src)
+            anc = self._chain_has_ancestor(src_m, cur)
+            if anc is None:
+                v = src
+                while v and v > 0 and v > cur:
+                    v = self._load_manifest(v).get("parent") or 0
+                anc = v == cur
+            if not anc and cur != 0:
                 raise ValueError(
                     f"cannot fast-forward {self.branch!r} (at v{cur}) to "
                     f"{from_branch!r} (at v{src}): v{cur} is not an "
@@ -851,11 +970,13 @@ class LakeTable:
         dataPipelines/gc_ingest/tools/snapshot/utils.py:180-218, resolved
         by prefix timestamp).
 
-        Walking the parent chain (not the flat snapshot list) means an
-        abandoned branch left behind by rollback_to_snapshot can never
-        shadow the rolled-back truth with its later wall-clock commits.
-        Driver-side O(chain) manifest loads — an audit/read-setup path,
-        not a data path.
+        Resolving along the CURRENT parent chain (not the flat snapshot
+        list) means an abandoned branch left behind by
+        rollback_to_snapshot can never shadow the rolled-back truth with
+        its later wall-clock commits; a branch instance resolves along
+        ITS branch's chain. Modern manifests answer from the chain log in
+        <=2 metadata loads (manifest + at most one segment file); legacy
+        manifests fall back to the O(chain) parent walk.
 
         ``ts`` accepts a datetime (aware datetimes are converted to UTC)
         or an ISO string in naive-UTC (the manifests' committed_at
@@ -869,6 +990,13 @@ class LakeTable:
         else:
             probe = str(ts)
         v = self.current_version()
+        if v > 0:
+            # chain-log resolution: <=2 metadata loads (head manifest +
+            # at most one segment); None = legacy manifest or legacy
+            # timestamps in the log -> fall through to the parent walk
+            r = self._chain_version_as_of(self._load_manifest(v), probe)
+            if r is not None:
+                return r
         oldest = None
         while v and v > 0:
             m = self._load_manifest(v)
@@ -893,8 +1021,12 @@ class LakeTable:
         read() hides them, so n_rows >= read().count()). ``n_rows`` is
         honest-or-null: commits whose manifests predate row-count tracking
         report null rather than a partial undercount — READERS MUST
-        NULL-GUARD n_rows before arithmetic. Driver-side O(#snapshots)
-        JSON loads — an audit/ops surface, not a data-path read."""
+        NULL-GUARD n_rows before arithmetic. ``refs`` lists the named
+        refs pinned at each version — ``tag:<name>`` / ``branch:<name>``
+        (main's head included) — so an auditor sees WHICH snapshots are
+        retention-pinned and where every branch stands without separate
+        tags()/branches() calls. Driver-side O(#snapshots) JSON loads —
+        an audit/ops surface, not a data-path read."""
         schema = T.StructType([
             T.StructField("version", T.IntegerType(), False),
             T.StructField("kind", T.StringType(), True),
@@ -902,7 +1034,13 @@ class LakeTable:
             T.StructField("n_lineage_rows", T.IntegerType(), False),
             T.StructField("n_files", T.IntegerType(), False),
             T.StructField("n_rows", T.LongType(), True),
+            T.StructField("refs", T.ArrayType(T.StringType()), True),
         ])
+        refs: dict[int, list[str]] = {}
+        for name, v in sorted(self.tags().items()):
+            refs.setdefault(v, []).append(f"tag:{name}")
+        for name, v in sorted(self.branches().items()):
+            refs.setdefault(v, []).append(f"branch:{name}")
         rows = []
         for v in self.snapshots():
             m = self._load_manifest(v)
@@ -927,6 +1065,7 @@ class LakeTable:
                 len(m.get("lineage", [])),
                 n_files,
                 sum(int(c) for c in counts) if (counts and complete) else None,
+                refs.get(int(v)),
             ))
         return self.spark.createDataFrame(rows, schema)
 
@@ -1058,15 +1197,19 @@ class LakeTable:
         meta_dir = os.path.join(self.root, META_DIR)
         reachable: set[str] = set()
         for v in snaps:
-            seg = self._load_manifest(v).get("batches_segment")
+            m = self._load_manifest(v)
+            seg = m.get("batches_segment")
             while seg is not None and seg not in reachable:
                 reachable.add(seg)
                 with open(os.path.join(self.root, seg)) as f:
                     seg = json.load(f).get("prev")
+            # chain-log segments are flat (bounds indexed in the
+            # manifest), so reachability is the manifest's own list
+            reachable.update(s[0] for s in m.get("chain_segments", []))
         for fn in os.listdir(meta_dir):
             rel = os.path.join(META_DIR, fn)
             is_orphan_seg = (
-                fn.startswith("batchseg-")
+                fn.startswith(("batchseg-", "chainseg-"))
                 and fn.endswith(".json")
                 and rel not in reachable
             )

@@ -48,8 +48,75 @@ def du_bytes(path: str) -> int:
     return total
 
 
+def chain_probe(commits: int, workdir: str) -> dict:
+    """Metadata-only probe of the ancestor chain log: fabricate a
+    ``commits``-deep chain (empty file maps — the machinery under test is
+    pure manifest handling), then assert deep version_as_of resolution
+    and a fast_forward publish each cost <= 2 manifest loads (manifest +
+    at most one chain segment), with wall-clock latencies recorded. This
+    is the O(1)-resolution contract: without the chain log both walked
+    O(chain) manifests per call."""
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    t = LakeTable(None, os.path.join(workdir, "chain"), n_buckets=4)
+
+    def meta_commit(tbl):
+        return tbl._commit({
+            "schema": None, "n_buckets": tbl.n_buckets, "files": {},
+            "deltas": {}, "base_rows": {}, "delta_rows": {},
+            "applied_batches": [], "batches_segment": None,
+            "lineage": [], "kind": "data",
+        })
+
+    t0 = time.time()
+    for _ in range(commits):
+        meta_commit(t)
+    build_sec = time.time() - t0
+
+    calls: list[int | None] = []
+    real = LakeTable._load_manifest
+    LakeTable._load_manifest = (  # type: ignore[method-assign]
+        lambda self, version=None: calls.append(version) or real(self, version)
+    )
+    try:
+        probe_at = real(t, 5)["committed_at"]  # deep: near the chain root
+        t0 = time.time()
+        v = t.version_as_of(probe_at)
+        asof_sec = time.time() - t0
+        assert v == 5, v
+        asof_loads = len(calls)
+        assert asof_loads <= 2, f"version_as_of loaded {asof_loads} manifests"
+
+        t.create_branch("pub")
+        tb = LakeTable(None, t.root, n_buckets=4, branch="pub")
+        for _ in range(3):
+            meta_commit(tb)
+        calls.clear()
+        t0 = time.time()
+        head = t.fast_forward("pub")
+        ff_sec = time.time() - t0
+        assert head == tb.current_version()
+        ff_loads = len(calls)
+        assert ff_loads <= 2, f"fast_forward loaded {ff_loads} manifests"
+    finally:
+        LakeTable._load_manifest = real  # type: ignore[method-assign]
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "metric": "chain_probe",
+        "commits": commits,
+        "build_sec": round(build_sec, 2),
+        "version_as_of_loads": asof_loads,
+        "version_as_of_sec": round(asof_sec, 4),
+        "fast_forward_loads": ff_loads,
+        "fast_forward_sec": round(ff_sec, 4),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--chain-probe", action="store_true",
+                    help="run ONLY the metadata chain-log probe (no Spark)")
+    ap.add_argument("--chain-commits", type=int, default=1000)
     ap.add_argument("--events", type=int, default=50_000_000)
     ap.add_argument("--commits", type=int, default=200)
     ap.add_argument("--nb", type=int, default=256)
@@ -59,6 +126,12 @@ def main() -> None:
     ap.add_argument("--keep-last", type=int, default=4)
     ap.add_argument("--mor-max-deltas", type=int, default=16)
     args = ap.parse_args()
+
+    if args.chain_probe:
+        print(json.dumps(chain_probe(
+            args.chain_commits, os.path.join(args.workdir, "chainprobe")
+        )))
+        return
 
     per_batch = args.events // args.commits
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

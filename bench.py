@@ -105,6 +105,54 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
             table.rollback_to_snapshot(v0)
     trickle["speedup"] = round(trickle["cow_sec"] / max(trickle["mor_sec"], 1e-9), 2)
 
+    # Predicate-DML probe (round-5 surface): a point DELETE against the
+    # multi-million-row table, bucket-pruned via buckets_for_keys vs
+    # unpruned (the predicate scans every bucket to find its matches).
+    # Pruned cost must track the ONE touched bucket, not table size.
+    probe_conv = tiny["conv_id"].iloc[0]
+    dml = {}
+    for rep in ("warm", "timed"):
+        for variant in ("pruned", "unpruned"):
+            pk = (
+                table.buckets_for_keys(
+                    [{"conv_id": probe_conv, "turn_idx": i} for i in range(50)]
+                )
+                if variant == "pruned"
+                else None
+            )
+            t1 = time.perf_counter()
+            r = table.delete_where(
+                f"conv_id = '{probe_conv}'",
+                batch_id=f"__dmlprobe_{variant}__",
+                buckets=pk,
+            )
+            if rep == "timed":
+                dml[f"{variant}_sec"] = round(time.perf_counter() - t1, 3)
+                dml[f"{variant}_buckets"] = r.get("touched_buckets", 0)
+            table.rollback_to_snapshot(v0)
+    dml["prune_speedup"] = round(
+        dml["unpruned_sec"] / max(dml["pruned_sec"], 1e-9), 2
+    )
+
+    # Branch-publish probe (round-5 surface): stage a 2k-event merge on an
+    # audit branch, then fast_forward main — the publish itself must be
+    # metadata-only (two pointer/manifest loads + a pointer swap),
+    # independent of table size.
+    table.create_branch("bench-audit")
+    branch = LakeTable(
+        spark, table.root, n_buckets=table.n_buckets, branch="bench-audit"
+    )
+    df = spark.createDataFrame(tiny)
+    t1 = time.perf_counter()
+    branch.merge(df, batch_id="__branch_stage__", src_rows=len(tiny))
+    stage_sec = round(time.perf_counter() - t1, 3)
+    t1 = time.perf_counter()
+    table.fast_forward("bench-audit")
+    publish_sec = round(time.perf_counter() - t1, 4)
+    wap = {"stage_2k_sec": stage_sec, "publish_sec": publish_sec}
+    table.rollback_to_snapshot(v0)
+    table.drop_branch("bench-audit")
+
     return {
         "events": n_events,
         "batches": n_batches,
@@ -119,6 +167,8 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
         ),
         "final_rows": final_rows,
         "trickle_2k": trickle,
+        "dml_point_delete": dml,
+        "wap_publish": wap,
     }
 
 

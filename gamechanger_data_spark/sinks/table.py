@@ -91,6 +91,13 @@ VERSION_FILE = "VERSION"
 # an immutable chained segment file — keeps manifest size O(1) per commit
 # instead of rewriting the full batch history every commit.
 BATCH_SEGMENT_SIZE = 64
+
+# CoW rewrites split buckets across shuffle partitions once the touched
+# resident bytes exceed this per default task (see _fold_repartition) —
+# tune down for memory-tight executors, up to favor fewer/larger files.
+FOLD_TARGET_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FOLD_PARTITION_BYTES", str(128 << 20))
+)
 # bounded CAS-rebase attempts per commit and whole-op re-runs per merge;
 # exceeding either raises CommitConflictError to the caller (no partial
 # state — the orphaned data files are GC'd by expire_snapshots). Whole-op
@@ -1635,6 +1642,36 @@ class LakeTable:
         cols += [F.col(k) for k in keep if k in df.columns]
         return df.select(*cols)
 
+    def _fold_repartition(self, m: dict, buckets, default: int):
+        """Shuffle-partition spec for a CoW bucket rewrite.
+
+        One partition per touched bucket is right for trickle merges
+        (each bucket -> one file), but an all-bucket fold of a large
+        table at small NB caps parallelism at NB while cores idle — the
+        single-host memory-wall outlier the fold bench caught (1.09 GB
+        all-bucket rewrite 1.6x over the sec/GB trend). When the touched
+        buckets' RESIDENT bytes exceed FOLD_TARGET_PARTITION_BYTES per
+        default partition, the rewrite repartitions by (bucket, key) into
+        ~bytes/target tasks instead: buckets split across tasks (rows of
+        one key stay together, so LWW output is unaffected), partitionBy
+        still routes rows to their bucket dir, and each task writes
+        ~target bytes — per-file key-sorted row groups keep min/max
+        pruning. Small merges keep the one-file-per-bucket layout
+        unchanged. Returns (npart, extra_partition_cols)."""
+        nbytes = 0
+        for src in (m.get("files", {}), m.get("deltas", {})):
+            for bk, fl in src.items():
+                if buckets is None or int(bk) in buckets:
+                    for p in fl:
+                        try:
+                            nbytes += os.path.getsize(os.path.join(self.root, p))
+                        except OSError:
+                            pass
+        want = int(nbytes // FOLD_TARGET_PARTITION_BYTES)
+        if want > default:
+            return want, list(self.key_cols)
+        return default, []
+
     def merge(
         self,
         source: DataFrame,
@@ -1891,9 +1928,16 @@ class LakeTable:
         # sortWithinPartitions by key: parquet row-group min/max stats then
         # support key-range/point pruning inside each bucket (lookup_key
         # reads one bucket and skips row groups) — the Z-order-lite for a
-        # single-key-prefix access pattern.
+        # single-key-prefix access pattern. CoW folds of large resident
+        # buckets autoscale their write parallelism (_fold_repartition);
+        # MOR delta appends carry only batch rows, so they keep the
+        # one-partition-per-bucket layout.
+        if write_mode == "cow":
+            npart, extra = self._fold_repartition(m, touched, max(1, len(touched)))
+        else:
+            npart, extra = max(1, len(touched)), []
         (
-            merged.repartition(max(1, len(touched)), "__bucket")
+            merged.repartition(npart, "__bucket", *extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -2080,8 +2124,9 @@ class LakeTable:
         )
 
         snap_dir = self._provisional_snap_dir("snap", m["version"])
+        npart, extra = self._fold_repartition(m, set(dirty), max(1, len(dirty)))
         (
-            keep.repartition(max(1, len(dirty)), "__bucket")
+            keep.repartition(npart, "__bucket", *extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -2198,8 +2243,9 @@ class LakeTable:
             "__bucket", self._bucket_expr(new_nb, schema=sch).cast("int")
         )
         snap_dir = self._provisional_snap_dir("snap", m["version"])
+        npart, extra = self._fold_repartition(m, None, new_nb)
         (
-            keep.repartition(new_nb, "__bucket")
+            keep.repartition(npart, "__bucket", *extra)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(snap_dir)
@@ -2590,8 +2636,9 @@ class LakeTable:
             "__bucket", self._bucket_expr(schema=schema).cast("int")
         )
         snap_dir = self._provisional_snap_dir("snap", m["version"])
+        npart, extra = self._fold_repartition(m, set(touched), max(1, len(touched)))
         (
-            out.repartition(max(1, len(touched)), "__bucket")
+            out.repartition(npart, "__bucket", *extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -2661,8 +2708,9 @@ class LakeTable:
         )
 
         snap_dir = self._provisional_snap_dir("snap", m["version"])
+        npart, extra = self._fold_repartition(m, None, self.n_buckets)
         (
-            keep.repartition(self.n_buckets, "__bucket")
+            keep.repartition(npart, "__bucket", *extra)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(snap_dir)

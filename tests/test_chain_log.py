@@ -146,6 +146,25 @@ def test_legacy_manifest_falls_back_to_walk_then_reconstructs(meta_table):
     assert t.version_as_of(probe) == 40
 
 
+def test_version_as_of_on_branch_resolves_along_branch_chain(meta_table):
+    """A branch instance's as-of walks ITS branch's parent chain: probes
+    at or after the branch's own commits resolve to branch versions that
+    main's instance never sees, while pre-fork probes agree on the
+    shared prefix."""
+    t = meta_table
+    fork = t.current_version()
+    t.create_branch("exp")
+    tb = LakeTable(None, t.root, n_buckets=4, branch="exp")
+    bv = [_meta_commit(tb) for _ in range(3)]
+    at_branch = tb._load_manifest(bv[1])["committed_at"]
+    assert tb.version_as_of(at_branch) == bv[1]
+    # main resolves the same instant to its own head (<= fork)
+    assert t.version_as_of(at_branch) == fork
+    # pre-fork probes agree: shared chain prefix
+    at_old = t._load_manifest(40)["committed_at"]
+    assert t.version_as_of(at_old) == tb.version_as_of(at_old) == 40
+
+
 def test_orphan_chainseg_collected_reachable_kept(meta_table):
     t = meta_table
     meta = os.path.join(t.root, META_DIR)

@@ -30,21 +30,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # _HEAD front-loads (a) replay_wap_publish — the ONLY catalog query with
 # zero driver greens (landed mid-catalog in r5, outside the window),
 # (b) the 4 round-5-new queries (one green each) for their second
-# confirmation, (c) the 3 round-6-new SQL-front-end queries (tag travel,
-# two-pin diff join, @branch read), (d) the 33 double-green queries last
-# checked in round 4, (e) the 6 stalest triple-greens (last checked
-# round 3) + 2 last checked round 4, and (f) the pinned flagship replay —
-# 1+4+3+33+8+1 = exactly 50 (asserted below). Everything displaced was
-# re-confirmed green in round 5, and EVERY catalog entry stays green in
-# the local mirror (tools/check_oracles.py runs all of them).
+# confirmation, (c) the 6 round-6-new SQL-front-end queries (tag travel,
+# two-pin diff join, @branch read, and the three DML statement forms),
+# (d) 30 double-green queries last checked in round 4, (e) the 6 stalest
+# triple-greens (last checked round 3) + 2 last checked round 4, and
+# (f) the pinned flagship replay — 1+4+6+30+8+1 = exactly 50 (asserted
+# below). Everything displaced was re-confirmed green in round 5, and
+# EVERY catalog entry stays green in the local mirror
+# (tools/check_oracles.py runs all of them).
 _HEAD = [
     # zero driver evidence (r5-new, landed outside the r5 window)
     "replay_wap_publish",
     # round-5 new (one green) — second confirmation
     "replay_as_of", "delete_where_rewrite", "update_where_rewrite",
     "replay_schema_evolution",
-    # round-6 new: SQL front-end travel forms
+    # round-6 new: SQL front-end travel forms + DML statements
     "sql_travel_tag", "sql_travel_diff_join", "sql_branch_read",
+    "sql_update_statement", "sql_delete_statement", "sql_merge_upsert",
     # double-green, last checked round 4 — third confirmation
     "replay_synced_copy", "incremental_conv_rollup", "conversation_render",
     "role_alternation_check", "dedup_clusters", "export_shard_checksums",
@@ -56,7 +58,6 @@ _HEAD = [
     "asof_last_click_before_purchase", "kmeans_embeddings",
     "kmv_distinct_users", "content_defined_chunks", "chunk_dedup_stats",
     "chunk_documents", "paragraph_segment", "boilerplate_scrub",
-    "sliding_window_rates", "cube_order_stats", "corpus_prepare",
     # stalest triple-greens (last checked round 3, then two from round 4)
     "lww_latest_max_by", "lww_latest_salted", "revoke_by_absence",
     "hash_anti_join_dedup", "dim_lookup_join", "cdc_apply_events",

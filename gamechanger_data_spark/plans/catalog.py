@@ -1004,6 +1004,152 @@ def sql_branch_read_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# SQL DML statements through the front-end: the same predicate-DML and
+# MERGE commits the Python API makes, issued as DELETE/UPDATE/MERGE
+# INTO SQL text (sqlfront.py parses the statement, routes it to
+# delete_where/update_where/merge, and the manifest records the SQL
+# spec for sync pushdown). Oracles recompute the expected final state
+# from the raw feed plus the same transformations in pure SQL.
+# ---------------------------------------------------------------------
+
+_SQLDML_ROOT = "/tmp/gcspark_sqldml_table_v1"
+
+
+def _ensure_sqldml_table(spark):
+    """Replay the feed, then mutate through SQL TEXT: a two-assignment
+    UPDATE on user rows, then a DELETE of even system turns."""
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        lake = SqlLake(spark).register("transcripts", t)
+        lake.sql(
+            "UPDATE transcripts SET text = concat('[u] ', text), "
+            "tool = coalesce(tool, 'none') WHERE role = 'user'",
+            batch_id="sqldml-up-1",
+        )
+        lake.sql(
+            "DELETE FROM transcripts WHERE role = 'system' AND turn_idx % 2 = 0",
+            batch_id="sqldml-del-1",
+        )
+
+    _publish_once(_SQLDML_ROOT, build)
+    return LakeTable(spark, os.path.join(_SQLDML_ROOT, "table"), n_buckets=8)
+
+
+_SQLDML_STATE_SQL = f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'user'
+              THEN '[u] ' || {_NORM_CHAIN_SQL.format(col='text')}
+              ELSE {_NORM_CHAIN_SQL.format(col='text')} END AS text,
+         CASE WHEN role = 'user' THEN coalesce(tool, 'none')
+              ELSE tool END AS tool,
+         ts, (op = 'revoke') AS is_revoked
+  FROM w
+  WHERE rn = 1 AND op <> 'delete'
+    AND NOT (role = 'system' AND turn_idx % 2 = 0)
+)
+"""
+
+
+@q("sql_update_statement", _SQLDML_STATE_SQL + """
+SELECT conv_id, turn_idx, text, tool FROM state
+""", "UPDATE ... SET a = f(a), b = g(b) WHERE ... as SQL TEXT through the "
+     "front-end: two comma-separated assignments (one with a function "
+     "call containing commas) routed to update_where as an exactly-once "
+     "commit; non-matching rows stay byte-identical")
+def sql_update_statement_q(spark, sf_dir):
+    t = _ensure_sqldml_table(spark)
+    return t.read().select("conv_id", "turn_idx", "text", "tool")
+
+
+@q("sql_delete_statement", _SQLDML_STATE_SQL + """
+SELECT conv_id, turn_idx, role, ts, is_revoked FROM state
+""", "DELETE FROM ... WHERE <compound predicate> as SQL TEXT: routed to "
+     "delete_where, tombstoning matching live rows in a touched-bucket "
+     "CoW rewrite; the surviving row set must equal the oracle state")
+def sql_delete_statement_q(spark, sf_dir):
+    t = _ensure_sqldml_table(spark)
+    return t.read().select("conv_id", "turn_idx", "role", "ts", "is_revoked")
+
+
+_SQLMERGE_ROOT = "/tmp/gcspark_sqlmerge_table_v1"
+
+
+def _ensure_sqlmerge_table(spark):
+    """Replay the feed, then patch every turn-0 row through a
+    self-referential SQL MERGE (USING subquery reads the table through
+    the same front-end; same ts, bumped event_seq — the patch wins on
+    the lexicographic (ts, event_seq) LWW tiebreaker)."""
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        lake = SqlLake(spark).register("transcripts", t)
+        lake.sql(
+            """
+            MERGE INTO transcripts USING (
+              SELECT conv_id, turn_idx, role,
+                     concat(text, ' [rev]') AS text, tool, ts,
+                     event_seq + 90000000 AS event_seq, is_revoked
+              FROM transcripts WHERE turn_idx = 0
+            ) s
+            ON transcripts.conv_id = s.conv_id
+               AND transcripts.turn_idx = s.turn_idx
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+            batch_id="sqlmerge-1",
+        )
+
+    _publish_once(_SQLMERGE_ROOT, build)
+    return LakeTable(spark, os.path.join(_SQLMERGE_ROOT, "table"), n_buckets=8)
+
+
+@q("sql_merge_upsert", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx,
+         {_NORM_CHAIN_SQL.format(col='text')} AS text, ts
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx = 0 THEN text || ' [rev]' ELSE text END AS text,
+       ts
+FROM state
+""", "MERGE INTO ... USING (subquery) with the canonical SET */INSERT * "
+     "clause pair as SQL TEXT: the USING query resolves through the same "
+     "front-end (self-referential patch), the ON clause is validated to "
+     "cover exactly the key columns, and the engine MERGE applies the "
+     "patch under the LWW order guard")
+def sql_merge_upsert_q(spark, sf_dir):
+    t = _ensure_sqlmerge_table(spark)
+    return t.read().select("conv_id", "turn_idx", "text", "ts")
+
+
+# ---------------------------------------------------------------------
 # Derived-table machinery: lake-to-lake changelog sync (sync_changelog)
 # and incremental aggregate maintenance (sync_aggregate). Both run the
 # REAL engine over the cached replay table and are hash-compared against

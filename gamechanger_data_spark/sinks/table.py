@@ -2025,6 +2025,10 @@ class LakeTable:
                 "lineage": all_lineage,
                 "parent": expected,
                 "kind": "data",
+                # provenance stamp: sync_changelog dispatches on it
+                # (merge -> changelog apply, dml -> spec replay or full
+                # replace, overwrite -> full replace)
+                "commit_op": "merge",
                 "touched_buckets": sorted(int(b) for b in touched),
                 # partial rewrite: files under retired names survive in
                 # untouched buckets — the alias map rides along (a rename
@@ -2170,9 +2174,16 @@ class LakeTable:
         write-path cost. A row changed in commit v iff (a) it lives in a
         bucket whose file list differs from the parent snapshot and (b) its
         winning event_seq falls inside the commit's offset range (from the
-        lineage rows committed with it). ``change_op`` classifies
-        delete / revoke / upsert. Reference analog: the append-only
-        versioned_docs table (SURVEY §1.1) — here it is a view, not a copy.
+        lineage rows committed with it). Commits WITHOUT offset lineage
+        (direct merge()/overwrite/DML) fall back to an exact snapshot
+        diff of the changed buckets (v vs parent — see the inline note).
+        ``change_op`` classifies delete / revoke / upsert. Note for
+        event-replay consumers: diff-derived rows from a predicate-DML
+        commit carry their ORIGINAL order columns (DML never bumps them),
+        so they are authoritative state, not LWW-winning events —
+        sync_changelog dispatches DML commits to spec replay for exactly
+        this reason. Reference analog: the append-only versioned_docs
+        table (SURVEY §1.1) — here it is a view, not a copy.
         """
         m = self._load_manifest(version)
         if m["version"] == 0 or m["parent"] is None:
@@ -2200,18 +2211,57 @@ class LakeTable:
             for r in m["lineage"]
             if r.get("offset_min") is not None
         ]
-        if not offsets:
-            raise ValueError(
-                "changelog requires lineage offset ranges (batch applied "
-                "with with_lineage=True)"
+        if offsets:
+            lo = min(o[0] for o in offsets)
+            hi = max(o[1] for o in offsets)
+            seq = self.order_cols[-1]
+            df = self.read_buckets(
+                changed, version=m["version"], include_tombstones=True
             )
-        lo = min(o[0] for o in offsets)
-        hi = max(o[1] for o in offsets)
-        seq = self.order_cols[-1]
-        df = self.read_buckets(changed, version=m["version"], include_tombstones=True)
-        out = df.filter(F.col(seq).between(lo, hi))
+            out = df.filter(F.col(seq).between(lo, hi))
+        else:
+            # No offset lineage (a direct merge(), overwrite, or
+            # column-expression DML): exact SNAPSHOT DIFF of the changed
+            # buckets — read them at v and at parent, keep v-rows whose
+            # full-row identity (key + 64-bit row hash over the common
+            # columns, types aligned to v's schema so widening is
+            # diff-invariant) is absent from parent, and synthesize
+            # change_op='delete' rows for keys parent held that v
+            # physically dropped (overwrite can drop keys without leaving
+            # a tombstone). Cost ∝ changed buckets at two versions — not
+            # table size. Semantics: rows whose RESOLVED STATE changed in
+            # this commit; unlike the offset form, an upsert that
+            # re-delivered identical content is (correctly) absent.
+            cur = self.read_buckets(
+                changed, version=m["version"], include_tombstones=True
+            )
+            prev = self.read_buckets(
+                changed, version=m["parent"], include_tombstones=True
+            )
+            cur_types = {f.name: f.dataType for f in cur.schema.fields}
+            common = [c for c in cur.columns if c in prev.columns]
+            prev = prev.select(
+                *[F.col(c).cast(cur_types[c]).alias(c) for c in common]
+            )
+            keys = list(self.key_cols)
+            rh = F.xxhash64(*[F.col(c) for c in common])
+            out = (
+                cur.withColumn("__rh", rh)
+                .join(
+                    prev.withColumn("__rh", rh).select(*keys, "__rh"),
+                    on=keys + ["__rh"],
+                    how="left_anti",
+                )
+                .drop("__rh")
+            )
+            removed = (
+                prev.filter(F.col("__deleted").isNull() | ~F.col("__deleted"))
+                .join(cur.select(*keys), on=keys, how="left_anti")
+                .withColumn("__deleted", F.lit(True))
+            )
+            out = out.unionByName(removed, allowMissingColumns=True)
         change_op = F.when(F.col("__deleted"), F.lit("delete"))
-        if "is_revoked" in df.columns:
+        if "is_revoked" in out.columns:
             change_op = change_op.when(F.col("is_revoked"), F.lit("revoke"))
         return out.withColumn("change_op", change_op.otherwise(F.lit("upsert"))).drop(
             "__deleted"
@@ -2603,6 +2653,7 @@ class LakeTable:
                 "lineage": [],
                 "parent": m["version"],
                 "kind": "data",
+                "commit_op": "dml",
                 "touched_buckets": [],
                 "renames": m.get("renames") or {},
                 "dml": dml_spec,
@@ -2668,6 +2719,7 @@ class LakeTable:
             "lineage": [],
             "parent": m["version"],
             "kind": "data",
+            "commit_op": "dml",
             "touched_buckets": touched,
             "renames": m.get("renames") or {},
             "dml": dml_spec,
@@ -2823,6 +2875,7 @@ class LakeTable:
             "lineage": [],
             "parent": m["version"],
             "kind": "data",
+            "commit_op": "overwrite",
             # CREATE OR REPLACE: no concurrent commit can be rebased over it
             "touched_buckets": "all",
             # replacement schema is the source's: no retired names survive

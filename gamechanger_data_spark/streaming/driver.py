@@ -498,9 +498,19 @@ def sync_changelog(
       no-ops.
     * ``change_op`` maps onto merge ops (delete -> tombstone, revoke ->
       revoke, upsert -> update), so deletes/revocations propagate.
-    * A data commit without offset lineage (``overwrite()``) has no
-      derivable changelog — it is applied as a full replace through
-      :meth:`LakeTable.overwrite` under the same batch id.
+    * Dispatch is by commit provenance. Merge commits apply their
+      changelog (offset-ranged when the batch carried lineage, exact
+      snapshot diff otherwise — a direct ``merge()`` call syncs
+      incrementally at cost ∝ its touched buckets, not table size).
+      Predicate-DML commits replay their recorded SQL spec (diff rows
+      from a DML keep their original order columns, so a merge-apply
+      would silently lose the LWW tie against dst's residents — never
+      applied that way); spec-less DML (column-expression predicates,
+      bucket-pruned calls) and ``overwrite()`` commits full-replace via
+      :meth:`LakeTable.overwrite`. Legacy commits with neither a
+      provenance stamp nor offset lineage also full-replace — the
+      conservative choice, since a pre-stamp DML commit is
+      indistinguishable from a pre-stamp direct merge.
     * Source snapshots must not be expired past dst's sync horizon
       (``expire_snapshots`` keeps manifests, but changelog reads the
       commit's data files) — run sync before aggressive data GC.
@@ -531,15 +541,17 @@ def sync_changelog(
         batch_id = f"{stream_id}-v{v:08d}"
         if m.get("kind") != "data" or m.get("parent") is None:
             continue
-        try:
-            ev = src.changelog(v)
-        except ValueError:
-            # No offset lineage on this commit. If it was a predicate DML
-            # whose condition/assignments were SQL strings, the manifest
-            # carries the engine-independent spec — REPLAY the same DML
-            # downstream under the same batch id (exactly-once; cost ∝
-            # dst's own touched buckets). Otherwise (overwrite, or a
-            # column-expression DML): full replace.
+        commit_op = m.get("commit_op")
+        has_offsets = any(
+            r.get("offset_min") is not None for r in m.get("lineage", [])
+        )
+        if commit_op == "dml":
+            # Predicate DML: replay the recorded engine-independent SQL
+            # spec under the same batch id (exactly-once; cost ∝ dst's
+            # own touched buckets). Spec-less DML (column-expression or
+            # bucket-pruned) cannot be replayed OR merge-applied (its
+            # rows keep their original order columns — a merge would
+            # lose the LWW tie and silently diverge): full replace.
             spec = m.get("dml")
             if spec is not None:
                 if spec["op"] == "delete":
@@ -553,6 +565,14 @@ def sync_changelog(
             res = dst.overwrite(src.read(version=v), batch_id=batch_id)
             results.append({**res, "src_version": v, "mode": "overwrite"})
             continue
+        if not has_offsets and commit_op != "merge":
+            # overwrite commits, and legacy lineage-less commits of
+            # unknown provenance (a pre-stamp DML is indistinguishable
+            # from a pre-stamp direct merge): full replace.
+            res = dst.overwrite(src.read(version=v), batch_id=batch_id)
+            results.append({**res, "src_version": v, "mode": "overwrite"})
+            continue
+        ev = src.changelog(v)
         events = ev.withColumn(
             "op",
             F.when(F.col("change_op") == "delete", F.lit("delete"))
@@ -643,8 +663,14 @@ def sync_aggregate(
     equal to full recompute. ``dst`` must be built with
     ``order_cols=("src_version",)`` (later source commits win LWW).
 
-    A source commit without offset lineage (an ``overwrite``) falls back
-    to one full recompute + ``dst.overwrite`` under the same batch id.
+    An ``overwrite`` source commit (or a legacy lineage-less commit with
+    no provenance stamp) falls back to one full recompute +
+    ``dst.overwrite`` under the same batch id. Direct ``merge()`` and
+    predicate-DML commits delta-scope through the snapshot-diff
+    changelog: the diff only IDENTIFIES the changed group keys — the
+    aggregate always recomputes from current state, so DML's
+    unchanged-order-column rows are safe here (unlike sync_changelog's
+    merge-apply path).
 
     Like sync_changelog, only src's CURRENT parent chain feeds the
     rollup (branch-staged and orphaned commits never do), with the same
@@ -659,16 +685,23 @@ def sync_aggregate(
         if m.get("kind") != "data" or m.get("parent") is None:
             continue
         keys = list(dst.key_cols)
-        try:
-            changed = src.changelog(v).select(*keys).distinct()
-        except ValueError:
-            # overwrite commit: no derivable delta -> one full recompute
+        commit_op = m.get("commit_op")
+        has_offsets = any(
+            r.get("offset_min") is not None for r in m.get("lineage", [])
+        )
+        if commit_op == "overwrite" or (
+            not has_offsets and commit_op not in ("merge", "dml")
+        ):
+            # overwrite (diffing an all-bucket replace would read the
+            # table twice for no gain) and legacy unstamped commits:
+            # one full recompute
             full = agg(src.read(version=v)).withColumn(
                 "src_version", F.lit(int(v)).cast("long")
             )
             res = dst.overwrite(full, batch_id=batch_id)
             results.append({**res, "src_version": v, "mode": "overwrite"})
             continue
+        changed = src.changelog(v).select(*keys).distinct()
         state = src.read(version=v)
         scoped = state.join(F.broadcast(changed), on=keys, how="left_semi")
         upserts = agg(scoped).withColumn(

@@ -552,3 +552,42 @@ def test_unstamped_string_long_keys_stay_usable(spark, tmp_path):
     t2.merge(spark.createDataFrame([("c1", 999, "upsert")], schema), "b1")
     assert t2._load_manifest()["layout"] >= 2  # re-stamped by the commit
     assert t2.read().filter("k = 'c1'").collect()[0]["ts"] == 999
+
+
+def test_changelog_snapshot_diff_fallback(spark, tmp_path):
+    """A data commit without offset lineage (direct merge / overwrite)
+    gets a changelog via exact snapshot diff: changed rows only, with
+    synthesized delete rows for keys an overwrite physically dropped."""
+    import pyspark.sql.functions as F
+
+    t = LakeTable(spark, str(tmp_path / "tdiff"), n_buckets=4)
+    df = spark.createDataFrame(
+        [("a", 1, 10, "x"), ("b", 1, 10, "x"), ("c", 1, 10, "x")],
+        "conv_id string, turn_idx int, ts long, text string",
+    ).withColumn("event_seq", F.lit(1).cast("long")).withColumn(
+        "op", F.lit("insert")
+    )
+    t.merge(df, "b0")
+
+    # direct merge: patch one key, delete one; the untouched key must
+    # NOT appear even though its bucket may have been rewritten
+    patch = spark.createDataFrame(
+        [("a", 1, 20, "x2", 2, "update"), ("b", 1, 20, "x", 2, "delete")],
+        "conv_id string, turn_idx int, ts long, text string, "
+        "event_seq long, op string",
+    )
+    t.merge(patch, "b1")
+    ch = {
+        (r["conv_id"], r["change_op"])
+        for r in t.changelog(t.current_version()).collect()
+    }
+    assert ch == {("a", "upsert"), ("b", "delete")}
+
+    # overwrite that drops a key: the vanished key must surface as a
+    # synthesized delete (no tombstone exists in the new state)
+    t.overwrite(t.read().filter("conv_id <> 'a'"))
+    ch2 = {
+        (r["conv_id"], r["change_op"])
+        for r in t.changelog(t.current_version()).collect()
+    }
+    assert ("a", "delete") in ch2

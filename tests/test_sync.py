@@ -345,3 +345,76 @@ def test_sync_replays_string_dml_incrementally(spark, tmp_path):
     assert b.read().filter("text like '[sys] %'").count() > 0
     # replaying the sync is still a pure no-op (same batch ids downstream)
     assert all(x.get("skipped") for x in sync_changelog(a, b))
+
+
+def test_direct_merge_syncs_incrementally_via_snapshot_diff(spark, tmp_path):
+    """A merge() called directly (no replay lineage, so no offset ranges)
+    must still sync INCREMENTALLY: the commit_op='merge' stamp routes it
+    through the snapshot-diff changelog instead of the O(table) overwrite
+    fallback — upserts, deletes, and brand-new keys all propagate."""
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=30, max_turns=5, n_batches=1,
+                              events_per_batch=300, seed=13, evolve_batch=None))
+    a = LakeTable(spark, str(tmp_path / "a"), n_buckets=8)
+    b = LakeTable(spark, str(tmp_path / "b"), n_buckets=4)
+    replay_feed(spark, feed, a)
+    sync_changelog(a, b)
+
+    patch = (
+        a.read().filter("turn_idx = 0")
+        .withColumn("event_seq", F.col("event_seq") + F.lit(10_000_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [direct]")))
+        .withColumn("op", F.lit("update"))
+    )
+    kill = (
+        a.read().filter("turn_idx = 1").limit(3)
+        .withColumn("event_seq", F.col("event_seq") + F.lit(10_000_000_000))
+        .withColumn("op", F.lit("delete"))
+    )
+    a.merge(patch.unionByName(kill), "direct-1")
+    assert not any(
+        r.get("offset_min") is not None
+        for r in a._load_manifest().get("lineage", [])
+    )
+
+    r = [x for x in sync_changelog(a, b) if not x.get("skipped")]
+    assert len(r) == 1 and r[0].get("mode") in ("cow", "mor")
+    pd.testing.assert_frame_equal(_state(a), _state(b), check_dtype=False)
+    assert b.read().filter("text like '% [direct]'").count() > 0
+
+
+def test_sync_aggregate_delta_scopes_dml_commit(spark, tmp_path):
+    """A predicate-DML source commit must keep the rollup maintained via
+    delta-scoped recompute (the snapshot diff identifies the changed
+    groups; the aggregate recomputes them from current state) — not a
+    full overwrite."""
+    from gamechanger_data_spark.plans.catalog import conv_rollup
+    from gamechanger_data_spark.streaming.driver import sync_aggregate
+
+    feed = str(tmp_path / "feed")
+    write_feed(feed, FeedSpec(n_convs=30, max_turns=5, n_batches=1,
+                              events_per_batch=300, seed=17, evolve_batch=None))
+    src = LakeTable(spark, str(tmp_path / "src"), n_buckets=8)
+    roll = LakeTable(spark, str(tmp_path / "roll"), key_cols=("conv_id",),
+                     order_cols=("src_version",), n_buckets=4)
+    replay_feed(spark, feed, src)
+    sync_aggregate(src, roll, conv_rollup)
+
+    victim = src.read().select("conv_id").orderBy("conv_id").first()[0]
+    src.delete_where(f"conv_id = '{victim}'", "dml-conv")
+    r = [x for x in sync_aggregate(src, roll, conv_rollup)
+         if not x.get("skipped")]
+    assert len(r) == 1 and r[0].get("mode") != "overwrite"
+    got = (
+        roll.read().select("conv_id", "n_turns", "n_revoked", "last_ts",
+                           "n_chars")
+        .orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    want = (
+        conv_rollup(src.read()).orderBy("conv_id")
+        .toPandas()[list(got.columns)].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not got.conv_id.eq(victim).any()

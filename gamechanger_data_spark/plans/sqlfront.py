@@ -25,6 +25,12 @@ Accepted travel grammar after a ``FROM``/``JOIN`` reference:
   wall-clock travel via :meth:`LakeTable.version_as_of`
 * ``<name>@<branch>`` — branch head read (composes with the clauses
   above: the travel resolves along THAT branch's parent chain)
+* ``<name>.history`` / ``.files`` / ``.lineage`` / ``.tags`` /
+  ``.branches`` / ``.changes`` — metadata tables (the Iceberg
+  ``table.history`` family). ``.files`` and ``.changes`` accept
+  ``VERSION AS OF <id|'tag'>`` (files AT a snapshot; the changelog OF
+  a commit); dotted names whose base is unregistered (``db.table``)
+  pass through untouched.
 
 Unregistered names (CTEs, real temp views, catalog tables) pass through
 untouched. Comma-style joins (``FROM a, b``) only resolve the first
@@ -77,6 +83,8 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _TRAVEL = re.compile(
     rf"""(?P<kw>\b(?:FROM|JOIN)\b)\s+
          (?P<name>{_IDENT})
+         (?:\.(?P<meta>history|files|lineage|tags|branches|changes)\b)?
+         (?![\w.])  # a complete token: never resolve a prefix of db.table
          (?:@(?P<branch>[A-Za-z0-9][A-Za-z0-9._-]*))?
          (?P<clauses>
              (?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?:\d+|'[^']*')
@@ -234,6 +242,13 @@ class SqlLake:
 
     def _resolve(self, t: LakeTable, m: re.Match) -> DataFrame:
         branch = m.group("branch")
+        meta = (m.group("meta") or "").lower() or None
+        if meta and branch:
+            raise ValueError(
+                "metadata tables do not compose with @branch (use a "
+                "branch-constructed LakeTable registration instead): "
+                + m.group(0).strip()
+            )
         if branch and branch != t.branch:
             # branch instances share manifests/data; the constructor
             # adopts key/bucket spec from the manifest, so only the
@@ -247,6 +262,8 @@ class SqlLake:
                 "pin VERSION AS OF or SYSTEM_TIME AS OF, not both: "
                 + m.group(0).strip()
             )
+        if meta:
+            return self._meta_df(t, meta, vm, sm, m)
         if vm:
             tok = vm.group(1)
             version = (
@@ -256,6 +273,43 @@ class SqlLake:
         if sm:
             return t.read(as_of=datetime.fromisoformat(sm.group(1)))
         return t.read()
+
+    def _meta_df(self, t: LakeTable, meta: str, vm, sm, m: re.Match) -> DataFrame:
+        """Metadata tables (the Iceberg ``table.history`` family):
+        ``history`` / ``lineage`` / ``tags`` / ``branches`` take no pin;
+        ``files`` and ``changes`` accept ``VERSION AS OF <id|'tag'>``
+        (files AT a snapshot; the changelog OF a commit)."""
+        if sm or (vm and meta not in ("files", "changes")):
+            raise ValueError(
+                f"metadata table .{meta} does not accept this travel "
+                f"clause: {m.group(0).strip()}"
+            )
+        version = None
+        if vm:
+            tok = vm.group(1)
+            version = (
+                t.tag_version(tok[1:-1]) if tok.startswith("'") else int(tok)
+            )
+        if meta == "history":
+            return t.history()
+        if meta == "lineage":
+            return t.lineage()
+        if meta == "files":
+            return t.files(version=version)
+        if meta == "changes":
+            return t.changelog(version)
+        from pyspark.sql import types as T
+
+        pairs = t.tags() if meta == "tags" else t.branches()
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("version", T.LongType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(
+            sorted((k, int(v)) for k, v in pairs.items()), schema
+        )
 
     # -- DML statements ------------------------------------------------
 

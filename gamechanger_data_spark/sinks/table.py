@@ -1651,12 +1651,12 @@ class LakeTable:
         single-host memory-wall outlier the fold bench caught (1.09 GB
         all-bucket rewrite 1.6x over the sec/GB trend). When the touched
         buckets' RESIDENT bytes exceed FOLD_TARGET_PARTITION_BYTES per
-        default partition, the rewrite repartitions by (bucket, key) into
-        ~bytes/target tasks instead: buckets split across tasks (rows of
-        one key stay together, so LWW output is unaffected), partitionBy
-        still routes rows to their bucket dir, and each task writes
-        ~target bytes — per-file key-sorted row groups keep min/max
-        pruning. Small merges keep the one-file-per-bucket layout
+        default partition, the rewrite splits buckets across
+        ~bytes/target tasks instead (see _fold_write: RANGE partitioned
+        on (bucket, key), so a split bucket's files hold DISJOINT key
+        ranges — parquet file-level min/max stats then prune a point
+        lookup back to ~one file per bucket, exactly as if the bucket
+        were one file). Small merges keep the one-file-per-bucket layout
         unchanged. Returns (npart, extra_partition_cols)."""
         nbytes = 0
         for src in (m.get("files", {}), m.get("deltas", {})):
@@ -1671,6 +1671,26 @@ class LakeTable:
         if want > default:
             return want, list(self.key_cols)
         return default, []
+
+    def _fold_write(self, df: DataFrame, npart: int, extra: list[str]):
+        """Partition a CoW rewrite for its parquet write.
+
+        No split (``extra`` empty): hash-shuffle on __bucket — one task,
+        one file per touched bucket. Split: RANGE partition on
+        (__bucket, key) — contiguous (bucket, key) slices, so files
+        within a split bucket hold disjoint key ranges (a boundary task
+        may span two buckets; partitionBy still routes rows to their
+        bucket dirs). Rows equal on all range columns land in one
+        partition, and every caller writes RESOLVED state (one row per
+        key), so LWW output is unaffected either way. The range
+        partitioner's sampling pass costs one extra read of the shuffle
+        input — noise against a >=128 MB/task rewrite, and what buys the
+        file-skipping layout."""
+        if extra:
+            return df.repartitionByRange(
+                npart, "__bucket", *[F.col(c) for c in extra]
+            )
+        return df.repartition(npart, "__bucket")
 
     def merge(
         self,
@@ -1937,7 +1957,7 @@ class LakeTable:
         else:
             npart, extra = max(1, len(touched)), []
         (
-            merged.repartition(npart, "__bucket", *extra)
+            self._fold_write(merged, npart, extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -2130,7 +2150,7 @@ class LakeTable:
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         npart, extra = self._fold_repartition(m, set(dirty), max(1, len(dirty)))
         (
-            keep.repartition(npart, "__bucket", *extra)
+            self._fold_write(keep, npart, extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -2235,9 +2255,14 @@ class LakeTable:
             cur = self.read_buckets(
                 changed, version=m["version"], include_tombstones=True
             )
-            prev = self.read_buckets(
-                changed, version=m["parent"], include_tombstones=True
-            )
+            if pm.get("schema") is None:
+                # parent is the empty v0 table: every current row of the
+                # changed buckets IS the change (first-commit changelog)
+                prev = self.spark.createDataFrame([], cur.schema)
+            else:
+                prev = self.read_buckets(
+                    changed, version=m["parent"], include_tombstones=True
+                )
             cur_types = {f.name: f.dataType for f in cur.schema.fields}
             common = [c for c in cur.columns if c in prev.columns]
             prev = prev.select(
@@ -2295,7 +2320,7 @@ class LakeTable:
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         npart, extra = self._fold_repartition(m, None, new_nb)
         (
-            keep.repartition(npart, "__bucket", *extra)
+            self._fold_write(keep, npart, extra)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(snap_dir)
@@ -2689,7 +2714,7 @@ class LakeTable:
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         npart, extra = self._fold_repartition(m, set(touched), max(1, len(touched)))
         (
-            out.repartition(npart, "__bucket", *extra)
+            self._fold_write(out, npart, extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
             .partitionBy("__bucket")
@@ -2762,7 +2787,7 @@ class LakeTable:
         snap_dir = self._provisional_snap_dir("snap", m["version"])
         npart, extra = self._fold_repartition(m, None, self.n_buckets)
         (
-            keep.repartition(npart, "__bucket", *extra)
+            self._fold_write(keep, npart, extra)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(snap_dir)

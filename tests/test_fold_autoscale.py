@@ -85,3 +85,34 @@ def test_compact_autoscales_and_preserves_state(spark, tmp_path, monkeypatch):
     got = t.read()
     assert got.count() == 5000
     assert got.filter(F.col("ts") == 2).count() == 200
+
+
+def test_split_files_hold_disjoint_key_ranges(spark, tmp_path, monkeypatch):
+    """Fold splits are RANGE partitioned on (bucket, key): files inside a
+    split bucket hold non-overlapping key ranges, so parquet file-level
+    min/max stats prune a point lookup back to ~one file per bucket."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2, merge_mode="cow")
+    t.merge(_rows(spark, 0, 5000, 1), "b0")
+    monkeypatch.setattr(table_mod, "FOLD_TARGET_PARTITION_BYTES", 4096)
+    t.merge(_rows(spark, 0, 5000, 2), "b1")
+
+    m = t._load_manifest()
+    for b, fl in m["files"].items():
+        assert len(fl) > 1, (b, fl)
+        ranges = []
+        for p in fl:
+            md = pq.ParquetFile(_os.path.join(t.root, p)).metadata
+            ki = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == "k")
+            lo = min(md.row_group(i).column(ki).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(ki).statistics.max
+                     for i in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (b, ranges)  # disjoint (boundary touch ok)

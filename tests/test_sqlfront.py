@@ -99,3 +99,64 @@ def test_unknown_branch_and_tag_fail_loudly(spark, table):
         lake.sql("SELECT * FROM tt@nope")
     with pytest.raises(ValueError, match="no tag"):
         lake.sql("SELECT * FROM tt VERSION AS OF 'nope'")
+
+
+def test_metadata_tables_through_sql(spark, table):
+    """The Iceberg table.history family as SQL: history/files/tags/
+    branches/changes resolve to metadata DataFrames; .files and .changes
+    accept VERSION AS OF; dotted unregistered names pass through."""
+    lake = SqlLake(spark).register("tt", table)
+
+    hist = lake.sql(
+        "SELECT version, kind, refs FROM tt.history ORDER BY version"
+    ).collect()
+    assert [r["version"] for r in hist] == table.snapshots()
+    head = [r for r in hist if r["version"] == table.current_version()][0]
+    assert "branch:main" in (head["refs"] or [])
+
+    v1 = table.tag_version("first")
+    tags = {r["name"]: r["version"]
+            for r in lake.sql("SELECT * FROM tt.tags").collect()}
+    assert tags == {"first": v1}
+    branches = {r["name"]: r["version"]
+                for r in lake.sql("SELECT * FROM tt.branches").collect()}
+    assert set(branches) == {"main", "exp"}
+
+    # files at head vs pinned at the tagged version
+    n_head = lake.sql("SELECT count(*) AS n FROM tt.files").collect()[0]["n"]
+    n_v1 = lake.sql(
+        "SELECT count(*) AS n FROM tt.files VERSION AS OF 'first'"
+    ).collect()[0]["n"]
+    assert n_head >= n_v1 > 0
+
+    # changelog of a specific commit through SQL
+    ch = lake.sql(
+        f"SELECT k, change_op FROM tt.changes VERSION AS OF {v1}"
+    ).collect()
+    assert {r["k"] for r in ch} == {"a", "b"}
+
+    # metadata joins with data reads in one statement
+    n = lake.sql("""
+        SELECT count(*) AS n FROM tt
+        JOIN tt.history h ON h.kind = 'data'
+    """).collect()[0]["n"]
+    assert n > 0
+
+
+def test_metadata_tables_refuse_bad_pins_and_pass_through_dotted(spark, table):
+    import pytest as _pytest
+
+    lake = SqlLake(spark).register("tt", table)
+    with _pytest.raises(ValueError, match="does not accept"):
+        lake.sql("SELECT * FROM tt.history VERSION AS OF 1")
+    with _pytest.raises(ValueError, match="do not compose"):
+        lake.sql("SELECT * FROM tt.history@exp")
+    # unregistered dotted names are NOT ours: they flow to spark.sql,
+    # which raises its own resolution error (not a front-end rewrite)
+    from pyspark.errors import AnalysisException
+    with _pytest.raises(AnalysisException):
+        lake.sql("SELECT * FROM somedb.sometable")
+    # and a registered base name followed by an unknown suffix is left
+    # untouched too (tt.foo is not a travel form)
+    with _pytest.raises(AnalysisException):
+        lake.sql("SELECT * FROM tt.nope")

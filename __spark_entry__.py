@@ -30,11 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # _HEAD front-loads (a) replay_wap_publish — the ONLY catalog query with
 # zero driver greens (landed mid-catalog in r5, outside the window),
 # (b) the 4 round-5-new queries (one green each) for their second
-# confirmation, (c) the 6 round-6-new SQL-front-end queries (tag travel,
-# two-pin diff join, @branch read, and the three DML statement forms),
-# (d) 30 double-green queries last checked in round 4, (e) the 6 stalest
+# confirmation, (c) the 7 round-6-new queries (SQL travel forms, the
+# three DML statement forms, and the between-snapshots diff),
+# (d) 29 double-green queries last checked in round 4, (e) the 6 stalest
 # triple-greens (last checked round 3) + 2 last checked round 4, and
-# (f) the pinned flagship replay — 1+4+6+30+8+1 = exactly 50 (asserted
+# (f) the pinned flagship replay — 1+4+7+29+8+1 = exactly 50 (asserted
 # below). Everything displaced was re-confirmed green in round 5, and
 # EVERY catalog entry stays green in the local mirror
 # (tools/check_oracles.py runs all of them).
@@ -57,7 +57,7 @@ _HEAD = [
     "ref_extract_dictionary", "value_percentiles", "sessionize_events",
     "asof_last_click_before_purchase", "kmeans_embeddings",
     "kmv_distinct_users", "content_defined_chunks", "chunk_dedup_stats",
-    "chunk_documents", "paragraph_segment", "boilerplate_scrub",
+    "chunk_documents", "paragraph_segment", "diff_versions_cdc",
     # stalest triple-greens (last checked round 3, then two from round 4)
     "lww_latest_max_by", "lww_latest_salted", "revoke_by_absence",
     "hash_anti_join_dedup", "dim_lookup_join", "cdc_apply_events",

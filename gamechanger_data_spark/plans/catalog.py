@@ -1012,6 +1012,39 @@ def sql_branch_read_q(spark, sf_dir):
 # from the raw feed plus the same transformations in pure SQL.
 # ---------------------------------------------------------------------
 
+@q("diff_versions_cdc", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+fw AS (
+  SELECT conv_id, turn_idx, op, event_seq,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+f AS (SELECT conv_id, turn_idx, op, event_seq FROM fw WHERE rn = 1),
+pw AS (
+  SELECT conv_id, turn_idx, event_seq,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev WHERE event_seq < {_B2_LO}
+),
+p AS (SELECT conv_id, turn_idx, event_seq FROM pw WHERE rn = 1)
+SELECT f.conv_id AS conv_id, f.turn_idx AS turn_idx,
+       CASE WHEN f.op = 'delete' THEN 'delete'
+            WHEN f.op = 'revoke' THEN 'revoke'
+            ELSE 'upsert' END AS change_op
+FROM f LEFT JOIN p
+  ON f.conv_id = p.conv_id AND f.turn_idx = p.turn_idx
+WHERE p.conv_id IS NULL OR f.event_seq <> p.event_seq
+""", "between-snapshots incremental read: diff(v2 -> head) on the replayed "
+     "table — every key whose WINNING row changed after the batch-1 "
+     "commit, classified delete/revoke/upsert, in ONE pass over the "
+     "changed buckets (no per-commit changelog union) — vs a pure-SQL "
+     "full-state/prefix-state winner comparison over the raw feed")
+def diff_versions_cdc_q(spark, sf_dir):
+    t = _ensure_replay_table(spark)
+    return t.diff(2).select("conv_id", "turn_idx", "change_op")
+
+
 _SQLDML_ROOT = "/tmp/gcspark_sqldml_table_v1"
 
 

@@ -26,10 +26,11 @@ Accepted travel grammar after a ``FROM``/``JOIN`` reference:
 * ``<name>@<branch>`` — branch head read (composes with the clauses
   above: the travel resolves along THAT branch's parent chain)
 * ``<name>.history`` / ``.files`` / ``.lineage`` / ``.tags`` /
-  ``.branches`` / ``.changes`` — metadata tables (the Iceberg
-  ``table.history`` family). ``.files`` and ``.changes`` accept
+  ``.branches`` / ``.changes`` / ``.diff`` — metadata tables (the
+  Iceberg ``table.history`` family). ``.files`` and ``.changes`` accept
   ``VERSION AS OF <id|'tag'>`` (files AT a snapshot; the changelog OF
-  a commit); dotted names whose base is unregistered (``db.table``)
+  a commit); ``.diff`` requires one (everything changed SINCE that
+  snapshot); dotted names whose base is unregistered (``db.table``)
   pass through untouched.
 
 Unregistered names (CTEs, real temp views, catalog tables) pass through
@@ -83,7 +84,7 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _TRAVEL = re.compile(
     rf"""(?P<kw>\b(?:FROM|JOIN)\b)\s+
          (?P<name>{_IDENT})
-         (?:\.(?P<meta>history|files|lineage|tags|branches|changes)\b)?
+         (?:\.(?P<meta>history|files|lineage|tags|branches|changes|diff)\b)?
          (?![\w.])  # a complete token: never resolve a prefix of db.table
          (?:@(?P<branch>[A-Za-z0-9][A-Za-z0-9._-]*))?
          (?P<clauses>
@@ -278,8 +279,10 @@ class SqlLake:
         """Metadata tables (the Iceberg ``table.history`` family):
         ``history`` / ``lineage`` / ``tags`` / ``branches`` take no pin;
         ``files`` and ``changes`` accept ``VERSION AS OF <id|'tag'>``
-        (files AT a snapshot; the changelog OF a commit)."""
-        if sm or (vm and meta not in ("files", "changes")):
+        (files AT a snapshot; the changelog OF a commit); ``diff``
+        REQUIRES one (everything changed SINCE that baseline snapshot,
+        classified delete/revoke/upsert)."""
+        if sm or (vm and meta not in ("files", "changes", "diff")):
             raise ValueError(
                 f"metadata table .{meta} does not accept this travel "
                 f"clause: {m.group(0).strip()}"
@@ -298,6 +301,13 @@ class SqlLake:
             return t.files(version=version)
         if meta == "changes":
             return t.changelog(version)
+        if meta == "diff":
+            if version is None:
+                raise ValueError(
+                    ".diff requires a baseline: FROM <t>.diff VERSION AS "
+                    "OF <id|'tag'>"
+                )
+            return t.diff(version)
         from pyspark.sql import types as T
 
         pairs = t.tags() if meta == "tags" else t.branches()

@@ -2241,56 +2241,96 @@ class LakeTable:
             out = df.filter(F.col(seq).between(lo, hi))
         else:
             # No offset lineage (a direct merge(), overwrite, or
-            # column-expression DML): exact SNAPSHOT DIFF of the changed
-            # buckets — read them at v and at parent, keep v-rows whose
-            # full-row identity (key + 64-bit row hash over the common
-            # columns, types aligned to v's schema so widening is
-            # diff-invariant) is absent from parent, and synthesize
-            # change_op='delete' rows for keys parent held that v
-            # physically dropped (overwrite can drop keys without leaving
-            # a tombstone). Cost ∝ changed buckets at two versions — not
-            # table size. Semantics: rows whose RESOLVED STATE changed in
-            # this commit; unlike the offset form, an upsert that
-            # re-delivered identical content is (correctly) absent.
-            cur = self.read_buckets(
-                changed, version=m["version"], include_tombstones=True
-            )
-            if pm.get("schema") is None:
-                # parent is the empty v0 table: every current row of the
-                # changed buckets IS the change (first-commit changelog)
-                prev = self.spark.createDataFrame([], cur.schema)
-            else:
-                prev = self.read_buckets(
-                    changed, version=m["parent"], include_tombstones=True
-                )
-            cur_types = {f.name: f.dataType for f in cur.schema.fields}
-            common = [c for c in cur.columns if c in prev.columns]
-            prev = prev.select(
-                *[F.col(c).cast(cur_types[c]).alias(c) for c in common]
-            )
-            keys = list(self.key_cols)
-            rh = F.xxhash64(*[F.col(c) for c in common])
-            out = (
-                cur.withColumn("__rh", rh)
-                .join(
-                    prev.withColumn("__rh", rh).select(*keys, "__rh"),
-                    on=keys + ["__rh"],
-                    how="left_anti",
-                )
-                .drop("__rh")
-            )
-            removed = (
-                prev.filter(F.col("__deleted").isNull() | ~F.col("__deleted"))
-                .join(cur.select(*keys), on=keys, how="left_anti")
-                .withColumn("__deleted", F.lit(True))
-            )
-            out = out.unionByName(removed, allowMissingColumns=True)
+            # column-expression DML): exact SNAPSHOT DIFF against the
+            # parent — see _snapshot_diff. Semantics: rows whose RESOLVED
+            # STATE changed in this commit; unlike the offset form, an
+            # upsert that re-delivered identical content is (correctly)
+            # absent.
+            out = self._snapshot_diff(m, pm)
+        return self._classify_changes(out)
+
+    def _classify_changes(self, out: DataFrame) -> DataFrame:
         change_op = F.when(F.col("__deleted"), F.lit("delete"))
         if "is_revoked" in out.columns:
             change_op = change_op.when(F.col("is_revoked"), F.lit("revoke"))
         return out.withColumn("change_op", change_op.otherwise(F.lit("upsert"))).drop(
             "__deleted"
         )
+
+    def _snapshot_diff(self, m_to: dict, m_from: dict) -> DataFrame:
+        """Rows (tombstones included, no change_op yet) whose resolved
+        state differs between two manifests: read the buckets whose file
+        lists differ at both versions, keep to-rows whose full-row
+        identity (key + 64-bit row hash over the common columns, types
+        aligned to the to-schema so widening is diff-invariant) is absent
+        from the from-state, and synthesize ``__deleted`` rows for keys
+        the from-state held live that the to-state physically dropped
+        (an overwrite drops keys without leaving a tombstone). Cost ∝
+        changed buckets at two versions — not table size. A rebucket
+        between the two versions changes every bucket id's meaning, so
+        the diff falls back to all buckets on each side's OWN spec."""
+        tf, td = m_to.get("files", {}), m_to.get("deltas", {})
+        ff, fd = m_from.get("files", {}), m_from.get("deltas", {})
+        if m_to.get("n_buckets") != m_from.get("n_buckets"):
+            to_b = [int(b) for b in set(tf) | set(td)]
+            from_b = [int(b) for b in set(ff) | set(fd)]
+        else:
+            to_b = from_b = [
+                int(b)
+                for b in set(tf) | set(td)
+                if tf.get(b) != ff.get(b) or td.get(b, []) != fd.get(b, [])
+            ]
+        cur = self.read_buckets(
+            to_b, version=m_to["version"], include_tombstones=True
+        )
+        if m_from.get("schema") is None:
+            # from is the empty v0 table: every to-row of the changed
+            # buckets IS the change
+            prev = self.spark.createDataFrame([], cur.schema)
+        else:
+            prev = self.read_buckets(
+                from_b, version=m_from["version"], include_tombstones=True
+            )
+        cur_types = {f.name: f.dataType for f in cur.schema.fields}
+        common = [c for c in cur.columns if c in prev.columns]
+        prev = prev.select(
+            *[F.col(c).cast(cur_types[c]).alias(c) for c in common]
+        )
+        keys = list(self.key_cols)
+        rh = F.xxhash64(*[F.col(c) for c in common])
+        out = (
+            cur.withColumn("__rh", rh)
+            .join(
+                prev.withColumn("__rh", rh).select(*keys, "__rh"),
+                on=keys + ["__rh"],
+                how="left_anti",
+            )
+            .drop("__rh")
+        )
+        removed = (
+            prev.filter(F.col("__deleted").isNull() | ~F.col("__deleted"))
+            .join(cur.select(*keys), on=keys, how="left_anti")
+            .withColumn("__deleted", F.lit(True))
+        )
+        return out.unionByName(removed, allowMissingColumns=True)
+
+    def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental-read / audit surface (the Iceberg
+        ``table.changes`` between-snapshots analog): rows whose RESOLVED
+        STATE differs between ``from_version`` (the baseline) and
+        ``to_version`` (default: current head), with ``change_op``
+        classifying delete / revoke / upsert — "give me everything that
+        changed since snapshot v" for a downstream batch consumer,
+        spanning any number of commits in one pass (cheaper than
+        unioning per-commit changelogs: intermediate states that were
+        later overwritten never surface). Keys whose winning row is
+        identical at both snapshots are absent. Cost ∝ buckets whose
+        file lists differ. Both snapshots' data files must still exist
+        (run before aggressive expire_snapshots, same caveat as sync).
+        """
+        m_to = self._load_manifest(to_version)
+        m_from = self._load_manifest(from_version)
+        return self._classify_changes(self._snapshot_diff(m_to, m_from))
 
     def rebucket(self, new_n_buckets: int, batch_id: str = "__rebucket__") -> dict:
         """Bucket-count evolution: full rewrite under a new bucket spec

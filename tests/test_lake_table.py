@@ -591,3 +591,40 @@ def test_changelog_snapshot_diff_fallback(spark, tmp_path):
         for r in t.changelog(t.current_version()).collect()
     }
     assert ("a", "delete") in ch2
+
+
+def test_diff_between_snapshots_spans_commits(spark, tmp_path):
+    """diff(from, to) returns keys whose WINNING row differs between the
+    two snapshots in one pass: intermediate states overwritten by later
+    commits never surface, unchanged keys are absent, deletes classify,
+    and a rebucket between the pins falls back to all-bucket diff."""
+    import pyspark.sql.functions as F
+
+    t = LakeTable(spark, str(tmp_path / "tdv"), n_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, ts long, text string, "
+            "event_seq long, op string",
+        )
+
+    t.merge(batch([("a", 1, 10, "x", 1, "insert"), ("b", 1, 10, "x", 2, "insert"),
+                   ("c", 1, 10, "x", 3, "insert")]), "b0")
+    v1 = t.current_version()
+    # two commits: 'a' patched twice (only the FINAL state must surface),
+    # 'b' deleted, 'd' added; 'c' untouched
+    t.merge(batch([("a", 1, 20, "mid", 4, "update")]), "b1")
+    t.merge(batch([("a", 1, 30, "final", 5, "update"),
+                   ("b", 1, 30, "x", 6, "delete"),
+                   ("d", 1, 30, "new", 7, "insert")]), "b2")
+
+    d = {(r["conv_id"], r["change_op"], r["text"])
+         for r in t.diff(v1).collect()}
+    assert d == {("a", "upsert", "final"), ("b", "delete", "x"),
+                 ("d", "upsert", "new")}
+    # identical snapshots diff to empty; diff spans a rebucket
+    assert t.diff(t.current_version()).count() == 0
+    t.rebucket(8)
+    d2 = {(r["conv_id"], r["change_op"]) for r in t.diff(v1).collect()}
+    assert d2 == {("a", "upsert"), ("b", "delete"), ("d", "upsert")}

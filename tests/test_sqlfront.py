@@ -160,3 +160,20 @@ def test_metadata_tables_refuse_bad_pins_and_pass_through_dotted(spark, table):
     # untouched too (tt.foo is not a travel form)
     with _pytest.raises(AnalysisException):
         lake.sql("SELECT * FROM tt.nope")
+
+
+def test_diff_metadata_table_requires_and_uses_baseline(spark, table):
+    import pytest as _pytest
+
+    lake = SqlLake(spark).register("tt", table)
+    v1 = table.tag_version("first")
+    d = {(r["k"], r["change_op"]) for r in lake.sql(
+        f"SELECT k, change_op FROM tt.diff VERSION AS OF {v1}"
+    ).collect()}
+    assert d == {("c", "upsert")}  # the post-tag commit added 'c' on main
+    # tag form resolves too, and a missing baseline is refused
+    d2 = {r["k"] for r in lake.sql(
+        "SELECT k FROM tt.diff VERSION AS OF 'first'").collect()}
+    assert d2 == {"c"}
+    with _pytest.raises(ValueError, match="requires a baseline"):
+        lake.sql("SELECT * FROM tt.diff")

@@ -1657,7 +1657,13 @@ class LakeTable:
         ranges — parquet file-level min/max stats then prune a point
         lookup back to ~one file per bucket, exactly as if the bucket
         were one file). Small merges keep the one-file-per-bucket layout
-        unchanged. Returns (npart, extra_partition_cols)."""
+        unchanged. Measured: 2.5x on an all-bucket fold of a 1.6 GB
+        NB=4 table (tools/bench_fold_ab.py, interleaved A/B), with the
+        splitter-off control also prone to GCLocker stalls — the
+        fat-task memory-pressure mode this removes. Sizing is from
+        ON-DISK (compressed) bytes: highly-compressible columns
+        under-split, acceptable since the target is conservatively
+        small. Returns (npart, extra_partition_cols)."""
         nbytes = 0
         for src in (m.get("files", {}), m.get("deltas", {})):
             for bk, fl in src.items():
@@ -2793,6 +2799,44 @@ class LakeTable:
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "touched_buckets": len(touched),
                 "rows_hit": int(obs.get["rows_hit"] or 0)}
+
+    def maintain(
+        self,
+        compact_min_deltas: int | None = None,
+        keep_last: int = 2,
+        grace_sec: float = 3600.0,
+        expire: bool = True,
+    ) -> dict:
+        """One maintenance-cadence call (the reference runs its cleanup
+        as scheduled jobs; Iceberg ships rewrite_data_files +
+        expire_snapshots the same way): compact the buckets whose MOR
+        delta stack has reached ``compact_min_deltas`` (default: half
+        the auto-fold bound, so maintenance stays ahead of the write
+        path's forced folds), then expire unreferenced data files past
+        the retention window. Each leg is the existing idempotent op —
+        safe under concurrent writers (compact whole-op-retries; expire
+        never touches files a racing commit can still reference within
+        ``grace_sec``). Returns a report: which buckets compacted, how
+        many files expired."""
+        if compact_min_deltas is None:
+            compact_min_deltas = max(1, self.mor_max_deltas // 2)
+        m = self._load_manifest()
+        dirty = sorted(
+            int(b)
+            for b, fl in m.get("deltas", {}).items()
+            if len(fl) >= compact_min_deltas
+        )
+        report: dict = {"compacted_buckets": 0, "expired_files": 0}
+        if dirty:
+            res = self.compact(buckets=dirty)
+            if not res.get("skipped"):
+                report["compacted_buckets"] = res.get("compacted_buckets", 0)
+                report["compact_version"] = res.get("version")
+        if expire:
+            report["expired_files"] = self.expire_snapshots(
+                keep_last=keep_last, grace_sec=grace_sec
+            )
+        return report
 
     def expire_tombstones(self, older_than, batch_id: str = "__tombstone_gc__") -> dict:
         """Maintenance op: drop tombstones whose order column is older than

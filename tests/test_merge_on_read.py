@@ -298,3 +298,38 @@ def test_expire_tombstones_on_mor_only_table(spark, tmp_path):
     raw = t.read_buckets(range(2), include_tombstones=True)
     assert raw.filter("__deleted").count() == 0  # tombstone reclaimed
     assert t.read().count() == 1  # live row intact
+
+
+def test_maintain_compacts_deep_stacks_and_expires(spark, tmp_path):
+    """maintain() = threshold compaction + snapshot expiry in one
+    maintenance-cadence call: only buckets at/over the delta threshold
+    fold, state is unchanged, and expired data files are counted."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4,
+                  merge_mode="auto", mor_max_deltas=8)
+    _apply(spark, t, 0)  # dense batch -> CoW base
+    # pile MOR deltas (forced: the tiny base makes auto pick CoW)
+    for i in range(1, 4):
+        pdf = generate_batch(SPEC, 1).head(60)
+        r = t.merge(spark.createDataFrame(pdf), f"d{i}", mode="mor")
+        assert r["mode"] == "mor", r
+    m = t._load_manifest()
+    before = {int(b): len(fl) for b, fl in m.get("deltas", {}).items() if fl}
+    assert before
+    threshold = max(before.values())  # only the deepest stacks qualify
+    want = t.read().orderBy("conv_id", "turn_idx").toPandas()
+
+    rep = t.maintain(compact_min_deltas=threshold, keep_last=1, grace_sec=0)
+    assert rep["compacted_buckets"] == sum(
+        1 for n in before.values() if n >= threshold
+    )
+    assert rep["expired_files"] > 0
+    m2 = t._load_manifest()
+    after = {int(b): len(fl) for b, fl in m2.get("deltas", {}).items() if fl}
+    # every compacted bucket cleared; survivors were below the threshold
+    assert all(before[b] < threshold for b in after)
+    got = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # a second maintain on a clean table compacts nothing
+    rep2 = t.maintain(compact_min_deltas=threshold, keep_last=1, grace_sec=0)
+    assert rep2["compacted_buckets"] == 0

@@ -105,24 +105,25 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
             table.rollback_to_snapshot(v0)
     trickle["speedup"] = round(trickle["cow_sec"] / max(trickle["mor_sec"], 1e-9), 2)
 
-    # Predicate-DML probe (round-5 surface): a point DELETE against the
-    # multi-million-row table, bucket-pruned via buckets_for_keys vs
+    # Predicate-DML probe (round-5 surface): a POINT delete of one
+    # (conv_id, turn_idx) row against the multi-million-row table,
+    # bucket-pruned via buckets_for_keys (exactly ONE bucket — keys
+    # include turn_idx, so a single key tuple is the design point) vs
     # unpruned (the predicate scans every bucket to find its matches).
-    # Pruned cost must track the ONE touched bucket, not table size.
     probe_conv = tiny["conv_id"].iloc[0]
     dml = {}
     for rep in ("warm", "timed"):
         for variant in ("pruned", "unpruned"):
             pk = (
                 table.buckets_for_keys(
-                    [{"conv_id": probe_conv, "turn_idx": i} for i in range(50)]
+                    [{"conv_id": probe_conv, "turn_idx": 0}]
                 )
                 if variant == "pruned"
                 else None
             )
             t1 = time.perf_counter()
             r = table.delete_where(
-                f"conv_id = '{probe_conv}'",
+                f"conv_id = '{probe_conv}' AND turn_idx = 0",
                 batch_id=f"__dmlprobe_{variant}__",
                 buckets=pk,
             )

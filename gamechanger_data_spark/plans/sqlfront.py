@@ -30,23 +30,41 @@ Accepted travel grammar after a ``FROM``/``JOIN`` reference:
   Iceberg ``table.history`` family). ``.files`` and ``.changes`` accept
   ``VERSION AS OF <id|'tag'>`` (files AT a snapshot; the changelog OF
   a commit); ``.diff`` requires one (everything changed SINCE that
-  snapshot); dotted names whose base is unregistered (``db.table``)
-  pass through untouched.
+  snapshot) and accepts two (``.diff VERSION AS OF a VERSION AS OF b``
+  = everything changed from a to b); dotted names whose base is
+  unregistered (``db.table``) pass through untouched.
 
-Unregistered names (CTEs, real temp views, catalog tables) pass through
-untouched. Comma-style joins (``FROM a, b``) only resolve the first
-name — use explicit ``JOIN`` for multi-table travel queries.
+Unregistered names (real temp views, catalog tables) pass through
+untouched, and names the query itself binds — ``WITH`` CTEs, ``WINDOW``
+definitions — shadow registered tables, exactly as they would shadow a
+catalog table in SQL. Matching runs against a literal-masked copy of
+the query, so a quoted ``'... FROM transcripts ...'`` or a commented
+reference is never rewritten. Comma-style joins (``FROM a, b``) where
+the second name is registered are refused with a use-explicit-JOIN
+error (each reference must resolve and carry its own travel clause).
 
 DML statements route to the engine's exactly-once predicate-DML and
 MERGE commits (same semantics, OCC, and sync-pushdown as the Python
 API — the WHERE/SET text is recorded verbatim as the manifest's dml
 spec, so synced copies replay it):
 
+    INSERT INTO transcripts (conv_id, turn_idx, ...) VALUES (...), (...)
+    INSERT INTO transcripts SELECT ... FROM staged
     DELETE FROM transcripts WHERE role = 'tool'
     UPDATE transcripts@audit SET text = upper(text) WHERE turn_idx = 0
     MERGE INTO transcripts USING (SELECT ...) s
       ON transcripts.conv_id = s.conv_id AND transcripts.turn_idx = s.turn_idx
       WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+Maintenance/ops procedures take the Iceberg ``CALL`` form against a
+registered table and return a one-row report:
+
+    CALL transcripts.rollback_to_snapshot(7)
+    CALL transcripts.tag('train-run-7', 7)
+    CALL transcripts.create_branch('audit')
+    CALL transcripts.fast_forward('audit')
+    CALL transcripts.expire_snapshots(2, 3600)
+    CALL transcripts.maintain()
 
 Conditions and SET expressions must be row-local (no subqueries — put
 set-based logic in a MERGE's USING query). MERGE accepts only the
@@ -129,7 +147,22 @@ _ON_EQ = re.compile(
     rf"(?:{_IDENT}\s*\.\s*)?(?P<r>{_IDENT})\s*$",
     re.IGNORECASE,
 )
-_DML_KW = re.compile(r"^\s*(DELETE|UPDATE|MERGE)\b", re.IGNORECASE)
+_DML_KW = re.compile(r"^\s*(DELETE|UPDATE|MERGE|INSERT|CALL)\b", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+{_TABLE_REF}\s*"
+    rf"(?:\((?P<cols>[^()]*)\)\s*)?(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CALL_RE = re.compile(
+    rf"^\s*CALL\s+(?P<name>{_IDENT})(?:@(?P<branch>{_BRANCH}))?"
+    rf"\s*\.\s*(?P<proc>{_IDENT})\s*\((?P<args>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CALL_ARG = re.compile(
+    r"^\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<bool>true|false)|(?P<null>null))\s*$",
+    re.IGNORECASE,
+)
 _ASSIGN = re.compile(
     rf"^\s*(?P<col>{_IDENT})\s*=\s*(?P<expr>.+)$", re.DOTALL
 )
@@ -171,6 +204,62 @@ def _mask_tops(s: str) -> str:
             out.append(c if depth == 0 else " ")
             i += 1
     return "".join(out)
+
+
+def _mask_literals(s: str) -> str:
+    """Same-length copy of ``s`` with string-literal CONTENTS (quotes
+    kept) and comment bodies (``--`` to end-of-line, ``/* */``) blanked
+    to spaces — parentheses and everything inside them stay visible, so
+    structural matching (_TRAVEL, CTE detection) still sees subqueries.
+    Group spans on the mask are valid offsets into the original (slice
+    the original for any value that may contain a literal)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            out.append("'")
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        out.extend("  ")
+                        i += 2
+                        continue
+                    out.append("'")
+                    i += 1
+                    break
+                out.append(" ")
+                i += 1
+        elif c == "-" and i + 1 < n and s[i + 1] == "-":
+            while i < n and s[i] != "\n":
+                out.append(" ")
+                i += 1
+        elif c == "/" and i + 1 < n and s[i + 1] == "*":
+            out.extend("  ")
+            i += 2
+            while i < n:
+                if s[i] == "*" and i + 1 < n and s[i + 1] == "/":
+                    out.extend("  ")
+                    i += 2
+                    break
+                out.append(" " if s[i] != "\n" else "\n")
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+# A name directly followed by [optional column list +] "AS (" is a CTE
+# (or WINDOW) definition — table aliases never take that shape
+# (derived-table aliases are ") AS x"). References to such names must
+# NOT be resolved to lake tables: the query's own binding wins.
+_CTE_DEF = re.compile(
+    rf"\b({_IDENT})\s*(?:\((?:\s*{_IDENT}\s*,?)*\))?\s+AS\s*\(", re.IGNORECASE
+)
+# after a resolved FROM reference: ", name" = comma-style join
+_COMMA_JOIN = re.compile(rf"\s*,\s*({_IDENT})")
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -221,78 +310,110 @@ class SqlLake:
         if m:
             return self._dml(m.group(1).upper(), query, batch_id)
         views: list[str] = []
-
-        def repl(m: re.Match) -> str:
+        # Match against a literal-masked copy (string/comment contents
+        # blanked, parens intact): a quoted "... FROM transcripts ..."
+        # inside a literal is data, not a reference. Spans on the mask
+        # are valid offsets into the original; replacements splice back
+        # by offset. Names the query itself binds (WITH ctes, WINDOW
+        # defs — "<name> AS (") shadow registered tables, as in SQL.
+        mask = _mask_literals(query)
+        shadowed = {c.group(1).lower() for c in _CTE_DEF.finditer(mask)}
+        pieces: list[str] = []
+        pos = 0
+        for m in _TRAVEL.finditer(mask):
             name = m.group("name")
             t = self._tables.get(name)
-            if t is None:
-                return m.group(0)  # not ours: CTE / temp view / catalog
-            df = self._resolve(t, m)
+            cj = _COMMA_JOIN.match(mask, m.end())
+            if cj and cj.group(1) in self._tables:
+                raise ValueError(
+                    f"comma-style join 'FROM {name}, {cj.group(1)}' is not "
+                    "supported for registered lake tables — use an "
+                    "explicit JOIN so each reference can resolve (and "
+                    "carry its own travel clause)"
+                )
+            if t is None or name.lower() in shadowed:
+                continue  # not ours: CTE / temp view / catalog table
+            df = self._resolve(t, m, query)
             self._seq += 1
             view = f"__lake_{name}_{self._seq}"
             df.createOrReplaceTempView(view)
             views.append(view)
-            return f"{m.group('kw')} {view}"
-
-        rewritten = _TRAVEL.sub(repl, query)
+            pieces.append(query[pos : m.start()])
+            pieces.append(f"{m.group('kw')} {view}")
+            pos = m.end()
+        pieces.append(query[pos:])
+        rewritten = "".join(pieces)
         try:
             return self.spark.sql(rewritten)
         finally:
             for v in views:
                 self.spark.catalog.dropTempView(v)
 
-    def _resolve(self, t: LakeTable, m: re.Match) -> DataFrame:
+    def _resolve(self, t: LakeTable, m: re.Match, query: str) -> DataFrame:
+        """``m`` matched against the literal-masked copy of ``query``;
+        the mask is same-length, so group spans index the original —
+        clause text (which may hold quoted tags/timestamps) is sliced
+        from ``query``, never taken from the mask."""
+        ref = query[m.start() : m.end()].strip()
         branch = m.group("branch")
         meta = (m.group("meta") or "").lower() or None
         if meta and branch:
             raise ValueError(
                 "metadata tables do not compose with @branch (use a "
-                "branch-constructed LakeTable registration instead): "
-                + m.group(0).strip()
+                "branch-constructed LakeTable registration instead): " + ref
             )
         if branch and branch != t.branch:
             # branch instances share manifests/data; the constructor
             # adopts key/bucket spec from the manifest, so only the
             # pointer differs
             t = LakeTable(t.spark, t.root, n_buckets=t.n_buckets, branch=branch)
-        clauses = m.group("clauses") or ""
-        vm = _VERSION.search(clauses)
-        sm = _SYSTIME.search(clauses)
-        if vm and sm:
+        clauses = query[m.start("clauses") : m.end("clauses")] if m.group(
+            "clauses"
+        ) else ""
+        vms = list(_VERSION.finditer(clauses))
+        sms = list(_SYSTIME.finditer(clauses))
+        if meta == "diff" and len(vms) == 2 and not sms:
+            # two pins: everything changed FROM the first snapshot TO
+            # the second — the Python diff(from, to) span read
+            return t.diff(
+                self._pin_version(t, vms[0]), self._pin_version(t, vms[1])
+            )
+        if len(vms) + len(sms) > 1:
             raise ValueError(
-                "pin VERSION AS OF or SYSTEM_TIME AS OF, not both: "
-                + m.group(0).strip()
+                "one travel pin per reference (VERSION AS OF or "
+                "SYSTEM_TIME AS OF, not several): " + ref
             )
+        vm = vms[0] if vms else None
+        sm = sms[0] if sms else None
         if meta:
-            return self._meta_df(t, meta, vm, sm, m)
+            return self._meta_df(t, meta, vm, sm, ref)
         if vm:
-            tok = vm.group(1)
-            version = (
-                t.tag_version(tok[1:-1]) if tok.startswith("'") else int(tok)
-            )
-            return t.read(version=version)
+            return t.read(version=self._pin_version(t, vm))
         if sm:
             return t.read(as_of=datetime.fromisoformat(sm.group(1)))
         return t.read()
 
-    def _meta_df(self, t: LakeTable, meta: str, vm, sm, m: re.Match) -> DataFrame:
+    @staticmethod
+    def _pin_version(t: LakeTable, vm: re.Match) -> int:
+        tok = vm.group(1)
+        return t.tag_version(tok[1:-1]) if tok.startswith("'") else int(tok)
+
+    def _meta_df(self, t: LakeTable, meta: str, vm, sm, ref: str) -> DataFrame:
         """Metadata tables (the Iceberg ``table.history`` family):
         ``history`` / ``lineage`` / ``tags`` / ``branches`` take no pin;
         ``files`` and ``changes`` accept ``VERSION AS OF <id|'tag'>``
         (files AT a snapshot; the changelog OF a commit); ``diff``
         REQUIRES one (everything changed SINCE that baseline snapshot,
-        classified delete/revoke/upsert)."""
+        classified delete/revoke/upsert) and accepts TWO (changes from
+        the first snapshot to the second — handled in _resolve)."""
         if sm or (vm and meta not in ("files", "changes", "diff")):
             raise ValueError(
                 f"metadata table .{meta} does not accept this travel "
-                f"clause: {m.group(0).strip()}"
+                f"clause: {ref}"
             )
         version = None
         if vm:
-            tok = vm.group(1)
-            version = (
-                t.tag_version(tok[1:-1]) if tok.startswith("'") else int(tok)
-            )
+            version = self._pin_version(t, vm)
         if meta == "history":
             return t.history()
         if meta == "lineage":
@@ -305,7 +426,7 @@ class SqlLake:
             if version is None:
                 raise ValueError(
                     ".diff requires a baseline: FROM <t>.diff VERSION AS "
-                    "OF <id|'tag'>"
+                    "OF <id|'tag'> [VERSION AS OF <to_id|'tag'>]"
                 )
             return t.diff(version)
         from pyspark.sql import types as T
@@ -332,6 +453,8 @@ class SqlLake:
         return t
 
     def _dml(self, kind: str, query: str, batch_id: str | None) -> DataFrame:
+        if kind == "CALL":
+            return self._call(query)
         if batch_id is None:
             import uuid
 
@@ -340,6 +463,8 @@ class SqlLake:
             r = self._delete(query, batch_id)
         elif kind == "UPDATE":
             r = self._update(query, batch_id)
+        elif kind == "INSERT":
+            r = self._insert(query, batch_id)
         else:
             r = self._merge(query, batch_id)
         stmt = kind.lower()
@@ -398,8 +523,149 @@ class SqlLake:
             am = _ASSIGN.match(piece)
             if not am:
                 raise ValueError(f"cannot parse SET assignment: {piece!r}")
-            assignments[am.group("col")] = am.group("expr").strip()
+            col = am.group("col")
+            if col.lower() in {c.lower() for c in assignments}:
+                # SQL engines reject duplicate SET targets; silently
+                # keeping the last would commit a typo'd UPDATE half-done
+                raise ValueError(
+                    f"duplicate SET assignment to column {col!r}"
+                )
+            assignments[col] = am.group("expr").strip()
         return t.update_where(cond, assignments, batch_id=batch_id)
+
+    def _insert(self, query: str, batch_id: str) -> dict:
+        """``INSERT INTO t[@branch] [(cols)] SELECT ...`` /
+        ``VALUES (...), ...`` — the statement a SQL user types first,
+        routed to the engine's exactly-once MERGE with ``op='insert'``
+        (the reference's loader is insert-first for the same reason:
+        ``gc_ingest/tools/load/utils.py:223-278``). Rows must carry the
+        key and order columns (via the column list or the SELECT's
+        aliases); a row whose key already exists upserts under the LWW
+        order guard, exactly like a replayed insert event — so INSERT
+        is safe to retry and safe against out-of-order arrival, instead
+        of failing on duplicates. ``VALUES`` requires a column list
+        (there are no positional names to adopt); a SELECT with a
+        column list is renamed positionally."""
+        m = _INSERT_RE.match(query)
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {query!r}")
+        t = self._target(m.group("name"), m.group("branch"), "INSERT")
+        cols = None
+        rest = m.group("rest").strip()
+        colstext = m.group("cols")
+        if colstext is not None:
+            if re.match(r"^\s*(SELECT|VALUES|WITH)\b", colstext, re.IGNORECASE):
+                # "(SELECT ...)" body, not a column list — reattach
+                rest = f"({colstext}) {rest}".strip()
+            else:
+                cols = [c.strip() for c in colstext.split(",") if c.strip()]
+                if not cols:
+                    raise ValueError("INSERT: empty column list")
+        if not rest:
+            raise ValueError("INSERT: missing SELECT or VALUES body")
+        if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+            if cols is None:
+                raise ValueError(
+                    "INSERT ... VALUES requires a column list: "
+                    "INSERT INTO t (k, ord, payload, ...) VALUES (...)"
+                )
+            source = self.spark.sql(
+                f"SELECT * FROM {rest} AS __ins({', '.join(cols)})"
+            )
+        else:
+            body = rest
+            if body.startswith("("):
+                inner_mask = _mask_tops(body)
+                close = inner_mask.find(")")
+                if close < 0 or body[close + 1 :].strip():
+                    raise ValueError(f"cannot parse INSERT body: {rest!r}")
+                body = body[1:close]
+            source = self.sql(body)
+            if cols is not None:
+                if len(cols) != len(source.columns):
+                    raise ValueError(
+                        f"INSERT column list has {len(cols)} names but the "
+                        f"query produces {len(source.columns)} columns"
+                    )
+                source = source.toDF(*cols)
+        from pyspark.sql import functions as F
+
+        return t.merge(
+            source.withColumn("op", F.lit("insert")), batch_id=batch_id
+        )
+
+    # procedures a SQL user can CALL on a registered table — each maps
+    # 1:1 to the Python ops surface and returns (procedure, table,
+    # result-JSON) as one row. Literal arguments only (the ops take
+    # versions, names, and thresholds — never expressions).
+    _PROCS = {
+        "rollback_to_snapshot", "tag", "drop_tag", "create_branch",
+        "drop_branch", "fast_forward", "expire_snapshots",
+        "expire_tombstones", "compact", "rebucket", "rename_column",
+        "maintain",
+    }
+
+    def _call(self, query: str) -> DataFrame:
+        """``CALL <table>[@branch].<procedure>(<literal args>)`` — the
+        SQL maintenance/ops surface (Iceberg's ``CALL system.*``
+        procedures; reference analog: the snapshot/restore tooling,
+        ``gc_ingest/tools/snapshot/utils.py:158-257``). Routes to the
+        same Python methods, so exactly-once / OCC / retention rules
+        are identical. Returns one row: procedure, table, and the
+        result as canonical sorted-key JSON (version numbers, counts,
+        compacted buckets — whatever the op reports)."""
+        m = _CALL_RE.match(query)
+        if not m:
+            raise ValueError(
+                "cannot parse CALL (expected CALL <table>[@branch]"
+                f".<procedure>(args)): {query!r}"
+            )
+        name, proc = m.group("name"), m.group("proc").lower()
+        t = self._target(name, m.group("branch"), "CALL")
+        if proc not in self._PROCS:
+            raise ValueError(
+                f"unknown procedure {proc!r} (have: {sorted(self._PROCS)})"
+            )
+        args: list = []
+        raw = m.group("args").strip()
+        if raw:
+            for piece in _split_top(raw):
+                am = _CALL_ARG.match(piece)
+                if not am:
+                    raise ValueError(
+                        f"CALL arguments must be literals, got: {piece.strip()!r}"
+                    )
+                if am.group("str") is not None:
+                    args.append(am.group("str")[1:-1].replace("''", "'"))
+                elif am.group("num") is not None:
+                    n = am.group("num")
+                    args.append(float(n) if "." in n else int(n))
+                elif am.group("bool") is not None:
+                    args.append(am.group("bool").lower() == "true")
+                else:
+                    args.append(None)
+        result = getattr(t, proc)(*args)
+        import json
+
+        if result is None:
+            result = {}
+        elif not isinstance(result, dict):
+            result = {"result": result}
+        # every report carries the head version the call left behind
+        result = {**result, "table_version": t.current_version()}
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("procedure", T.StringType(), False),
+                T.StructField("table", T.StringType(), False),
+                T.StructField("result", T.StringType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(
+            [(proc, name, json.dumps(result, sort_keys=True, default=str))],
+            schema,
+        )
 
     def _merge(self, query: str, batch_id: str) -> dict:
         """The canonical upsert MERGE (Delta's ``SET * / INSERT *``

@@ -87,7 +87,7 @@ def test_join_two_pins_and_passthrough(spark, table):
 def test_double_pin_refused(spark, table):
     lake = SqlLake(spark).register("tt", table)
     at = table._load_manifest(1)["committed_at"]
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="one travel pin"):
         lake.sql(
             f"SELECT * FROM tt VERSION AS OF 1 FOR SYSTEM_TIME AS OF '{at}'"
         )

@@ -1,0 +1,217 @@
+"""Round-7 SqlLake surfaces: literal/CTE-safe reference resolution,
+INSERT INTO, CALL maintenance procedures, two-pin .diff, and the
+comma-join / duplicate-SET guard rails.
+
+Reference analogs: insert-first upsert loader
+(dataPipelines/gc_ingest/tools/load/utils.py:223-278) for INSERT INTO;
+snapshot/restore tooling (gc_ingest/tools/snapshot/utils.py:158-257)
+for the CALL procedures."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from gamechanger_data_spark.plans.sqlfront import SqlLake
+from gamechanger_data_spark.sinks.table import LakeTable
+
+SCH = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [("a", 1, "upsert", "alpha"), ("b", 1, "upsert", "beta")], SCH), "b0")
+    t.merge(spark.createDataFrame([("c", 2, "upsert", "gamma")], SCH), "b1")
+    return t
+
+
+def _state(t):
+    return {r["k"]: (r["ts"], r["text"]) for r in t.read().collect()}
+
+
+# ---------------- literal / CTE masking (resolution safety) ----------
+
+
+def test_string_literal_reference_not_rewritten(spark, table):
+    """A quoted 'FROM tt' is data: the rewrite must not touch it."""
+    lake = SqlLake(spark).register("tt", table)
+    lit = "copied FROM tt yesterday"
+    rows = lake.sql(
+        f"SELECT k, '{lit}' AS note FROM tt WHERE k = 'a'").collect()
+    assert rows[0]["note"] == lit
+
+
+def test_comment_reference_not_rewritten(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    n = lake.sql(
+        "SELECT count(*) AS n -- FROM tt VERSION AS OF 99\n"
+        "FROM tt /* JOIN tt VERSION AS OF 99 */"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+def test_cte_shadows_registered_table(spark, table):
+    """WITH tt AS (...) binds tt for this query — the lake table must
+    not hijack the CTE reference."""
+    lake = SqlLake(spark).register("tt", table)
+    n = lake.sql(
+        "WITH tt AS (SELECT 1 AS k) SELECT count(*) AS n FROM tt"
+    ).collect()[0]["n"]
+    assert n == 1
+
+
+def test_comma_join_with_registered_second_name_refused(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    lake.register("uu", table)
+    with pytest.raises(ValueError, match="explicit JOIN"):
+        lake.sql("SELECT * FROM tt, uu")
+    # unregistered second name: plain Spark semantics, untouched
+    spark.range(2).createOrReplaceTempView("plainv")
+    assert lake.sql(
+        "SELECT count(*) AS n FROM tt, plainv").collect()[0]["n"] == 6
+    spark.catalog.dropTempView("plainv")
+
+
+def test_multi_version_pins_refused(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    with pytest.raises(ValueError, match="one travel pin"):
+        lake.sql("SELECT * FROM tt VERSION AS OF 1 VERSION AS OF 2")
+
+
+# ---------------- two-pin .diff -------------------------------------
+
+
+def test_diff_two_pins_spans_versions(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    d = {(r["k"], r["change_op"]) for r in lake.sql(
+        "SELECT k, change_op FROM tt.diff VERSION AS OF 1 VERSION AS OF 2"
+    ).collect()}
+    assert d == {("c", "upsert")}
+    # single pin still means "since that snapshot, to head"
+    d1 = {r["k"] for r in lake.sql(
+        "SELECT k FROM tt.diff VERSION AS OF 1").collect()}
+    assert d1 == {"c"}
+
+
+# ---------------- duplicate SET guard --------------------------------
+
+
+def test_duplicate_set_assignment_refused(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    with pytest.raises(ValueError, match="duplicate SET"):
+        lake.sql("UPDATE tt SET text = 'x', text = 'y' WHERE k = 'a'")
+
+
+# ---------------- INSERT INTO ----------------------------------------
+
+
+def test_insert_values_requires_column_list(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    with pytest.raises(ValueError, match="column list"):
+        lake.sql("INSERT INTO tt VALUES ('z', 9, 'insert', 'zeta')")
+
+
+def test_insert_values_and_exactly_once(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    r = lake.sql(
+        "INSERT INTO tt (k, ts, op, text) VALUES ('z', 9, 'x', 'zeta'), "
+        "('y', 9, 'x', 'psi')",
+        batch_id="ins-1",
+    ).collect()[0]
+    assert r["statement"] == "insert" and not r["skipped"]
+    assert _state(table)["z"] == (9, "zeta")
+    assert _state(table)["y"] == (9, "psi")
+    # the op column the user supplied is overridden to 'insert'
+    # (verified by the rows landing live, not as tombstones)
+    r2 = lake.sql(
+        "INSERT INTO tt (k, ts, op, text) VALUES ('q', 1, 'x', 'dup')",
+        batch_id="ins-1",
+    ).collect()[0]
+    assert r2["skipped"] and "q" not in _state(table)
+
+
+def test_insert_select_lww_guard(spark, table):
+    """INSERT of a key that exists upserts under the LWW order guard:
+    newer wins, older loses — never a duplicate-key failure."""
+    lake = SqlLake(spark).register("tt", table)
+    lake.sql(
+        "INSERT INTO tt SELECT k, ts + 10 AS ts, upper(text) AS text "
+        "FROM tt WHERE k = 'a'",
+        batch_id="ins-new",
+    )
+    assert _state(table)["a"] == (11, "ALPHA")
+    lake.sql(
+        "INSERT INTO tt (k, ts, op, text) VALUES ('a', 5, 'x', 'stale')",
+        batch_id="ins-old",
+    )
+    assert _state(table)["a"] == (11, "ALPHA")  # stale insert lost
+    assert len(_state(table)) == 3
+
+
+def test_insert_select_column_list_renames_positionally(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    lake.sql(
+        "INSERT INTO tt (k, ts, text) "
+        "SELECT concat(k, '2'), ts, text FROM tt VERSION AS OF 1",
+        batch_id="ins-cl",
+    )
+    s = _state(table)
+    assert s["a2"] == (1, "alpha") and s["b2"] == (1, "beta")
+    with pytest.raises(ValueError, match="column list has"):
+        lake.sql("INSERT INTO tt (k, ts) SELECT k, ts, text FROM tt")
+
+
+# ---------------- CALL procedures ------------------------------------
+
+
+def _result(df):
+    row = df.collect()[0]
+    return row, json.loads(row["result"])
+
+
+def test_call_tag_and_rollback(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    row, res = _result(lake.sql("CALL tt.tag('v1-state', 1)"))
+    assert row["procedure"] == "tag" and row["table"] == "tt"
+    assert table.tags() == {"v1-state": 1}
+    v_before = table.current_version()
+    _, res = _result(lake.sql("CALL tt.rollback_to_snapshot(1)"))
+    assert res["table_version"] != v_before
+    assert {r["k"] for r in table.read().collect()} == {"a", "b"}
+
+
+def test_call_branch_lifecycle(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    lake.sql("CALL tt.create_branch('audit')")
+    assert "audit" in table.branches()
+    audit = LakeTable(spark, table.root, n_buckets=4, branch="audit")
+    audit.merge(spark.createDataFrame(
+        [("d", 3, "upsert", "delta")], SCH), "b-aud")
+    _, res = _result(lake.sql("CALL tt.fast_forward('audit')"))
+    assert "d" in _state(table)
+    lake.sql("CALL tt.drop_branch('audit')")
+    assert "audit" not in table.branches()
+
+
+def test_call_maintain_reports(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    _, res = _result(lake.sql("CALL tt.maintain(1, 100, 3600.0)"))
+    assert "compacted_buckets" in res and "expired_files" in res
+
+
+def test_call_guard_rails(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    with pytest.raises(ValueError, match="unknown procedure"):
+        lake.sql("CALL tt.drop_table()")
+    with pytest.raises(ValueError, match="literals"):
+        lake.sql("CALL tt.rollback_to_snapshot(current_version())")
+    with pytest.raises(ValueError, match="unregistered"):
+        lake.sql("CALL nosuch.maintain()")

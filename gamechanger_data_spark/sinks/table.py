@@ -72,6 +72,7 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -298,8 +299,96 @@ class LakeTable:
         if self._legacy_layout:
             raise ValueError(
                 f"{op} refused: table layout predates canonical key "
-                "hashing — run rebucket() (full rewrite) first"
+                "hashing — run verify_layout() (scan-and-stamp when the "
+                "layout is in fact already canonical) or rebucket() "
+                "(full rewrite) first"
             )
+
+    def verify_layout(self, sample_fraction: float = 1.0) -> dict:
+        """Cheap migration off the legacy-layout refusal: scan the
+        resident rows (bases + deltas), check each hashes to the bucket
+        directory it physically lives in under the CANONICAL layout,
+        and — when every checked row agrees — commit a stamp-only
+        manifest (metadata copy of the head carrying the layout stamp;
+        zero data movement) and lift this instance's refusal. Unstamped
+        tables written by canonical-hash code (the guard's known false
+        positive: the stamp postdates the hash fix) pass and avoid the
+        O(table-rewrite) rebucket; genuinely pre-canonical tables fail
+        loudly with the misplaced-row count and must rebucket().
+
+        ``sample_fraction`` < 1 trades certainty for scan cost on huge
+        tables (rows are sampled uniformly within every file, so every
+        bucket is still covered); the stamp asserts layout correctness,
+        so sample only when a wrong stamp is recoverable. Read-only
+        except for the one metadata commit; safe under concurrent
+        writers (plain OCC commit; a racing data commit just re-runs
+        the CAS)."""
+        m = self._load_manifest()
+        if m["version"] == 0:
+            raise ValueError("empty table: nothing to verify")
+        if not self._legacy_layout and int(m.get("layout") or 1) >= LAYOUT_VERSION:
+            return {"verified": True, "checked_rows": 0, "misplaced_rows": 0,
+                    "already_stamped": True, "version": m["version"]}
+        schema = T.StructType.fromJson(m["schema"])
+        paths = [
+            os.path.join(self.root, p)
+            for bucket_files in (m.get("files", {}), m.get("deltas", {}))
+            for fl in bucket_files.values()
+            for p in fl
+        ]
+        report = {"already_stamped": False}
+        if paths:
+            df = self._scan_files(m, schema, paths)
+            if 0 < sample_fraction < 1.0:
+                df = df.sample(fraction=sample_fraction, seed=7)
+            resident = F.regexp_extract(
+                F.input_file_name(), r"__bucket=(\d+)", 1
+            ).cast("int")
+            computed = self._bucket_expr(schema=schema).cast("int")
+            # input_file_name() is marked nondeterministic: project the
+            # per-row flag first, aggregate the plain column after
+            flags = df.select((resident != computed).cast("long").alias("bad"))
+            agg = flags.select(
+                F.count(F.lit(1)).alias("n"), F.sum("bad").alias("bad")
+            ).collect()[0]
+            report.update(
+                checked_rows=int(agg["n"] or 0),
+                misplaced_rows=int(agg["bad"] or 0),
+            )
+            if report["misplaced_rows"]:
+                raise ValueError(
+                    f"layout verification FAILED: {report['misplaced_rows']} "
+                    f"of {report['checked_rows']} checked rows do not hash "
+                    "to their resident bucket under the canonical layout — "
+                    "this table really was written pre-canonical; run "
+                    "rebucket() (full rewrite) to migrate"
+                )
+        else:
+            report.update(checked_rows=0, misplaced_rows=0)
+        # stamp-only manifest: byte-identical file lists, new version;
+        # _commit stamps layout=LAYOUT_VERSION on every modern commit
+        tail, seg = self._carry_batches(m)
+        manifest = {
+            **{
+                k: m[k]
+                for k in ("schema", "n_buckets", "files")
+            },
+            "version": m["version"] + 1,
+            "deltas": m.get("deltas", {}),
+            "base_rows": m.get("base_rows", {}),
+            "delta_rows": m.get("delta_rows", {}),
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "maintenance",
+            "touched_buckets": [],
+            "renames": m.get("renames") or {},
+        }
+        report["version"] = self._commit(manifest, expected_parent=m["version"])
+        report["verified"] = True
+        self._legacy_layout = False
+        return report
 
     # ---------------- manifest / version plumbing ----------------
 
@@ -2121,7 +2210,10 @@ class LakeTable:
         return "mor" if src_rows < self.mor_fraction * resident else "cow"
 
     def compact(
-        self, buckets: Iterable[int] | None = None, batch_id: str = "__compact__"
+        self,
+        buckets: Iterable[int] | None = None,
+        batch_id: str = "__compact__",
+        lineage_rows: list[dict] | None = None,
     ) -> dict:
         """Fold outstanding delta files back into base files (Iceberg
         rewrite_data_files). Default: every bucket with deltas. Reads
@@ -2129,10 +2221,15 @@ class LakeTable:
         buckets; delta-free buckets are untouched. Run on a maintenance
         cadence so the read-side resolution shuffle stays bounded. On a
         concurrent-commit conflict the whole compaction re-runs against
-        fresh state (it is a pure function of current state)."""
-        return self._with_conflict_retry(lambda: self._compact_once(buckets, batch_id))
+        fresh state (it is a pure function of current state).
+        ``lineage_rows``: optional summary rows recorded in the commit
+        (maintain() stamps its per-cycle report this way, so the
+        maintenance history is auditable through lineage())."""
+        return self._with_conflict_retry(
+            lambda: self._compact_once(buckets, batch_id, lineage_rows)
+        )
 
-    def _compact_once(self, buckets, batch_id: str) -> dict:
+    def _compact_once(self, buckets, batch_id: str, lineage_rows=None) -> dict:
         self._require_canonical_layout("compact")
         m = self._load_manifest()
         self._pin_bucket_spec(m)
@@ -2183,7 +2280,7 @@ class LakeTable:
             "delta_rows": delta_rows,
             "applied_batches": tail,
             "batches_segment": seg,
-            "lineage": [],
+            "lineage": list(lineage_rows or []),
             "parent": m["version"],
             "kind": "maintenance",
             "touched_buckets": dirty,
@@ -2267,8 +2364,10 @@ class LakeTable:
         """Rows (tombstones included, no change_op yet) whose resolved
         state differs between two manifests: read the buckets whose file
         lists differ at both versions, keep to-rows whose full-row
-        identity (key + 64-bit row hash over the common columns, types
-        aligned to the to-schema so widening is diff-invariant) is absent
+        identity (key + 64-bit row hash over the TO-schema's columns —
+        from-rows are projected onto it with rename aliases mapped and
+        added columns as typed nulls, so widening, renames, AND
+        same-commit column additions are all diff-correct) is absent
         from the from-state, and synthesize ``__deleted`` rows for keys
         the from-state held live that the to-state physically dropped
         (an overwrite drops keys without leaving a tombstone). Cost ∝
@@ -2281,9 +2380,14 @@ class LakeTable:
             to_b = [int(b) for b in set(tf) | set(td)]
             from_b = [int(b) for b in set(ff) | set(fd)]
         else:
+            # union BOTH manifests' bucket keys: along one forward chain
+            # file keys only grow, but diff() accepts arbitrary version
+            # pairs (reversed, cross-branch) where a bucket can exist
+            # only on the FROM side — skipping it would silently drop
+            # its deletes from the result
             to_b = from_b = [
                 int(b)
-                for b in set(tf) | set(td)
+                for b in set(tf) | set(td) | set(ff) | set(fd)
                 if tf.get(b) != ff.get(b) or td.get(b, []) != fd.get(b, [])
             ]
         cur = self.read_buckets(
@@ -2297,13 +2401,24 @@ class LakeTable:
             prev = self.read_buckets(
                 from_b, version=m_from["version"], include_tombstones=True
             )
+        # Project the from-state onto the TO-schema: renamed columns map
+        # through the to-manifest's alias list, columns the to-commit
+        # ADDED become typed nulls — so the row hash covers every
+        # to-column and a row whose only change is a value in a
+        # newly-added column still diffs as changed (hashing only the
+        # common columns would miss it).
         cur_types = {f.name: f.dataType for f in cur.schema.fields}
-        common = [c for c in cur.columns if c in prev.columns]
-        prev = prev.select(
-            *[F.col(c).cast(cur_types[c]).alias(c) for c in common]
-        )
+        renames = m_to.get("renames") or {}
+        proj = []
+        for c in cur.columns:
+            src = c if c in prev.columns else next(
+                (a for a in renames.get(c, []) if a in prev.columns), None
+            )
+            col = F.lit(None) if src is None else F.col(src)
+            proj.append(col.cast(cur_types[c]).alias(c))
+        prev = prev.select(*proj)
         keys = list(self.key_cols)
-        rh = F.xxhash64(*[F.col(c) for c in common])
+        rh = F.xxhash64(*[F.col(c) for c in cur.columns])
         out = (
             cur.withColumn("__rh", rh)
             .join(
@@ -2480,37 +2595,51 @@ class LakeTable:
     def _expression_sql(self, expr, schema: T.StructType, boolean: bool) -> str | None:
         """Engine-independent SQL for a predicate/assignment expression
         resolved against ``schema``, or None when it cannot safely ride
-        the manifest ``dml`` spec. Accepts SQL strings and Column
-        expressions alike — both are ANALYZED against an empty local
-        relation (plan-only, no job) and the resolved Catalyst tree is
-        printed back with ``Expression.sql()``, which canonicalizes
-        either form into parseable ANSI-ish SQL. Refused (-> None) when
-        the resolved tree is nondeterministic (replaying ``rand()``
-        downstream diverges), embeds a UDF (not resolvable in another
-        session), or the printed form fails to re-parse/re-resolve.
+        the manifest ``dml`` spec.
 
-        Classic-mode only (walks the JVM plan via the private
-        ``_jdf`` handle); any failure degrades to None — the caller
-        falls back to the overwrite re-sync, never corrupts."""
+        SQL STRINGS take a verbatim fast path: the user's text is
+        already engine-independent SQL, so it is recorded as-is after a
+        parse/resolve check against an empty local relation (plan-only,
+        no job) plus a determinism/UDF screen. The screen prefers the
+        analyzed JVM tree (exact); when JVM internals are unavailable
+        (Spark Connect, API drift) it degrades to a conservative
+        TEXTUAL screen for nondeterministic/UDF-ish tokens — the string
+        itself never needs the JVM to be recordable, so predicate DML
+        keeps its sync pushdown in every environment.
+
+        COLUMN EXPRESSIONS have no textual form, so they are upgraded
+        via the analyzed Catalyst tree printed back with
+        ``Expression.sql()`` (classic-mode JVM internals via the
+        private ``_jdf`` handle; the printed form must re-parse and
+        re-resolve). Refused (-> None) when the tree is
+        nondeterministic (replaying ``rand()`` downstream diverges),
+        embeds a UDF (not resolvable in another session), printing
+        fails, or — Column path only — the JVM walk itself is
+        unavailable. Any refusal degrades to the overwrite re-sync,
+        never corrupts."""
         try:
             probe = self.spark.createDataFrame([], schema)
             col = F.expr(expr) if isinstance(expr, str) else expr
-            if boolean:
-                je = probe.where(col)._jdf.queryExecution().analyzed().condition()
-            else:
-                alias = (
-                    probe.select(col.alias("__dml_expr"))
-                    ._jdf.queryExecution()
-                    .analyzed()
-                    .projectList()
-                    .head()
-                )
-                je = alias.child()
+            # resolve check (analysis is eager in classic mode)
+            checked = probe.where(col) if boolean else probe.select(col)
+        except Exception:  # noqa: BLE001 - unparseable/unresolvable
+            return None
+        if isinstance(expr, str):
+            try:
+                je = self._analyzed_expr(checked, boolean)
+                if not je.deterministic() or self._tree_has_udf(je):
+                    return None
+            except Exception:  # noqa: BLE001 - no JVM internals: text screen
+                if self._sql_text_hazard(expr):
+                    return None
+            return expr
+        try:
+            je = self._analyzed_expr(checked, boolean)
             if not je.deterministic() or self._tree_has_udf(je):
                 return None
             sql = je.sql()
             # round-trip: the printed form must re-parse AND re-resolve
-            # against the same schema (analysis is eager in classic mode)
+            # against the same schema
             reparsed = F.expr(sql)
             if boolean:
                 probe.where(reparsed)
@@ -2519,6 +2648,33 @@ class LakeTable:
             return sql
         except Exception:  # noqa: BLE001 - any printing failure -> fallback
             return None
+
+    @staticmethod
+    def _analyzed_expr(checked: DataFrame, boolean: bool):
+        """The analyzed Catalyst expression behind a one-op plan —
+        classic-mode JVM internals; raises on Spark Connect/API drift."""
+        if boolean:
+            return checked._jdf.queryExecution().analyzed().condition()
+        alias = (
+            checked._jdf.queryExecution().analyzed().projectList().head()
+        )
+        return alias.child()
+
+    _SQL_HAZARD = re.compile(
+        r"(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id"
+        r"|current_timestamp|current_date|current_timezone|localtimestamp"
+        r"|now|input_file_name|input_file_block_start|input_file_block_length"
+        r"|spark_partition_id)\s*\(|\bunix_timestamp\s*\(\s*\)"
+    )
+
+    @classmethod
+    def _sql_text_hazard(cls, sql: str) -> bool:
+        """Conservative textual screen used only when the JVM
+        determinism walk is unavailable: any token that LOOKS like a
+        nondeterministic builtin refuses the spec (false positives cost
+        an overwrite re-sync; false negatives would corrupt a copy, so
+        the list errs broad)."""
+        return bool(cls._SQL_HAZARD.search(sql))
 
     @staticmethod
     def _tree_has_udf(je, budget: int = 256) -> bool:
@@ -2684,12 +2840,15 @@ class LakeTable:
                 import warnings
 
                 warnings.warn(
-                    "predicate DML expression is not printable as "
-                    "engine-independent SQL (nondeterministic, UDF-backed, "
-                    "or unparseable): downstream sync_changelog will fall "
-                    "back to a FULL overwrite re-sync for this commit — "
-                    "prefer deterministic built-in expressions for DML on "
-                    "synced tables",
+                    "predicate DML expression is not recordable as an "
+                    "engine-independent SQL spec (nondeterministic, "
+                    "UDF-backed, unparseable — or, for Column "
+                    "expressions, the classic-mode JVM printing path is "
+                    "unavailable in this environment): downstream "
+                    "sync_changelog will fall back to a FULL overwrite "
+                    "re-sync for this commit — prefer deterministic SQL "
+                    "strings or built-in expressions for DML on synced "
+                    "tables",
                     stacklevel=4,
                 )
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -2806,6 +2965,7 @@ class LakeTable:
         keep_last: int = 2,
         grace_sec: float = 3600.0,
         expire: bool = True,
+        batch_id: str = "__maintain__",
     ) -> dict:
         """One maintenance-cadence call (the reference runs its cleanup
         as scheduled jobs; Iceberg ships rewrite_data_files +
@@ -2817,7 +2977,10 @@ class LakeTable:
         safe under concurrent writers (compact whole-op-retries; expire
         never touches files a racing commit can still reference within
         ``grace_sec``). Returns a report: which buckets compacted, how
-        many files expired."""
+        many files expired. The compact commit carries a summary
+        lineage row under ``batch_id`` (partition_id = -1, rows_in =
+        buckets compacted), so a long-running driver's maintenance
+        cycles are auditable straight from ``lineage()``."""
         if compact_min_deltas is None:
             compact_min_deltas = max(1, self.mor_max_deltas // 2)
         m = self._load_manifest()
@@ -2828,7 +2991,16 @@ class LakeTable:
         )
         report: dict = {"compacted_buckets": 0, "expired_files": 0}
         if dirty:
-            res = self.compact(buckets=dirty)
+            res = self.compact(
+                buckets=dirty,
+                batch_id=batch_id,
+                lineage_rows=[{
+                    "batch_id": batch_id,
+                    "partition_id": -1,
+                    "rows_in": len(dirty),
+                    "applied_at": _utcnow(),
+                }],
+            )
             if not res.get("skipped"):
                 report["compacted_buckets"] = res.get("compacted_buckets", 0)
                 report["compact_version"] = res.get("version")

@@ -311,6 +311,8 @@ def replay_feed(
     use_pandas_udf: bool = False,
     with_lineage: bool = True,
     compact_every: int | None = None,
+    maintain_every: int | None = None,
+    maintain_opts: dict | None = None,
     after_batch=None,
 ) -> list[dict]:
     """Batch-mode replay of all ready, not-yet-applied batch directories in
@@ -321,6 +323,18 @@ def replay_feed(
     base files after every k applied batches — the maintenance cadence that
     bounds read-side resolution cost on a trickle feed (merge's own
     mor_max_deltas cap is the hard backstop).
+
+    ``maintain_every=k``: run the full :meth:`LakeTable.maintain` policy
+    call (threshold compaction + snapshot expiry) after every k applied
+    batches — the self-maintaining mode for a long-running replay driver
+    (the reference schedules its cleanup as external jobs; here the
+    driver owns the cadence). ``maintain_opts`` forwards keyword
+    arguments (compact_min_deltas / keep_last / grace_sec / expire).
+    Each cycle commits under ``__maintain__-<source batch id>``, carries
+    its report as a lineage summary row, and is echoed in that batch's
+    result dict under ``"maintenance"``. Compose with ``compact_every``
+    only if you want both cadences; ``maintain_every`` alone already
+    bounds every bucket's delta stack below the table's forced-fold cap.
 
     ``after_batch(table, result)``: called after every NEWLY-applied batch
     — the continuous-maintenance hook for derived tables (e.g. a closure
@@ -345,6 +359,10 @@ def replay_feed(
         applied_count += 1
         if compact_every and applied_count % compact_every == 0:
             table.compact(batch_id=f"__compact__-{batch_id}")
+        if maintain_every and applied_count % maintain_every == 0:
+            results[-1]["maintenance"] = table.maintain(
+                batch_id=f"__maintain__-{batch_id}", **(maintain_opts or {})
+            )
         if after_batch is not None:
             after_batch(table, results[-1])
     return results

@@ -275,6 +275,48 @@ def test_replay_feed_compact_cadence(spark, tmp_path):
     _assert_matches_oracle(t, _final_state())
 
 
+def test_replay_feed_maintain_cadence(spark, tmp_path):
+    """replay_feed(maintain_every=k): the driver self-maintains — every
+    bucket's delta stack stays below the forced-fold cap, past-retention
+    files are expired, parity holds, and each cycle's report is visible
+    both in the batch result and as a lineage summary row."""
+    import os
+
+    from gamechanger_data_spark.datagen import write_feed
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    write_feed(str(tmp_path / "feed"), SPEC)
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor",
+                  mor_max_deltas=4)
+    results = replay_feed(
+        spark, str(tmp_path / "feed"), t, maintain_every=1,
+        maintain_opts={"compact_min_deltas": 1, "keep_last": 1,
+                       "grace_sec": 0.0},
+    )
+    reports = [r["maintenance"] for r in results if "maintenance" in r]
+    assert len(reports) == SPEC.n_batches  # one cycle per applied batch
+    assert all("compacted_buckets" in rep and "expired_files" in rep
+               for rep in reports)
+    assert sum(rep["compacted_buckets"] for rep in reports) > 0
+    assert sum(rep["expired_files"] for rep in reports) > 0  # retention ran
+    m = t._load_manifest()
+    assert all(len(fl) < t.mor_max_deltas
+               for fl in m.get("deltas", {}).values())
+    assert not any(m.get("deltas", {}).values())  # threshold-1 folds all
+    # per-cycle reports ride lineage() as summary rows
+    lin = t.lineage().toPandas()
+    maint = lin[lin.batch_id.str.startswith("__maintain__-")]
+    assert len(maint) == sum(
+        1 for rep in reports if rep["compacted_buckets"]
+    )
+    assert (maint.partition_id == -1).all()
+    # expired snapshots really left the disk, referenced files remain
+    _assert_matches_oracle(t, _final_state())
+    live = {os.path.join(t.root, p)
+            for fl in m["files"].values() for p in fl}
+    assert all(os.path.exists(p) for p in live)
+
+
 def test_expire_tombstones_on_mor_only_table(spark, tmp_path):
     """A table whose data lives ONLY in delta files (files == {}) must
     still run tombstone GC (regression: the files-only guard no-op'd)."""

@@ -25,54 +25,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness pass covers the FIRST 50 entries of
-# queries(), so ordering is part of the contract. Round-6 rotation goal:
-# close the last zero-evidence entry and re-confirm everything new.
-# _HEAD front-loads (a) replay_wap_publish — the ONLY catalog query with
-# zero driver greens (landed mid-catalog in r5, outside the window),
-# (b) the 4 round-5-new queries (one green each) for their second
-# confirmation, (c) the 7 round-6-new queries (SQL travel forms, the
-# three DML statement forms, and the between-snapshots diff),
-# (d) 29 double-green queries last checked in round 4, (e) the 6 stalest
-# triple-greens (last checked round 3) + 2 last checked round 4, and
-# (f) the pinned flagship replay — 1+4+7+29+8+1 = exactly 50 (asserted
-# below). Everything displaced was re-confirmed green in round 5, and
-# EVERY catalog entry stays green in the local mirror
-# (tools/check_oracles.py runs all of them).
+# queries(), so ordering is part of the contract. Round-7 rotation goal
+# (VERDICT r6 task #1): second driver confirmations for every
+# single-green query and recycling of the round-4-stale set.
+# _HEAD front-loads (a) the 3 round-7-new queries (SQL INSERT INTO,
+# CALL procedures, self-maintaining replay cadence), (b) the 8
+# single-green queries (7 r6-new + replay_wap_publish) for their second
+# confirmation, (c) the 11 queries last driver-checked in round 4 —
+# after this round nothing is staler than round 5, (d) the 27
+# fewest-confirmed round-5 queries (all 2-3 greens), and (e) the pinned
+# flagship replay — 3+8+11+27+1 = exactly 50 (asserted below).
+# Everything displaced was driver-green in round 6, and EVERY catalog
+# entry stays green in the local mirror (tools/check_oracles.py runs
+# all of them).
 _HEAD = [
-    # zero driver evidence (r5-new, landed outside the r5 window)
-    "replay_wap_publish",
-    # round-5 new (one green) — second confirmation
-    "replay_as_of", "delete_where_rewrite", "update_where_rewrite",
-    "replay_schema_evolution",
-    # round-6 new: SQL front-end travel forms + DML statements
+    # round-7 new: SQL INSERT INTO, CALL ops surface, maintain cadence
+    "sql_insert_statement", "sql_call_procedures", "replay_maintain_cadence",
+    # single-green (one driver pass each) — second confirmation
+    "replay_wap_publish", "diff_versions_cdc",
     "sql_travel_tag", "sql_travel_diff_join", "sql_branch_read",
     "sql_update_statement", "sql_delete_statement", "sql_merge_upsert",
-    # double-green, last checked round 4 — third confirmation
-    "replay_synced_copy", "incremental_conv_rollup", "conversation_render",
-    "role_alternation_check", "dedup_clusters", "export_shard_checksums",
-    "pack_sequences", "deterministic_sample", "stratified_mixture_sample",
-    "train_val_test_split", "decontaminate_ngram", "repetition_quality",
-    "pii_scrub", "ann_ivf_topk", "corpus_datasheet", "tfidf_topk_terms",
-    "unigram_surprise", "multimodal_features", "multimodal_frame_sample",
-    "ref_extract_dictionary", "value_percentiles", "sessionize_events",
-    "asof_last_click_before_purchase", "kmeans_embeddings",
-    "kmv_distinct_users", "content_defined_chunks", "chunk_dedup_stats",
-    "chunk_documents", "paragraph_segment", "diff_versions_cdc",
-    # stalest triple-greens (last checked round 3, then two from round 4)
-    "lww_latest_max_by", "lww_latest_salted", "revoke_by_absence",
-    "hash_anti_join_dedup", "dim_lookup_join", "cdc_apply_events",
-    "lww_latest_window", "groupwise_max_join",
+    # last driver-checked round 4 — the stalest set, recycled
+    "boilerplate_scrub", "collect_set_sorted", "corpus_prepare",
+    "cube_order_stats", "distinct_union", "minmax_ingest_dates",
+    "sliding_window_rates", "staleness_filter", "title_truncate",
+    "window_max_distinct", "word_count",
+    # fewest-confirmed round-5 queries (2-3 greens each)
+    "ann_lsh_multiprobe", "cms_heavy_hitters", "date_extraction",
+    "dedup_minhash_verified", "embedding_neardup_lsh",
+    "interval_bucket_join", "key_skew_audit", "length_strata",
+    "weighted_sample", "alias_resolution", "ann_lsh_bucketed",
+    "ann_topk_cosine", "approx_distinct_users", "case_insensitive_dedup",
+    "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
+    "dedup_simhash", "defaulting_projection", "derived_key_join",
+    "dict_hash_contract", "doc_fingerprint", "embedding_neardup",
+    "es_publish_projection", "lang_id_heuristic", "min_length_gate",
+    "op_type_counters",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
 ]
 _TAIL = [
-    # most-checked queries, all re-confirmed green in round 5 and
-    # redundantly covered by in-window entries of the same operator family
-    "window_max_distinct", "minmax_ingest_dates", "staleness_filter",
-    "title_truncate", "word_count", "distinct_union", "collect_set_sorted",
+    # most-checked queries, all driver-green in round 6 and redundantly
+    # covered by in-window entries of the same operator family
+    "replay_as_of", "delete_where_rewrite", "update_where_rewrite",
+    "replay_schema_evolution", "lww_latest_max_by", "lww_latest_salted",
+    "revoke_by_absence", "hash_anti_join_dedup", "dim_lookup_join",
+    "cdc_apply_events", "lww_latest_window", "groupwise_max_join",
     "tpch_q1_pricing_summary", "top10_keywords", "topk_per_group",
-    "dedup_exact", "dedup_minhash_lsh", "ann_topk_cosine",
-    "text_normalize_chain", "sha256_surrogate_key",
 ]
 
 

@@ -1182,6 +1182,183 @@ def sql_merge_upsert_q(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "text", "ts")
 
 
+_SQLINS_ROOT = "/tmp/gcspark_sqlins_table_v1"
+
+
+def _ensure_sqlins_table(spark):
+    """Replay the feed, then extend it through SQL INSERT INTO text: a
+    derived SELECT insert (new turn_idx range, self-read through the
+    front-end), a VALUES insert with a column list, and an exactly-once
+    replay probe (same batch id, different rows — must be a no-op)."""
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        lake = SqlLake(spark).register("transcripts", t)
+        lake.sql(
+            "INSERT INTO transcripts "
+            "SELECT conv_id, 9000 + turn_idx AS turn_idx, role, "
+            "concat('[ins] ', text) AS text, tool, ts, "
+            "event_seq + 80000000 AS event_seq "
+            "FROM transcripts WHERE turn_idx = 0",
+            batch_id="sqlins-derived",
+        )
+        lake.sql(
+            "INSERT INTO transcripts "
+            "(conv_id, turn_idx, role, text, tool, ts, event_seq) VALUES "
+            "('ins-conv', 0, 'user', 'hello insert', 'none', "
+            "TIMESTAMP '2024-01-01 00:00:00', 1), "
+            "('ins-conv', 1, 'assistant', 'ack', 'none', "
+            "TIMESTAMP '2024-01-01 00:00:05', 2)",
+            batch_id="sqlins-values",
+        )
+        # exactly-once: an already-applied statement id must not commit
+        # (the 'dup' row is asserted ABSENT by the oracle)
+        lake.sql(
+            "INSERT INTO transcripts "
+            "(conv_id, turn_idx, role, text, tool, ts, event_seq) VALUES "
+            "('ins-conv', 99, 'user', 'dup', 'none', "
+            "TIMESTAMP '2024-01-01 00:00:00', 3)",
+            batch_id="sqlins-values",
+        )
+
+    _publish_once(_SQLINS_ROOT, build)
+    return LakeTable(spark, os.path.join(_SQLINS_ROOT, "table"), n_buckets=8)
+
+
+@q("sql_insert_statement", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx, role,
+         {_NORM_CHAIN_SQL.format(col='text')} AS text, tool, ts
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM state
+UNION ALL
+SELECT conv_id, CAST(9000 + turn_idx AS INTEGER) AS turn_idx, role,
+       '[ins] ' || text AS text, tool, ts
+FROM state WHERE turn_idx = 0
+UNION ALL
+SELECT * FROM (VALUES
+  ('ins-conv', 0, 'user', 'hello insert', 'none',
+   TIMESTAMP '2024-01-01 00:00:00'),
+  ('ins-conv', 1, 'assistant', 'ack', 'none',
+   TIMESTAMP '2024-01-01 00:00:05')
+) AS v(conv_id, turn_idx, role, text, tool, ts)
+""", "INSERT INTO as SQL TEXT through the front-end (the first statement "
+     "a SQL user types; reference analog: the insert-first upsert loader, "
+     "gc_ingest/tools/load/utils.py:223-278): a derived SELECT insert "
+     "whose source self-reads through the same front-end, a VALUES "
+     "insert with a column list, and an exactly-once replay probe — the "
+     "re-used batch id must not commit, so its 'dup' row is absent from "
+     "the oracle state")
+def sql_insert_statement_q(spark, sf_dir):
+    t = _ensure_sqlins_table(spark)
+    return t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+_SQLCALL_ROOT = "/tmp/gcspark_sqlcall_table_v1"
+
+
+def _ensure_sqlcall_table(spark):
+    """Replay the feed, then drive the ops surface ENTIRELY through SQL
+    CALL statements: tag the pre-DML head, delete through SQL, roll the
+    table back via CALL, and run a CALL maintenance cycle. If any CALL
+    failed to route, the delete would still be visible and the state
+    hash would diverge."""
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        lake = SqlLake(spark).register("transcripts", t)
+        lake.sql("CALL transcripts.tag('pre-dml')")
+        lake.sql(
+            "DELETE FROM transcripts WHERE role = 'tool'",
+            batch_id="sqlcall-del",
+        )
+        pre = t.tag_version("pre-dml")
+        lake.sql(f"CALL transcripts.rollback_to_snapshot({pre})")
+        # retention-safe maintenance cycle through CALL (keep_last high,
+        # grace default: reports only, deletes nothing the tag pins)
+        lake.sql("CALL transcripts.maintain(1, 100, 3600.0)")
+
+    _publish_once(_SQLCALL_ROOT, build)
+    return LakeTable(spark, os.path.join(_SQLCALL_ROOT, "table"), n_buckets=8)
+
+
+@q("sql_call_procedures", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, ts, (op = 'revoke') AS is_revoked
+FROM w WHERE rn = 1 AND op <> 'delete'
+""", "CALL-style maintenance procedures (Iceberg CALL system.*; reference "
+     "analog: snapshot/restore tooling, gc_ingest/tools/snapshot/"
+     "utils.py:158-257): tag -> SQL DELETE -> rollback_to_snapshot -> "
+     "maintain, ALL issued as CALL/DML text — the head state must equal "
+     "the pre-DML replay state, proving the tag pinned it and the "
+     "rollback routed")
+def sql_call_procedures_q(spark, sf_dir):
+    t = _ensure_sqlcall_table(spark)
+    return t.read().select("conv_id", "turn_idx", "role", "ts", "is_revoked")
+
+
+_MAINT_ROOT = "/tmp/gcspark_maintain_table_v1"
+
+
+def _ensure_maintain_table(spark):
+    """Replay the feed as all-MOR with the driver's maintain cadence
+    (maintain_every=1, threshold 1): every batch is followed by a
+    threshold compaction + retention pass, so the final table must hold
+    zero outstanding deltas AND the exact replay state."""
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8,
+                      merge_mode="mor", mor_max_deltas=4)
+        replay_feed(
+            spark, feed, t, maintain_every=1,
+            maintain_opts={"compact_min_deltas": 1, "keep_last": 2},
+        )
+        assert not any(t._load_manifest().get("deltas", {}).values())
+
+    _publish_once(_MAINT_ROOT, build)
+    return LakeTable(spark, os.path.join(_MAINT_ROOT, "table"), n_buckets=8)
+
+
+@q("replay_maintain_cadence", _TRANSCRIPT_REPLAY_SQL,
+   "self-maintaining replay: every batch lands as a MOR delta append and "
+   "is immediately folded by the driver's maintain_every cadence "
+   "(threshold compact + retention) — the maintenance cycles must be "
+   "state-invariant, so the final table hash-matches the one-shot LWW "
+   "oracle exactly like the plain replay")
+def replay_maintain_cadence_q(spark, sf_dir):
+    t = _ensure_maintain_table(spark)
+    return t.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
+    )
+
+
 # ---------------------------------------------------------------------
 # Derived-table machinery: lake-to-lake changelog sync (sync_changelog)
 # and incremental aggregate maintenance (sync_aggregate). Both run the

@@ -33,6 +33,37 @@ HEADLINE = [
 ]
 
 
+def _membw_work(_):
+    """Memory-bandwidth probe worker (same access pattern as
+    tools/bench_scaling.py): large-array copy, the shape of shuffle
+    serialization / parquet encode."""
+    import numpy as np
+
+    a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MB
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.5:
+        np.copyto(b, a)
+        n += a.nbytes
+    return n
+
+
+def membw_probe(procs: int = 8) -> float:
+    """Host memory bandwidth (GB/s) at ``procs`` workers. This host has
+    documented ±25-30%% contention windows (BENCH/BASELINE.md); the r6
+    headline-query regression was unattributable because the query leg
+    carried no probe — now every bench run records the window it ran
+    in, so a drifted qsum can be read against the probe instead of
+    guessed at."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        t0 = time.perf_counter()
+        tot = sum(p.map(_membw_work, range(procs)))
+    return round(tot / (time.perf_counter() - t0) / 1e9, 1)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from gamechanger_data_spark.plans.catalog import CATALOG
 
@@ -191,7 +222,9 @@ def main():
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g")},
     )
 
+    membw_pre = membw_probe()
     queries = bench_queries(spark, sf_dir)
+    membw_post = membw_probe()
 
     # /dev/shm when available: a single spinning/virtual disk serializes
     # concurrent readers and would contaminate the throughput number
@@ -213,6 +246,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_membw_gbps": {"pre": membw_pre, "post": membw_post},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc": cdc,
             }

@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry stays green in the local mirror (tools/check_oracles.py runs
 # all of them).
 _HEAD = [
-    # round-7 new: SQL INSERT INTO, CALL ops surface, maintain cadence
-    "sql_insert_statement", "sql_call_procedures", "replay_maintain_cadence",
+    # round-7 new: SQL INSERT INTO, CALL ops surface, CTAS, maintain cadence
+    "sql_insert_statement", "sql_call_procedures", "sql_ctas_rollup",
+    "replay_maintain_cadence",
     # single-green (one driver pass each) — second confirmation
     "replay_wap_publish", "diff_versions_cdc",
     "sql_travel_tag", "sql_travel_diff_join", "sql_branch_read",
@@ -60,7 +61,6 @@ _HEAD = [
     "dedup_simhash", "defaulting_projection", "derived_key_join",
     "dict_hash_contract", "doc_fingerprint", "embedding_neardup",
     "es_publish_projection", "lang_id_heuristic", "min_length_gate",
-    "op_type_counters",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
 ]

@@ -1321,6 +1321,65 @@ def sql_call_procedures_q(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "role", "ts", "is_revoked")
 
 
+_CTAS_ROOT = "/tmp/gcspark_ctas_table_v1"
+
+
+def _ensure_ctas_table(spark):
+    """CREATE TABLE ... AS SELECT through the front-end: materialize a
+    per-conversation rollup FROM the replayed transcript table into a
+    brand-new lake table (its own keys/order/buckets), entirely as SQL
+    text. Reference analog: truncate-and-reload materialization,
+    gc_ingest/tools/db/utils.py:97-116."""
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    from gamechanger_data_spark.sinks.table import LakeTable
+
+    def build(tmp):
+        src = _ensure_replay_table(spark)
+        lake = SqlLake(spark).register("transcripts", src)
+        lake.sql(
+            f"CREATE TABLE conv_rollup LOCATION '{tmp}/rollup' "
+            "KEY (conv_id) ORDER BY (last_ts) BUCKETS 8 AS "
+            "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "max(ts) AS last_ts, "
+            "CAST(sum(CASE WHEN is_revoked THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_revoked "
+            "FROM transcripts GROUP BY conv_id",
+            batch_id="ctas-rollup",
+        )
+
+    _publish_once(_CTAS_ROOT, build)
+    return LakeTable(
+        spark, os.path.join(_CTAS_ROOT, "rollup"), key_cols=("conv_id",),
+        order_cols=("last_ts",), n_buckets=8,
+    )
+
+
+@q("sql_ctas_rollup", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx, ts, (op = 'revoke') AS is_revoked
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, max(ts) AS last_ts,
+       CAST(sum(CASE WHEN is_revoked THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_revoked
+FROM state GROUP BY conv_id
+""", "CREATE TABLE ... AS SELECT as SQL TEXT: a per-conversation rollup "
+     "materialized from the replayed table into a NEW lake table (own "
+     "key/order/bucket spec, atomic overwrite commit, registered and "
+     "immediately travel-readable) — the new table's contents must equal "
+     "the rollup the oracle recomputes from the raw feed")
+def sql_ctas_rollup_q(spark, sf_dir):
+    t = _ensure_ctas_table(spark)
+    return t.read().select("conv_id", "n_turns", "last_ts", "n_revoked")
+
+
 _MAINT_ROOT = "/tmp/gcspark_maintain_table_v1"
 
 

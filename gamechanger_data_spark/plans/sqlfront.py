@@ -48,6 +48,8 @@ MERGE commits (same semantics, OCC, and sync-pushdown as the Python
 API — the WHERE/SET text is recorded verbatim as the manifest's dml
 spec, so synced copies replay it):
 
+    CREATE TABLE rollup LOCATION '/data/rollup' KEY (conv_id)
+      ORDER BY (last_ts) AS SELECT ... FROM transcripts GROUP BY conv_id
     INSERT INTO transcripts (conv_id, turn_idx, ...) VALUES (...), (...)
     INSERT INTO transcripts SELECT ... FROM staged
     DELETE FROM transcripts WHERE role = 'tool'
@@ -147,7 +149,19 @@ _ON_EQ = re.compile(
     rf"(?:{_IDENT}\s*\.\s*)?(?P<r>{_IDENT})\s*$",
     re.IGNORECASE,
 )
-_DML_KW = re.compile(r"^\s*(DELETE|UPDATE|MERGE|INSERT|CALL)\b", re.IGNORECASE)
+_DML_KW = re.compile(
+    r"^\s*(DELETE|UPDATE|MERGE|INSERT|CALL|CREATE)\b", re.IGNORECASE
+)
+_CREATE_RE = re.compile(
+    rf"""^\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+
+         (?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<name>{_IDENT})\s+
+         LOCATION\s+'(?P<loc>[^']+)'\s+
+         KEY\s*\((?P<keys>[^()]*)\)\s*
+         (?:ORDER\s+BY\s*\((?P<order>[^()]*)\)\s*)?
+         (?:BUCKETS\s+(?P<nb>\d+)\s*)?
+         AS\s+(?P<select>.+?)\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+{_TABLE_REF}\s*"
     rf"(?:\((?P<cols>[^()]*)\)\s*)?(?P<rest>.*?)\s*;?\s*$",
@@ -465,6 +479,8 @@ class SqlLake:
             r = self._update(query, batch_id)
         elif kind == "INSERT":
             r = self._insert(query, batch_id)
+        elif kind == "CREATE":
+            r = self._create(query, batch_id)
         else:
             r = self._merge(query, batch_id)
         stmt = kind.lower()
@@ -532,6 +548,63 @@ class SqlLake:
                 )
             assignments[col] = am.group("expr").strip()
         return t.update_where(cond, assignments, batch_id=batch_id)
+
+    def _create(self, query: str, batch_id: str) -> dict:
+        """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name>
+        LOCATION '<path>' KEY (k, ...) [ORDER BY (o, ...)] [BUCKETS n]
+        AS <select>`` — CTAS for the lake: builds a LakeTable at the
+        location (atomic overwrite commit; the reference's
+        truncate-and-reload materialization,
+        ``gc_ingest/tools/db/utils.py:97-116``), registers it under
+        ``name``, and the AS query resolves through this front-end
+        (CTAS from a travel read or another lake table works). KEY and
+        ORDER BY declare the engine's merge identity and LWW order —
+        there is no catalog to infer them from, so KEY is mandatory
+        and ORDER BY defaults to the LakeTable default only when the
+        select provides those columns. Semantics at an occupied
+        location: plain CREATE refuses (never silently clobber), IF
+        NOT EXISTS adopts the existing table unchanged, OR REPLACE
+        replaces its contents as a new time-travelable snapshot."""
+        m = _CREATE_RE.match(query)
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE statement: {query!r}")
+        if m.group("replace") and m.group("ine"):
+            raise ValueError("CREATE: OR REPLACE and IF NOT EXISTS conflict")
+        name = m.group("name")
+        keys = tuple(
+            k.strip() for k in m.group("keys").split(",") if k.strip()
+        )
+        if not keys:
+            raise ValueError("CREATE: empty KEY column list")
+        order = None
+        if m.group("order") is not None:
+            order = tuple(
+                o.strip() for o in m.group("order").split(",") if o.strip()
+            )
+            if not order:
+                raise ValueError("CREATE: empty ORDER BY column list")
+        nb = int(m.group("nb")) if m.group("nb") else 32
+        kwargs = {"key_cols": keys, "n_buckets": nb}
+        if order:
+            kwargs["order_cols"] = order
+        t = LakeTable(self.spark, m.group("loc"), **kwargs)
+        if t.current_version() > 0:
+            if m.group("ine"):
+                self.register(name, t)
+                return {"skipped": True, "batch_id": batch_id,
+                        "version": t.current_version()}
+            if not m.group("replace"):
+                raise ValueError(
+                    f"location {m.group('loc')!r} already holds a table "
+                    "(v{}) — use CREATE OR REPLACE to replace its "
+                    "contents or IF NOT EXISTS to adopt it".format(
+                        t.current_version()
+                    )
+                )
+        df = self.sql(m.group("select"))
+        r = t.overwrite(df, batch_id=batch_id)
+        self.register(name, t)
+        return r
 
     def _insert(self, query: str, batch_id: str) -> dict:
         """``INSERT INTO t[@branch] [(cols)] SELECT ...`` /

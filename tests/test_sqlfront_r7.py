@@ -207,6 +207,47 @@ def test_call_maintain_reports(spark, table):
     assert "compacted_buckets" in res and "expired_files" in res
 
 
+def test_create_table_as_select(spark, table, tmp_path):
+    """CTAS: build + register a new lake table from a front-end query;
+    the new table is immediately queryable, travel-readable, and a
+    second plain CREATE at the same location refuses."""
+    lake = SqlLake(spark).register("tt", table)
+    loc = str(tmp_path / "copy")
+    r = lake.sql(
+        f"CREATE TABLE tcopy LOCATION '{loc}' KEY (k) ORDER BY (ts) "
+        "BUCKETS 2 AS SELECT k, ts, upper(text) AS text FROM tt",
+        batch_id="ctas-1",
+    ).collect()[0]
+    assert r["statement"] == "create" and not r["skipped"]
+    got = {row["k"]: row["text"] for row in lake.sql(
+        "SELECT k, text FROM tcopy").collect()}
+    assert got == {"a": "ALPHA", "b": "BETA", "c": "GAMMA"}
+    # plain CREATE on an occupied location refuses; OR REPLACE works
+    with pytest.raises(ValueError, match="already holds a table"):
+        lake.sql(
+            f"CREATE TABLE tcopy LOCATION '{loc}' KEY (k) ORDER BY (ts) "
+            "AS SELECT k, ts, text FROM tt"
+        )
+    lake.sql(
+        f"CREATE OR REPLACE TABLE tcopy LOCATION '{loc}' KEY (k) "
+        "ORDER BY (ts) AS SELECT k, ts, text FROM tt WHERE k <> 'c'",
+        batch_id="ctas-2",
+    )
+    assert lake.sql("SELECT count(*) AS n FROM tcopy").collect()[0]["n"] == 2
+    # the replace is a snapshot: the first CTAS state stays travelable
+    n_v1 = lake.sql(
+        "SELECT count(*) AS n FROM tcopy VERSION AS OF 1").collect()[0]["n"]
+    assert n_v1 == 3
+    # IF NOT EXISTS adopts the existing table without writing
+    r3 = lake.sql(
+        f"CREATE TABLE IF NOT EXISTS tcopy LOCATION '{loc}' KEY (k) "
+        "ORDER BY (ts) AS SELECT k, ts, text FROM tt",
+        batch_id="ctas-3",
+    ).collect()[0]
+    assert r3["skipped"]
+    assert lake.sql("SELECT count(*) AS n FROM tcopy").collect()[0]["n"] == 2
+
+
 def test_call_guard_rails(spark, table):
     lake = SqlLake(spark).register("tt", table)
     with pytest.raises(ValueError, match="unknown procedure"):

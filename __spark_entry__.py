@@ -39,9 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry stays green in the local mirror (tools/check_oracles.py runs
 # all of them).
 _HEAD = [
-    # round-7 new: SQL INSERT INTO, CALL ops surface, CTAS, maintain cadence
+    # round-7 new: SQL INSERT INTO, CALL ops surface, CTAS, ALTER DDL
+    # lifecycle, maintain cadence
     "sql_insert_statement", "sql_call_procedures", "sql_ctas_rollup",
-    "replay_maintain_cadence",
+    "sql_alter_lifecycle", "replay_maintain_cadence",
     # single-green (one driver pass each) — second confirmation
     "replay_wap_publish", "diff_versions_cdc",
     "sql_travel_tag", "sql_travel_diff_join", "sql_branch_read",
@@ -60,7 +61,7 @@ _HEAD = [
     "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
     "dedup_simhash", "defaulting_projection", "derived_key_join",
     "dict_hash_contract", "doc_fingerprint", "embedding_neardup",
-    "es_publish_projection", "lang_id_heuristic", "min_length_gate",
+    "es_publish_projection", "lang_id_heuristic",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
 ]

@@ -1380,6 +1380,74 @@ def sql_ctas_rollup_q(spark, sf_dir):
     return t.read().select("conv_id", "n_turns", "last_ts", "n_revoked")
 
 
+_ALTER_ROOT = "/tmp/gcspark_alter_table_v1"
+
+
+def _ensure_alter_table(spark):
+    """Drive the DDL lifecycle ENTIRELY through SQL text: replay the
+    feed, ADD two columns (metadata-only), populate them with a
+    predicate-free UPDATE, RENAME a column, then DROP one of the added
+    columns. Every statement routes through the front-end; if any
+    mis-routed, the final column set or values diverge from the oracle.
+    Reference analogs: the additive extension splat (SURVEY §2.2 P4,
+    common/document_parser/parsers/policy_analytics/parse.py) and the
+    publish-time column drop (gc_elasticsearch_publisher.py:79-100)."""
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        lake = SqlLake(spark).register("transcripts", t)
+        lake.sql(
+            "ALTER TABLE transcripts ADD COLUMNS (n_chars bigint, "
+            "grade string)"
+        )
+        lake.sql(
+            "UPDATE transcripts SET n_chars = CAST(length(text) AS BIGINT), "
+            "grade = CASE WHEN role = 'assistant' THEN 'a' ELSE 'h' END",
+            batch_id="alter-fill",
+        )
+        lake.sql("ALTER TABLE transcripts RENAME COLUMN tool TO tool_name")
+        lake.sql("ALTER TABLE transcripts DROP COLUMN grade")
+
+    _publish_once(_ALTER_ROOT, build)
+    return LakeTable(spark, os.path.join(_ALTER_ROOT, "table"), n_buckets=8)
+
+
+@q("sql_alter_lifecycle", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+),
+state AS (
+  SELECT conv_id, turn_idx, role,
+         {_NORM_CHAIN_SQL.format(col='text')} AS text,
+         tool AS tool_name, ts, (op = 'revoke') AS is_revoked
+  FROM w WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, turn_idx, role, text, tool_name, ts, is_revoked,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM state
+""", "DDL lifecycle as SQL TEXT: ADD COLUMNS (metadata-only — old rows "
+     "null), UPDATE populates them, RENAME COLUMN tool->tool_name "
+     "(metadata-only, files resolve via alias coalesce), DROP COLUMN "
+     "grade (metadata-only, resurrection-guarded). The FULL column set "
+     "is returned, so a failed drop or rename shows up as a schema "
+     "mismatch, and n_chars must equal the oracle's recomputation")
+def sql_alter_lifecycle_q(spark, sf_dir):
+    t = _ensure_alter_table(spark)
+    return t.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool_name", "ts",
+        "is_revoked", "n_chars",
+    )
+
+
 _MAINT_ROOT = "/tmp/gcspark_maintain_table_v1"
 
 

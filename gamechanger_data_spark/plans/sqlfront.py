@@ -58,6 +58,18 @@ spec, so synced copies replay it):
       ON transcripts.conv_id = s.conv_id AND transcripts.turn_idx = s.turn_idx
       WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
 
+DDL evolves a table's schema without rewriting data (metadata-only
+commits, resurrection-guarded — see :meth:`LakeTable.add_columns` /
+``drop_column`` / ``rename_column``), and the registry itself speaks
+SQL:
+
+    ALTER TABLE transcripts ADD COLUMNS (quality double, lang string)
+    ALTER TABLE transcripts RENAME COLUMN tool TO tool_name
+    ALTER TABLE transcripts DROP COLUMN scratch
+    DROP TABLE [IF EXISTS] transcripts        -- deregister (data stays)
+    SHOW TABLES
+    DESCRIBE transcripts[@branch]
+
 Maintenance/ops procedures take the Iceberg ``CALL`` form against a
 registered table and return a one-row report:
 
@@ -150,7 +162,33 @@ _ON_EQ = re.compile(
     re.IGNORECASE,
 )
 _DML_KW = re.compile(
-    r"^\s*(DELETE|UPDATE|MERGE|INSERT|CALL|CREATE)\b", re.IGNORECASE
+    r"^\s*(DELETE|UPDATE|MERGE|INSERT|CALL|CREATE|ALTER|DROP|SHOW|DESCRIBE"
+    r"|DESC)\b",
+    re.IGNORECASE,
+)
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TABLE_REF}\s+(?P<action>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME = re.compile(
+    rf"^RENAME\s+COLUMN\s+(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})$",
+    re.IGNORECASE,
+)
+_ALTER_ADD = re.compile(r"^ADD\s+COLUMNS?\s+(?P<defs>.+)$", re.I | re.S)
+_ALTER_DROPCOL = re.compile(
+    rf"^DROP\s+COLUMN\s+(?P<col>{_IDENT})$", re.IGNORECASE
+)
+_COL_DEF = re.compile(rf"^\s*(?P<name>{_IDENT})\s+(?P<type>.+?)\s*$", re.S)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?:(?P<ie>IF\s+EXISTS)\s+)?(?P<name>{_IDENT})"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESC_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})"
+    rf"(?:@(?P<branch>{_BRANCH}))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CREATE_RE = re.compile(
     rf"""^\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+
@@ -469,6 +507,10 @@ class SqlLake:
     def _dml(self, kind: str, query: str, batch_id: str | None) -> DataFrame:
         if kind == "CALL":
             return self._call(query)
+        if kind == "SHOW":
+            return self._show_tables(query)
+        if kind in ("DESCRIBE", "DESC"):
+            return self._describe(query)
         if batch_id is None:
             import uuid
 
@@ -481,9 +523,13 @@ class SqlLake:
             r = self._insert(query, batch_id)
         elif kind == "CREATE":
             r = self._create(query, batch_id)
+        elif kind == "ALTER":
+            r = self._alter(query, batch_id)
+        elif kind == "DROP":
+            r = self._drop_table(query, batch_id)
         else:
             r = self._merge(query, batch_id)
-        stmt = kind.lower()
+        stmt = r.pop("statement", kind.lower())
         from pyspark.sql import types as T
 
         schema = T.StructType(
@@ -500,7 +546,7 @@ class SqlLake:
             stmt,
             r["batch_id"],
             bool(r.get("skipped")),
-            int(r["version"]),
+            None if r.get("version") is None else int(r["version"]),
             None if r.get("touched_buckets") is None else int(r["touched_buckets"]),
             None if r.get("rows_hit") is None else int(r["rows_hit"]),
         )
@@ -605,6 +651,135 @@ class SqlLake:
         r = t.overwrite(df, batch_id=batch_id)
         self.register(name, t)
         return r
+
+    def _alter(self, query: str, batch_id: str) -> dict:
+        """``ALTER TABLE <t> ADD COLUMN[S] (a TYPE, ...)`` /
+        ``RENAME COLUMN a TO b`` / ``DROP COLUMN a`` — the SQL forms of
+        the engine's metadata-only schema evolution
+        (:meth:`LakeTable.add_columns` / ``rename_column`` /
+        ``drop_column``): no data rewritten, resurrection-guarded,
+        propagated to synced copies via the manifest ``ddl``/rename
+        stamps. Column definitions take Spark DDL types
+        (``bigint``, ``array<string>``, ``decimal(10,2)``, ...);
+        the parens around a multi-column ADD are optional."""
+        m = _ALTER_RE.match(query)
+        if not m:
+            raise ValueError(f"cannot parse ALTER TABLE statement: {query!r}")
+        t = self._target(m.group("name"), m.group("branch"), "ALTER")
+        action = m.group("action").strip()
+        rm = _ALTER_RENAME.match(action)
+        if rm:
+            r = t.rename_column(rm.group("old"), rm.group("new"))
+            return {**r, "batch_id": batch_id, "statement": "alter"}
+        dm = _ALTER_DROPCOL.match(action)
+        if dm:
+            r = t.drop_column(dm.group("col"))
+            return {**r, "batch_id": batch_id, "statement": "alter"}
+        am = _ALTER_ADD.match(action)
+        if am:
+            defs = am.group("defs").strip()
+            if defs.startswith("("):
+                mask = _mask_tops(defs)
+                close = mask.find(")")
+                if close < 0 or defs[close + 1 :].strip():
+                    raise ValueError(
+                        f"cannot parse ADD COLUMNS list: {defs!r}"
+                    )
+                defs = defs[1:close]
+            cols: dict[str, str] = {}
+            for piece in _split_top(defs):
+                cm = _COL_DEF.match(piece)
+                if not cm:
+                    raise ValueError(
+                        f"cannot parse column definition: {piece.strip()!r}"
+                    )
+                cols[cm.group("name")] = cm.group("type")
+            r = t.add_columns(cols)
+            return {**r, "batch_id": batch_id, "statement": "alter"}
+        raise ValueError(
+            "unsupported ALTER TABLE action (expected ADD COLUMN[S] / "
+            f"RENAME COLUMN a TO b / DROP COLUMN a): {action!r}"
+        )
+
+    def _drop_table(self, query: str, batch_id: str) -> dict:
+        """``DROP TABLE [IF EXISTS] <name>`` — deregisters the name from
+        this SqlLake. The lake has no central catalog: manifests and
+        data files stay on disk untouched (Iceberg's DROP TABLE without
+        PURGE), so re-registering — or pointing a new CREATE at the
+        location with IF NOT EXISTS — restores access."""
+        m = _DROP_TABLE_RE.match(query)
+        if not m:
+            raise ValueError(
+                f"cannot parse DROP TABLE statement (only DROP TABLE "
+                f"[IF EXISTS] <name> is supported): {query!r}"
+            )
+        name = m.group("name")
+        t = self._tables.get(name)
+        if t is None:
+            if m.group("ie"):
+                return {"statement": "drop_table", "batch_id": batch_id,
+                        "skipped": True, "version": None}
+            raise ValueError(f"DROP TABLE targets unregistered table {name!r}")
+        del self._tables[name]
+        return {"statement": "drop_table", "batch_id": batch_id,
+                "skipped": False, "version": t.current_version()}
+
+    def _show_tables(self, query: str) -> DataFrame:
+        """``SHOW TABLES`` — one row per registered table: name,
+        location, branch, head version."""
+        if not _SHOW_RE.match(query):
+            raise ValueError(
+                f"cannot parse SHOW statement (only SHOW TABLES): {query!r}"
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("location", T.StringType(), False),
+                T.StructField("branch", T.StringType(), False),
+                T.StructField("version", T.LongType(), False),
+            ]
+        )
+        rows = sorted(
+            (n, str(t.root), t.branch, int(t.current_version()))
+            for n, t in self._tables.items()
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def _describe(self, query: str) -> DataFrame:
+        """``DESCRIBE [TABLE] <name>[@branch]`` — one row per stored
+        column: name, Spark DDL type, nullability, and its role in the
+        table spec (``key`` / ``order`` / ``''``). Internal columns
+        (``__``-prefixed) are hidden, as in ``read()``."""
+        m = _DESC_RE.match(query)
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE statement: {query!r}")
+        t = self._target(m.group("name"), m.group("branch"), "DESCRIBE")
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("col_name", T.StringType(), False),
+                T.StructField("data_type", T.StringType(), False),
+                T.StructField("nullable", T.BooleanType(), False),
+                T.StructField("role", T.StringType(), False),
+            ]
+        )
+        sch = t.schema()
+        rows = []
+        for f in sch.fields if sch is not None else []:
+            if f.name.startswith("__"):
+                continue
+            role = (
+                "key" if f.name in t.key_cols
+                else "order" if f.name in t.order_cols
+                else ""
+            )
+            rows.append(
+                (f.name, f.dataType.simpleString(), bool(f.nullable), role)
+            )
+        return self.spark.createDataFrame(rows, schema)
 
     def _insert(self, query: str, batch_id: str) -> dict:
         """``INSERT INTO t[@branch] [(cols)] SELECT ...`` /

@@ -384,6 +384,7 @@ class LakeTable:
             "kind": "maintenance",
             "touched_buckets": [],
             "renames": m.get("renames") or {},
+            "dropped": m.get("dropped") or [],
         }
         report["version"] = self._commit(manifest, expected_parent=m["version"])
         report["verified"] = True
@@ -1987,6 +1988,14 @@ class LakeTable:
                     if o in src.columns:
                         src = src.withColumnRenamed(o, new_name)
                         break
+        # a lagging producer may likewise still emit a column retired by
+        # drop_column: project it away (drop is explicit intent — the
+        # upstream feed cannot be changed retroactively, so refusing
+        # would wedge ingest; _evolved_schema never sees the name, so it
+        # cannot re-enter the schema and resurrect the old file bytes)
+        dropped = set(m.get("dropped") or [])
+        if dropped and any(c in dropped for c in src.columns):
+            src = src.select(*[c for c in src.columns if c not in dropped])
         if "is_revoked" not in src.columns:
             src = src.withColumn("is_revoked", F.col("op") == F.lit("revoke"))
 
@@ -2211,6 +2220,7 @@ class LakeTable:
                 # untouched buckets — the alias map rides along (a rename
                 # can't intervene mid-rebase: it conflicts with everything)
                 "renames": base.get("renames") or {},
+                "dropped": base.get("dropped") or [],
             }
             try:
                 final_v = self._commit(manifest, expected_parent=expected)
@@ -2348,6 +2358,7 @@ class LakeTable:
             "touched_buckets": dirty,
             # partial rewrite: untouched buckets may hold retired-name files
             "renames": m.get("renames") or {},
+            "dropped": m.get("dropped") or [],
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
@@ -2571,6 +2582,7 @@ class LakeTable:
             "touched_buckets": "all",
             # full rewrite: every surviving file carries current names
             "renames": {},
+            "dropped": [],
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         self.n_buckets = new_nb
@@ -2625,6 +2637,15 @@ class LakeTable:
         retired = {a for olds in renames.values() for a in olds}
         if new in names or new in retired:
             raise ValueError(f"column name {new!r} already in use/retired")
+        if new in set(m.get("dropped") or []):
+            # files written before the drop still hold bytes under this
+            # name; renaming onto it would resurrect them through the
+            # schema-based scan
+            raise ValueError(
+                f"column name {new!r} was dropped and its file bytes "
+                "survive until a full rewrite (rebucket/overwrite/"
+                "expire_tombstones) — pick another name"
+            )
         new_fields = [
             T.StructField(new, f.dataType, f.nullable) if f.name == old else f
             for f in schema.fields
@@ -2650,9 +2671,166 @@ class LakeTable:
             # across a rename
             "touched_buckets": "all",
             "renames": renames,
+            "dropped": m.get("dropped") or [],
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         return {"skipped": False, "version": final_v, "renamed": {old: new}}
+
+    def add_columns(self, cols: dict) -> dict:
+        """ALTER TABLE ... ADD COLUMNS — METADATA-ONLY additive schema
+        evolution: extend the stored schema with nullable typed fields
+        (``{name: DDL type string | DataType}``); no data is rewritten,
+        files written before the add read the new columns as null (the
+        parquet reader null-fills absent columns under an explicit
+        schema — the same mechanism merge-driven additive evolution
+        already relies on). This is the explicit form of the additive
+        "extension splat" the reference applies when a crawler starts
+        emitting new metadata fields (SURVEY §2.2 P4;
+        ``common/document_parser/parsers/policy_analytics/parse.py``
+        adds fields additively on re-parse) — declared up front instead
+        of discovered from the first batch that carries values.
+
+        Rules: names must be fresh (no current column, no retired
+        rename alias, no dropped name — dropped bytes survive in files
+        until a full rewrite and would resurrect). The commit conflicts
+        with everything (touched="all": schema identity changes under
+        every bucket), and carries a ``ddl`` provenance stamp so
+        ``sync_changelog`` replays the add on downstream copies."""
+        return self._with_conflict_retry(lambda: self._add_columns_once(cols))
+
+    def _parse_col_type(self, dtype) -> T.DataType:
+        if isinstance(dtype, T.DataType):
+            return dtype
+        return T.StructType.fromDDL(f"__x {dtype}").fields[0].dataType
+
+    def _add_columns_once(self, cols: dict) -> dict:
+        import re
+
+        if not cols:
+            raise ValueError("add_columns: empty column map")
+        m = self._load_manifest()
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            raise ValueError(
+                "empty table: the first write declares the schema — "
+                "nothing to ALTER yet"
+            )
+        names = {f.name for f in schema.fields}
+        renames = m.get("renames") or {}
+        retired = {a for olds in renames.values() for a in olds}
+        dropped = set(m.get("dropped") or [])
+        added: dict[str, str] = {}
+        new_fields = list(schema.fields)
+        for name, dtype in cols.items():
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise ValueError(f"invalid column name {name!r}")
+            if name.startswith("__"):
+                raise ValueError("internal column names are reserved")
+            if name in names or name in retired:
+                raise ValueError(
+                    f"column name {name!r} already in use/retired"
+                )
+            if name in dropped:
+                raise ValueError(
+                    f"column name {name!r} was dropped and its file bytes "
+                    "survive until a full rewrite (rebucket/overwrite/"
+                    "expire_tombstones) — re-adding would resurrect them"
+                )
+            dt = self._parse_col_type(dtype)
+            new_fields.append(T.StructField(name, dt, True))
+            names.add(name)
+            added[name] = dt.simpleString()
+        tail, seg = self._carry_batches(m)
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": T.StructType(new_fields).jsonValue(),
+            "n_buckets": self.n_buckets,
+            "files": m["files"],
+            "deltas": m.get("deltas", {}),
+            "base_rows": m.get("base_rows", {}),
+            "delta_rows": m.get("delta_rows", {}),
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "maintenance",
+            # schema identity changes under every bucket: nothing rebases
+            # across a DDL commit
+            "touched_buckets": "all",
+            "renames": renames,
+            "dropped": sorted(dropped),
+            "ddl": {"op": "add_columns", "cols": added},
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "version": final_v, "added": added}
+
+    def drop_column(self, name: str) -> dict:
+        """ALTER TABLE ... DROP COLUMN — METADATA-ONLY: remove the
+        column from the stored schema; no data is rewritten, the
+        schema-based scan simply stops projecting it. The table-level
+        form of the reference's publish-time column drop (SURVEY §2.2
+        P2; ``gc_elasticsearch_publisher.py:79-100`` drops the heavy
+        text columns from every published doc).
+
+        The name (plus any rename aliases that resolved into it) moves
+        to the manifest's ``dropped`` reserved list: file bytes under
+        those names survive in existing files until a full rewrite
+        (rebucket / overwrite / expire_tombstones clear the list), so
+        re-adding or renaming onto them is refused — the field-id-free
+        guard against Iceberg's drop-then-re-add resurrection problem.
+        A lagging producer still emitting the column is tolerated:
+        merge projects dropped names away before alignment. Key/order/
+        internal columns cannot be dropped. Carries the ``ddl`` stamp
+        for downstream sync propagation."""
+        return self._with_conflict_retry(lambda: self._drop_column_once(name))
+
+    def _drop_column_once(self, name: str) -> dict:
+        if name in self.key_cols or name in self.order_cols:
+            raise ValueError(
+                f"cannot drop key/order column {name!r} (bucket layout and "
+                "LWW ordering depend on it)"
+            )
+        if name.startswith("__"):
+            raise ValueError("internal columns cannot be dropped")
+        m = self._load_manifest()
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            raise ValueError("empty table: nothing to drop")
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        renames = {k: list(v) for k, v in (m.get("renames") or {}).items()}
+        dropped = set(m.get("dropped") or [])
+        # retire the dropped name AND every alias that resolved into it:
+        # files hold bytes under all of them
+        dropped.add(name)
+        dropped.update(renames.pop(name, []))
+        new_fields = [f for f in schema.fields if f.name != name]
+        tail, seg = self._carry_batches(m)
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": T.StructType(new_fields).jsonValue(),
+            "n_buckets": self.n_buckets,
+            "files": m["files"],
+            "deltas": m.get("deltas", {}),
+            "base_rows": m.get("base_rows", {}),
+            "delta_rows": m.get("delta_rows", {}),
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "maintenance",
+            # schema identity changes under every bucket: nothing rebases
+            # across a DDL commit
+            "touched_buckets": "all",
+            "renames": renames,
+            "dropped": sorted(dropped),
+            "ddl": {"op": "drop_column", "col": name},
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "version": final_v, "dropped_column": name}
 
     def _expression_sql(self, expr, schema: T.StructType, boolean: bool) -> str | None:
         """Engine-independent SQL for a predicate/assignment expression
@@ -2948,6 +3126,7 @@ class LakeTable:
                 "commit_op": "dml",
                 "touched_buckets": [],
                 "renames": m.get("renames") or {},
+                "dropped": m.get("dropped") or [],
                 "dml": dml_spec,
             }
             final_v = self._commit(manifest, expected_parent=m["version"])
@@ -3014,6 +3193,7 @@ class LakeTable:
             "commit_op": "dml",
             "touched_buckets": touched,
             "renames": m.get("renames") or {},
+            "dropped": m.get("dropped") or [],
             "dml": dml_spec,
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
@@ -3130,6 +3310,7 @@ class LakeTable:
             "touched_buckets": "all",
             # full rewrite: every surviving file carries current names
             "renames": {},
+            "dropped": [],
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         self._legacy_layout = False  # full canonical rewrite
@@ -3223,6 +3404,7 @@ class LakeTable:
             "touched_buckets": "all",
             # replacement schema is the source's: no retired names survive
             "renames": {},
+            "dropped": [],
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
         self._legacy_layout = False  # full canonical rewrite

@@ -496,6 +496,31 @@ def _propagate_renames(dst: LakeTable, prev: dict, cur: dict) -> None:
             dst.rename_column(old, new_name)
 
 
+def _propagate_ddl(dst: LakeTable, ddl: dict) -> None:
+    """Apply a source add_columns/drop_column commit to the synced copy.
+
+    Same rationale as :func:`_propagate_renames`: DDL commits are
+    kind='maintenance' (no rows), so the data loop skips them, but
+    without propagation a dropped column lingers downstream forever and
+    a metadata-only add (no data rows carrying values yet) never appears
+    at all. The manifest's ``ddl`` provenance stamp identifies the
+    commit; the dst apply is idempotent via column presence (a crash
+    between the dst DDL and the next data sync re-runs safely), and an
+    empty dst is a no-op (its first synced batch delivers the evolved
+    schema wholesale)."""
+    sch = dst.schema()
+    if sch is None:
+        return
+    names = {f.name for f in sch.fields}
+    if ddl.get("op") == "add_columns":
+        todo = {n: t for n, t in ddl["cols"].items() if n not in names}
+        if todo:
+            dst.add_columns(todo)
+    elif ddl.get("op") == "drop_column":
+        if ddl["col"] in names:
+            dst.drop_column(ddl["col"])
+
+
 def sync_changelog(
     src: LakeTable, dst: LakeTable, stream_id: str = "sync"
 ) -> list[dict]:
@@ -540,7 +565,11 @@ def sync_changelog(
       source with an explicit ``dst.overwrite(src.read())``.
     * ``rename_column`` commits are propagated to dst's schema
       (``_propagate_renames``) so post-rename changelogs resolve into
-      the renamed column instead of schema-evolving a duplicate.
+      the renamed column instead of schema-evolving a duplicate;
+      ``add_columns``/``drop_column`` commits are likewise replayed via
+      their manifest ``ddl`` stamp (``_propagate_ddl``) so a dropped
+      column doesn't linger downstream and a metadata-only add appears
+      before data carrying it arrives.
 
     Returns one result dict per considered source commit: applied
     commits, plus one skip record marking the already-synced frontier.
@@ -556,6 +585,8 @@ def sync_changelog(
             )
         _propagate_renames(dst, prev_renames, cur_renames)
         prev_renames = cur_renames
+        if m.get("ddl"):
+            _propagate_ddl(dst, m["ddl"])
         batch_id = f"{stream_id}-v{v:08d}"
         if m.get("kind") != "data" or m.get("parent") is None:
             continue

@@ -28,13 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries(), so ordering is part of the contract. Round-7 rotation goal
 # (VERDICT r6 task #1): second driver confirmations for every
 # single-green query and recycling of the round-4-stale set.
-# _HEAD front-loads (a) the 3 round-7-new queries (SQL INSERT INTO,
-# CALL procedures, self-maintaining replay cadence), (b) the 8
-# single-green queries (7 r6-new + replay_wap_publish) for their second
-# confirmation, (c) the 11 queries last driver-checked in round 4 —
-# after this round nothing is staler than round 5, (d) the 27
-# fewest-confirmed round-5 queries (all 2-3 greens), and (e) the pinned
-# flagship replay — 3+8+11+27+1 = exactly 50 (asserted below).
+# _HEAD front-loads (a) the 6 round-7-new queries (SQL INSERT INTO,
+# CALL procedures, CTAS, ALTER lifecycle, maintain cadence, zone-map
+# pruned scan), (b) the 8 single-green queries (7 r6-new +
+# replay_wap_publish) for their second confirmation, (c) the 11 queries
+# last driver-checked in round 4 — after this round nothing is staler
+# than round 5, (d) the 24 fewest-confirmed round-5 queries (all 2-3
+# greens), and (e) the pinned flagship replay — 6+8+11+24+1 = exactly
+# 50 (asserted below).
 # Everything displaced was driver-green in round 6, and EVERY catalog
 # entry stays green in the local mirror (tools/check_oracles.py runs
 # all of them).
@@ -61,7 +62,10 @@ _HEAD = [
     "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
     "dedup_simhash", "defaulting_projection", "derived_key_join",
     "dict_hash_contract", "doc_fingerprint", "embedding_neardup",
-    "es_publish_projection", "lang_id_heuristic",
+    "es_publish_projection",
+    # round-7 new (late): zone-map data skipping — first driver pass
+    # (displaces lang_id_heuristic, 3 greens, to the unpinned middle)
+    "replay_pruned_scan",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
 ]

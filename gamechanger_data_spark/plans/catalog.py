@@ -616,7 +616,7 @@ except Exception:  # noqa: BLE001
 # parquet FILE PATHS (filename=true), the engine from its own metadata.
 # ---------------------------------------------------------------------
 
-_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v3"
+_REPLAY_TABLE_ROOT = "/tmp/gcspark_replay_table_v4"  # v4: manifests carry zone maps
 
 
 def _ensure_replay_table(spark):
@@ -709,6 +709,24 @@ def replay_time_travel_q(spark, sf_dir):
     t = _ensure_replay_table(spark)
     return t.read(version=2).select(
         "conv_id", "turn_idx", "role", "text", "ts", "is_revoked"
+    )
+
+
+@q("replay_pruned_scan",
+   _TRANSCRIPT_REPLAY_SQL + "  AND ts >= TIMESTAMP '2024-01-01 00:05:00'",
+   "zone-map predicate scan: read(where=[(ts, >=, cut)]) — the manifest's "
+     "per-file min/max stats (commit-time footer derivation) skip "
+     "non-overlapping base files BEFORE the scan schedules, then the same "
+     "predicate filters residually — vs the LWW oracle with the identical "
+     "cut on the winning row's ts; proves skipping never changes results "
+     "(the pruning-actually-skips behavior is pinned in test_file_stats)")
+def replay_pruned_scan_q(spark, sf_dir):
+    from datetime import datetime
+
+    t = _ensure_replay_table(spark)
+    cut = datetime(2024, 1, 1, 0, 5, 0)
+    return t.read(where=[("ts", ">=", cut)]).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
     )
 
 

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")  # opt-in per read
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # which would silently disable timestamp zone maps (LakeTable file
+        # skipping) AND row-group pruning on ts predicates everywhere.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Local-scale input splitting: the default 128m merges the small
         # part-files of a micro-batch into 1-2 splits, serializing the map
         # stage regardless of cores. 16m keeps map parallelism ≈ cores at

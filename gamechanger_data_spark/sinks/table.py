@@ -77,7 +77,7 @@ import shutil
 import time
 import uuid
 from contextlib import contextmanager
-from datetime import datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +130,105 @@ def _utcnow() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
 
 
+_EPOCH_NAIVE = datetime(1970, 1, 1)
+# string min/max longer than this are dropped from a file's zone map: a
+# TRUNCATED max under-states the file's true upper bound and would wrongly
+# prune (parquet-mr itself omits chunk statistics past its truncation
+# threshold for the same reason) — no stat just means "never pruned".
+STAT_MAX_STRING = 256
+
+
+def _enc_stat(v):
+    """JSON-encodable zone-map bound for a parquet footer min/max value,
+    or None when the type is not safely order-comparable in the encoded
+    domain (booleans, NaN, bytes, Decimal, nested) — an un-stat-able
+    column simply disables pruning for that file, never correctness.
+    Timestamps encode as exact epoch MICROSECONDS (integer arithmetic —
+    float seconds lose sub-ms precision at 2024 epochs), dates as ISO
+    strings (lexicographic == chronological), numerics/strings as-is."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if v == v else None  # NaN bounds are meaningless
+    if isinstance(v, str):
+        return v if len(v) <= STAT_MAX_STRING else None
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH_NAIVE) // timedelta(microseconds=1)
+    if isinstance(v, date):
+        return v.isoformat()
+    return None
+
+
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _stats_exclude(fstats: dict, preds, aliases) -> bool:
+    """True iff a file's zone map PROVES no row can satisfy the
+    conjunction ``preds`` (list of ``(col, op, value)``). Anything
+    uncertain — missing stats, un-encodable literal, cross-kind
+    comparison after schema drift — falls through to False (keep the
+    file): pruning is only ever an optimization, never a semantics
+    change. NULL rows never satisfy these comparison operators, so
+    min/max (which ignore nulls) bound every *qualifying* row even in
+    files that contain nulls. ``aliases`` is the manifest rename map:
+    files written before a rename carry stats under the old name."""
+    for col, op, val in preds:
+        s = None
+        for name in (col, *aliases.get(col, ())):
+            s = fstats.get(name)
+            if s:
+                break
+        if not s:
+            continue
+        ev = _enc_stat(val)
+        lo, hi = s
+        if isinstance(ev, str) and isinstance(lo, (int, float)):
+            # string literal against a timestamp column's micros-encoded
+            # bounds (the common SQL-ish spelling): parse, else no prune
+            try:
+                ev = _enc_stat(datetime.fromisoformat(ev))
+            except ValueError:
+                continue
+        if ev is None or isinstance(ev, str) != isinstance(lo, str):
+            continue
+        try:
+            if (
+                (op in ("=", "==") and (ev < lo or hi < ev))
+                or (op == ">" and hi <= ev)
+                or (op == ">=" and hi < ev)
+                or (op == "<" and lo >= ev)
+                or (op == "<=" and lo > ev)
+            ):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def _where_column(preds):
+    """Conjunction of simple predicates as a Spark Column — the ALWAYS
+    APPLIED filter that zone-map pruning accelerates but never replaces."""
+    cond = None
+    for col, op, val in preds:
+        c = F.col(col)
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (use {_PRUNE_OPS})")
+        e = {
+            "=": c == val,
+            "==": c == val,
+            "<": c < val,
+            "<=": c <= val,
+            ">": c > val,
+            ">=": c >= val,
+        }[op]
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def _canon_type(dt: T.DataType) -> T.DataType | None:
     """Canonical hash type for a key column, or None (hash as-is).
 
@@ -175,6 +274,7 @@ class LakeTable:
         mor_max_deltas: int = 8,
         branch: str = "main",
         allow_legacy_layout: bool = False,
+        stats_cols: tuple[str, ...] | None = None,
     ):
         """``dedup_strategy`` picks the physical LWW form used by merge:
 
@@ -252,6 +352,18 @@ class LakeTable:
                 self.key_cols = tuple(existing["key_cols"])
             if existing.get("order_cols"):
                 self.order_cols = tuple(existing["order_cols"])
+        # zone-map columns (per-file min/max in the manifest): defaults to
+        # key+order AFTER spec adoption so a reopened table stats the real
+        # spec. Footer min/max are immutable per path -> memoized.
+        self.stats_cols = (
+            tuple(stats_cols)
+            if stats_cols is not None
+            else tuple(dict.fromkeys(self.key_cols + self.order_cols))
+        )
+        self._stats_cache: dict[str, dict] = {}
+        # observability: candidate vs zone-map-pruned file counts of the
+        # most recent pruning-aware read on THIS handle (tests + bench)
+        self.last_scan_report: dict = {"clean_files": 0, "pruned_files": 0}
         # bucket-layout guard (see LAYOUT_VERSION): an unstamped manifest
         # with int/float key columns may predate canonical key hashing —
         # hash-dependent ops on it would silently corrupt, so refuse at
@@ -470,6 +582,25 @@ class LakeTable:
         if self._test_pre_commit is not None:
             hook, self._test_pre_commit = self._test_pre_commit, None
             hook()
+        # Zone maps derive HERE, centralized, so every commit path (merge,
+        # compact, DML, overwrite, rebucket, DDL) inherits them — and
+        # OUTSIDE the lock: footer IO is O(files new to this commit), the
+        # held window stays O(manifest). Stats are keyed by relpath, which
+        # is immutable (uuid-suffixed dirs, no in-place rewrites), so
+        # carry-forward from any manifest that mentions the path is sound
+        # even if the pointer advances between here and the lock. Base
+        # files only: MOR delta appends stay stat-free to keep the CDC hot
+        # loop at zero added driver IO (deltas are always read anyway —
+        # they are never pruned, so stats on them buy nothing). At 10^5+
+        # files, segment this map like batches_segment (Iceberg's avro
+        # manifest split); at sandbox/table scales inline JSON is fine.
+        if self.stats_cols:
+            prev = self._load_manifest().get("stats") or {}
+            manifest["stats"] = {
+                p: (prev[p] if p in prev else self._file_stats(p))
+                for fl in manifest.get("files", {}).values()
+                for p in fl
+            }
         with self._commit_lock():
             cur = self.current_version()
             if expected_parent is not None and cur != expected_parent:
@@ -828,6 +959,50 @@ class LakeTable:
             pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
             for p in relpaths
         )
+
+    def _file_stats(self, relpath: str) -> dict:
+        """Zone map for ONE immutable parquet file: ``{col: [min, max]}``
+        over ``stats_cols``, from footer metadata only (no data scan).
+        A column missing min/max in ANY row group is dropped — partial
+        bounds would prune wrongly. Memoized per path (data dirs are
+        uuid-suffixed and never rewritten in place); an unreadable
+        footer yields ``{}``, i.e. a file that simply never prunes."""
+        cached = self._stats_cache.get(relpath)
+        if cached is not None:
+            return cached
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        try:
+            md = pq.ParquetFile(os.path.join(self.root, relpath)).metadata
+            want = set(self.stats_cols)
+            lo: dict = {}
+            hi: dict = {}
+            bad: set = set()
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    name = c.path_in_schema
+                    if name not in want or name in bad:
+                        continue
+                    st = c.statistics
+                    mn = _enc_stat(st.min) if st is not None and st.has_min_max else None
+                    mx = _enc_stat(st.max) if st is not None and st.has_min_max else None
+                    if mn is None or mx is None:
+                        bad.add(name)
+                        lo.pop(name, None)
+                        hi.pop(name, None)
+                        continue
+                    if name not in lo or mn < lo[name]:
+                        lo[name] = mn
+                    if name not in hi or mx > hi[name]:
+                        hi[name] = mx
+            out = {n: [lo[n], hi[n]] for n in lo}
+        except Exception:
+            out = {}
+        self._stats_cache[relpath] = out
+        return out
 
     def _next_version(self) -> int:
         """Allocate snapshot ids past the MAX existing manifest, not
@@ -1384,7 +1559,7 @@ class LakeTable:
         m = self._load_manifest(version)
         return T.StructType.fromJson(m["schema"]) if m["schema"] else None
 
-    def read(self, version: int | None = None, as_of=None) -> DataFrame:
+    def read(self, version: int | None = None, as_of=None, where=None) -> DataFrame:
         """Snapshot read. Old files are read under the evolved schema
         (missing columns null-filled by the parquet reader). Buckets with
         outstanding delta files are resolved base+delta under the same LWW
@@ -1395,7 +1570,19 @@ class LakeTable:
         :meth:`tag_version` for named reads); ``as_of=<ts>`` resolves the
         snapshot that was current at that instant via
         :meth:`version_as_of` (Iceberg ``AS OF <timestamp>``). The two are
-        mutually exclusive."""
+        mutually exclusive.
+
+        ``where`` is a list of simple conjuncts ``(col, op, literal)``
+        with op in ``=, ==, <, <=, >, >=``. The filter is ALWAYS applied;
+        additionally, the manifest's per-file zone maps (min/max over
+        ``stats_cols``, recorded at commit) skip whole base files whose
+        bounds exclude every conjunct — Iceberg-style data skipping: at
+        10^5 files a time-range scan schedules only the files whose
+        range overlaps, without reading a single footer. Range pruning
+        runs on CLEAN buckets only: under merge-on-read a base row must
+        stay visible to LOSE the LWW race against a delta row, so a
+        dirty bucket's base files are never skipped (its delta files
+        carry no stats and are always read)."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of, not both")
@@ -1407,10 +1594,17 @@ class LakeTable:
         m = self._load_manifest(version)
         schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
         if not m["files"] and not m.get("deltas"):
-            return self.spark.createDataFrame(
+            empty = self.spark.createDataFrame(
                 [], schema or T.StructType([T.StructField("conv_id", T.StringType())])
             )
-        return self._read_resolved(m, schema, buckets=None, include_tombstones=False)
+            # a never-written table has no schema to resolve the predicate
+            # against; with zero rows the filter is vacuous either way
+            if where and schema is not None:
+                empty = empty.filter(_where_column(where))
+            return empty
+        return self._read_resolved(
+            m, schema, buckets=None, include_tombstones=False, where=where
+        )
 
     def _scan_files(
         self, m: dict, schema: T.StructType, paths: list[str]
@@ -1497,12 +1691,22 @@ class LakeTable:
         schema: T.StructType,
         buckets: list[int] | None,
         include_tombstones: bool,
+        where=None,
     ) -> DataFrame:
         """Base+delta read: buckets WITHOUT deltas are read as plain parquet
         (no shuffle); buckets WITH deltas union their base and delta files
         and resolve the winner per key with the map-side-combining LWW
         aggregate (same kernel as merge). Only un-compacted buckets pay the
-        resolution shuffle."""
+        resolution shuffle.
+
+        With ``where``: clean buckets prune whole base files on the
+        manifest zone maps BEFORE the scan is scheduled, then filter (the
+        residual filter also pushes into the parquet row groups); dirty
+        buckets never prune (a base row must stay visible to lose LWW)
+        and filter only ABOVE the resolution — a predicate on an order
+        column applied below LWW would resurrect superseded versions.
+        ``self.last_scan_report`` records candidate vs pruned file counts
+        for observability and tests."""
         deltas = m.get("deltas", {})
         if buckets is None:
             keys = set(m["files"]) | set(deltas)
@@ -1511,12 +1715,30 @@ class LakeTable:
         clean = [b for b in keys if not deltas.get(b)]
         dirty = [b for b in keys if deltas.get(b)]
 
+        cond = _where_column(where) if where else None
+        stats = m.get("stats") or {}
+        aliases = {
+            n: tuple(olds) for n, olds in (m.get("renames") or {}).items()
+        }
+        candidates = [(b, p) for b in clean for p in m["files"].get(b, [])]
+        if cond is not None and stats:
+            kept = [
+                p
+                for _, p in candidates
+                if not _stats_exclude(stats.get(p) or {}, where, aliases)
+            ]
+        else:
+            kept = [p for _, p in candidates]
+        self.last_scan_report = {
+            "clean_files": len(candidates),
+            "pruned_files": len(candidates) - len(kept),
+        }
+
         parts: list[DataFrame] = []
-        clean_paths = [
-            os.path.join(self.root, p) for b in clean for p in m["files"].get(b, [])
-        ]
+        clean_paths = [os.path.join(self.root, p) for p in kept]
         if clean_paths:
-            parts.append(self._scan_files(m, schema, clean_paths))
+            scan = self._scan_files(m, schema, clean_paths)
+            parts.append(scan.filter(cond) if cond is not None else scan)
         if dirty:
             dirty_paths = [
                 os.path.join(self.root, p)
@@ -1525,9 +1747,12 @@ class LakeTable:
                 for p in src.get(b, [])
             ]
             raw = self._scan_files(m, schema, dirty_paths)
-            parts.append(lww_max_by(raw, self.key_cols, self.order_cols))
+            resolved = lww_max_by(raw, self.key_cols, self.order_cols)
+            parts.append(resolved.filter(cond) if cond is not None else resolved)
         if not parts:
             out = self.spark.createDataFrame([], schema)
+            if cond is not None:
+                out = out.filter(cond)
         else:
             out = parts[0]
             for p in parts[1:]:
@@ -1573,12 +1798,35 @@ class LakeTable:
         # same key, so the predicate pushes through it — the parquet scans
         # prune row groups on the sorted key, and only the handful of
         # matching rows (not the whole bucket) pay the resolve.
-        out = self.read_buckets(
-            [bucket], version=m["version"], include_tombstones=True, resolve=False
-        )
+        #
+        # Zone-map file skipping on the KEY EQUALITY is LWW-sound even in
+        # a dirty bucket: a skipped base file provably holds NO row of the
+        # probed key, so every version that competes in the resolve is
+        # still read (deltas are never pruned). After the fold autoscaler
+        # range-splits a fat bucket by key, this drops a point lookup from
+        # bucket-files to ~1 file before any footer is opened.
+        preds = [(c, "=", key_values[c]) for c in self.key_cols]
+        stats = m.get("stats") or {}
+        aliases = {n: tuple(o) for n, o in (m.get("renames") or {}).items()}
+        base_all = m["files"].get(str(bucket), [])
+        base = [
+            p
+            for p in base_all
+            if not _stats_exclude(stats.get(p) or {}, preds, aliases)
+        ]
+        delta = list(m.get("deltas", {}).get(str(bucket), []))
+        self.last_scan_report = {
+            "clean_files": len(base_all),
+            "pruned_files": len(base_all) - len(base),
+        }
+        paths = [os.path.join(self.root, p) for p in base + delta]
+        if not paths:
+            out = self.spark.createDataFrame([], schema)
+        else:
+            out = self._scan_files(m, schema, paths)
         for c in self.key_cols:
             out = out.filter(F.col(c) == F.lit(key_values[c]))
-        if m.get("deltas", {}).get(str(bucket)):
+        if delta:
             out = lww_max_by(out, self.key_cols, self.order_cols)
         return self._drop_tombstones(out)
 
@@ -1595,7 +1843,12 @@ class LakeTable:
             T.StructField("kind", T.StringType(), False),
             T.StructField("path", T.StringType(), False),
             T.StructField("bucket_rows", T.LongType(), True),
+            # per-file zone map as a JSON object {col: [min, max]} — the
+            # Iceberg readable_metrics analog; null for delta files and
+            # files committed before stats tracking
+            T.StructField("stats_json", T.StringType(), True),
         ])
+        stats = m.get("stats") or {}
         rows = []
         for kind, src, counts in (
             ("base", m["files"], m.get("base_rows", {})),
@@ -1604,7 +1857,16 @@ class LakeTable:
             for b, fl in src.items():
                 n = counts.get(b)
                 for p in fl:
-                    rows.append((int(b), kind, p, int(n) if n is not None else None))
+                    s = stats.get(p) if kind == "base" else None
+                    rows.append(
+                        (
+                            int(b),
+                            kind,
+                            p,
+                            int(n) if n is not None else None,
+                            json.dumps(s, sort_keys=True) if s is not None else None,
+                        )
+                    )
         return self.spark.createDataFrame(rows, schema)
 
     def lineage(self) -> DataFrame:

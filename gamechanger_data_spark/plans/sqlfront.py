@@ -96,7 +96,12 @@ Scale: resolution cost is O(referenced tables) driver-side metadata —
 one manifest load per reference. The data plan is byte-identical to
 calling ``read()`` directly (the temp view IS the snapshot DataFrame),
 so predicate pushdown, column pruning, and bucket pruning are
-unaffected.
+unaffected. Single-table SELECTs additionally hoist their WHERE's
+simple top-level conjuncts (``[alias.]col op literal``, AND-only)
+into ``read(where=...)`` so the manifest zone maps skip whole files
+before the scan schedules — the SQL text keeps its full WHERE, so
+hoisting is only ever redundant, and extraction bails to no-pruning on
+anything it cannot prove (joins, set ops, a top-level OR, subqueries).
 """
 
 from __future__ import annotations
@@ -330,6 +335,104 @@ def _find_kw(s: str, kw: str) -> re.Match | None:
     return re.search(rf"\b{kw}\b", _mask_tops(s), re.IGNORECASE)
 
 
+# ------------- WHERE-conjunct extraction for zone-map file skipping -------------
+# A SELECT's WHERE clause normally reaches the engine only as Spark's own
+# row-group pushdown; hoisting its simple conjuncts into read(where=...)
+# additionally skips whole manifest-listed files (LakeTable zone maps)
+# before the scan schedules. Extraction is deliberately conservative:
+# it bails to no-pruning on ANYTHING it cannot prove — the rewritten SQL
+# always still applies its full WHERE, so a hoisted conjunct is only ever
+# redundant, never substitutive.
+
+_PRUNE_BLOCKERS = re.compile(
+    r"\b(JOIN|UNION|INTERSECT|EXCEPT|MINUS|LATERAL|TABLESAMPLE)\b", re.IGNORECASE
+)
+_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+_WHERE_END = re.compile(
+    r"\b(GROUP|ORDER|HAVING|LIMIT|WINDOW|QUALIFY|DISTRIBUTE|SORT|CLUSTER)\b",
+    re.IGNORECASE,
+)
+_TOP_OR = re.compile(r"\bOR\b", re.IGNORECASE)
+_TOP_AND = re.compile(r"\bAND\b", re.IGNORECASE)
+_FROM_TAIL = re.compile(rf"^\s*(?:AS\s+)?(?P<alias>{_IDENT})?\s*$", re.IGNORECASE)
+_CONJ = re.compile(
+    rf"""^\s*(?:(?P<q>{_IDENT})\s*\.\s*)?(?P<col>{_IDENT})\s*
+         (?P<op><=|>=|==|=|<|>)\s*
+         (?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?))\s*$""",
+    re.VERBOSE | re.DOTALL,
+)
+_SQL_KEYWORDS = frozenset(
+    "and or not in is null like between exists case when then else end".split()
+)
+
+
+def _extract_prunable(query: str) -> tuple[int, list] | None:
+    """``(from_kw_offset, [(col, op, value), ...])`` when ``query`` is a
+    single-table top-level SELECT whose WHERE is an AND-only conjunction
+    containing at least one ``[alias.]col op literal`` conjunct —
+    else None. Offsets index the query text (all masks are same-length).
+
+    Soundness: the conjuncts are a SUBSET of the WHERE's top-level AND
+    conjunction, so any row satisfying the full WHERE satisfies each of
+    them — files excluded by their zone maps can contribute nothing. A
+    top-level OR aborts everything (``a OR b AND c`` parses as
+    ``a OR (b AND c)`` — no standalone conjunct exists); BETWEEN's
+    internal AND yields non-matching fragments, which are skipped, never
+    misread. Comments and string literals are blanked before any
+    structural decision, and literal VALUES are sliced from the original
+    text."""
+    # comments/literal bodies blanked first, then paren interiors: the
+    # scoping view sees only the top-level statement's own clauses
+    top = _mask_tops(_mask_literals(query))
+    if _PRUNE_BLOCKERS.search(top):
+        return None
+    froms = list(re.finditer(r"\bFROM\b", top, re.IGNORECASE))
+    wheres = list(_WHERE_KW.finditer(top))
+    if len(froms) != 1 or len(wheres) != 1:
+        return None
+    fm, wm = froms[0], wheres[0]
+    if wm.start() < fm.end():
+        return None
+    # between the table reference and WHERE: nothing but an optional
+    # alias (a comma-join, LATERAL VIEW, etc. would leave extra tokens)
+    ref = _TRAVEL.match(_mask_literals(query), fm.start())
+    if ref is None:
+        return None
+    seg = _FROM_TAIL.match(top[ref.end() : wm.start()])
+    if seg is None:
+        return None
+    alias = (seg.group("alias") or "").lower()
+    if alias in _SQL_KEYWORDS:
+        return None
+    names = {ref.group("name").lower(), alias} - {""}
+    endm = _WHERE_END.search(top, wm.end())
+    wend = endm.start() if endm else len(top)
+    wmask = top[wm.end() : wend]
+    if _TOP_OR.search(wmask):
+        return None
+    preds = []
+    start = 0
+    spans = [m.start() for m in _TOP_AND.finditer(wmask)] + [len(wmask)]
+    prev = 0
+    for i, cut in enumerate(spans):
+        frag = query[wm.end() + prev : wm.end() + cut]
+        prev = cut + 3  # past "AND"
+        c = _CONJ.match(frag)
+        if not c:
+            continue
+        if c.group("q") and c.group("q").lower() not in names:
+            continue
+        if c.group("col").lower() in _SQL_KEYWORDS:
+            continue
+        if c.group("num") is not None:
+            tok = c.group("num")
+            val = float(tok) if "." in tok else int(tok)
+        else:
+            val = c.group("str")[1:-1].replace("''", "'")
+        preds.append((c.group("col"), c.group("op"), val))
+    return (fm.start(), preds) if preds else None
+
+
 class SqlLake:
     """Name -> LakeTable registry with a time-travel-aware ``sql()``."""
 
@@ -370,6 +473,10 @@ class SqlLake:
         # defs — "<name> AS (") shadow registered tables, as in SQL.
         mask = _mask_literals(query)
         shadowed = {c.group(1).lower() for c in _CTE_DEF.finditer(mask)}
+        # single-table SELECTs hoist their WHERE's simple conjuncts into
+        # read(where=...) so the manifest zone maps can skip whole files;
+        # the SQL text is NOT rewritten — its WHERE still applies in full
+        prunable = _extract_prunable(query)
         pieces: list[str] = []
         pos = 0
         for m in _TRAVEL.finditer(mask):
@@ -385,7 +492,12 @@ class SqlLake:
                 )
             if t is None or name.lower() in shadowed:
                 continue  # not ours: CTE / temp view / catalog table
-            df = self._resolve(t, m, query)
+            where = (
+                prunable[1]
+                if prunable is not None and m.start() == prunable[0]
+                else None
+            )
+            df = self._resolve(t, m, query, where=where)
             self._seq += 1
             view = f"__lake_{name}_{self._seq}"
             df.createOrReplaceTempView(view)
@@ -401,11 +513,19 @@ class SqlLake:
             for v in views:
                 self.spark.catalog.dropTempView(v)
 
-    def _resolve(self, t: LakeTable, m: re.Match, query: str) -> DataFrame:
+    def _resolve(
+        self, t: LakeTable, m: re.Match, query: str, where=None
+    ) -> DataFrame:
         """``m`` matched against the literal-masked copy of ``query``;
         the mask is same-length, so group spans index the original —
         clause text (which may hold quoted tags/timestamps) is sliced
-        from ``query``, never taken from the mask."""
+        from ``query``, never taken from the mask.
+
+        ``where`` — hoisted WHERE conjuncts (see _extract_prunable) —
+        reaches only plain data reads, filtered to columns of the PINNED
+        schema (a conjunct on a query-side alias or a column the
+        snapshot predates simply doesn't prune; the SQL text still
+        errors or filters exactly as before)."""
         ref = query[m.start() : m.end()].strip()
         branch = m.group("branch")
         meta = (m.group("meta") or "").lower() or None
@@ -439,11 +559,22 @@ class SqlLake:
         sm = sms[0] if sms else None
         if meta:
             return self._meta_df(t, meta, vm, sm, ref)
+        version = None
         if vm:
-            return t.read(version=self._pin_version(t, vm))
-        if sm:
-            return t.read(as_of=datetime.fromisoformat(sm.group(1)))
-        return t.read()
+            version = self._pin_version(t, vm)
+        elif sm:
+            version = t.version_as_of(datetime.fromisoformat(sm.group(1)))
+        if where:
+            sch = t.schema(version)
+            byname = (
+                {f.name.lower(): f.name for f in sch.fields} if sch else {}
+            )
+            where = [
+                (byname[c.lower()], op, v)
+                for c, op, v in where
+                if c.lower() in byname
+            ] or None
+        return t.read(version=version, where=where)
 
     @staticmethod
     def _pin_version(t: LakeTable, vm: re.Match) -> int:

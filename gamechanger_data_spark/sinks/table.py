@@ -209,6 +209,72 @@ def _stats_exclude(fstats: dict, preds, aliases) -> bool:
     return False
 
 
+_COND_CONJ = re.compile(
+    r"""^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*
+        (?P<op><=|>=|==|=|<|>)\s*
+        (?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?))\s*$""",
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _condition_conjuncts(cond: str) -> list | None:
+    """Simple ``col op literal`` conjuncts of a DML condition STRING, for
+    zone-map file scoping — or None when nothing hoistable. Same
+    conservatism as the SQL front-end's extraction: a top-level OR
+    aborts (AND binds tighter — no standalone conjunct exists), paren
+    groups and string literals are masked before any structural
+    decision, fragments that don't match (BETWEEN halves, IN lists,
+    function calls) are skipped, never misread. The conjuncts are a
+    SUBSET of the condition's top-level AND chain, so a file whose
+    stats exclude any one of them provably holds no matching row."""
+    out: list[str] = []
+    depth = 0
+    i, n = 0, len(cond)
+    while i < n:  # mask literal contents + paren interiors, keep length
+        c = cond[i]
+        if c == "'":
+            out.append("'")
+            i += 1
+            while i < n:
+                if cond[i] == "'":
+                    if i + 1 < n and cond[i + 1] == "'":
+                        out.extend("  ")
+                        i += 2
+                        continue
+                    out.append("'")
+                    i += 1
+                    break
+                out.append(" ")
+                i += 1
+        else:
+            if c == "(":
+                depth += 1
+            out.append(c if depth == 0 else " ")
+            if c == ")":
+                depth = max(0, depth - 1)
+                out[-1] = " " if depth > 0 else ")"
+            i += 1
+    mask = "".join(out)
+    if re.search(r"\bOR\b", mask, re.IGNORECASE):
+        return None
+    preds = []
+    prev = 0
+    cuts = [a.start() for a in re.finditer(r"\bAND\b", mask, re.IGNORECASE)]
+    for cut in cuts + [len(mask)]:
+        frag = cond[prev:cut]
+        prev = cut + 3
+        c = _COND_CONJ.match(frag)
+        if not c:
+            continue
+        if c.group("num") is not None:
+            tok = c.group("num")
+            val = float(tok) if "." in tok else int(tok)
+        else:
+            val = c.group("str")[1:-1].replace("''", "'")
+        preds.append((c.group("col"), c.group("op"), val))
+    return preds or None
+
+
 def _where_column(preds):
     """Conjunction of simple predicates as a Spark Column — the ALWAYS
     APPLIED filter that zone-map pruning accelerates but never replaces."""
@@ -1692,6 +1758,7 @@ class LakeTable:
         buckets: list[int] | None,
         include_tombstones: bool,
         where=None,
+        exclude: frozenset | None = None,
     ) -> DataFrame:
         """Base+delta read: buckets WITHOUT deltas are read as plain parquet
         (no shuffle); buckets WITH deltas union their base and delta files
@@ -1706,7 +1773,9 @@ class LakeTable:
         and filter only ABOVE the resolution — a predicate on an order
         column applied below LWW would resurrect superseded versions.
         ``self.last_scan_report`` records candidate vs pruned file counts
-        for observability and tests."""
+        for observability and tests. ``exclude`` drops named relpaths
+        from CLEAN buckets' scans outright (the DML file-scoping hook —
+        the caller has already proven those files irrelevant)."""
         deltas = m.get("deltas", {})
         if buckets is None:
             keys = set(m["files"]) | set(deltas)
@@ -1720,7 +1789,12 @@ class LakeTable:
         aliases = {
             n: tuple(olds) for n, olds in (m.get("renames") or {}).items()
         }
-        candidates = [(b, p) for b in clean for p in m["files"].get(b, [])]
+        candidates = [
+            (b, p)
+            for b in clean
+            for p in m["files"].get(b, [])
+            if not exclude or p not in exclude
+        ]
         if cond is not None and stats:
             kept = [
                 p
@@ -2056,7 +2130,9 @@ class LakeTable:
         cols += [F.col(k) for k in keep if k in df.columns]
         return df.select(*cols)
 
-    def _fold_repartition(self, m: dict, buckets, default: int):
+    def _fold_repartition(
+        self, m: dict, buckets, default: int, exclude: frozenset | None = None
+    ):
         """Shuffle-partition spec for a CoW bucket rewrite.
 
         One partition per touched bucket is right for trickle merges
@@ -2083,6 +2159,8 @@ class LakeTable:
             for bk, fl in src.items():
                 if buckets is None or int(bk) in buckets:
                     for p in fl:
+                        if exclude and p in exclude:
+                            continue  # file-scoped DML: not rewritten
                         try:
                             nbytes += os.path.getsize(os.path.join(self.root, p))
                         except OSError:
@@ -3394,15 +3472,59 @@ class LakeTable:
             final_v = self._commit(manifest, expected_parent=m["version"])
             return {"skipped": False, "batch_id": batch_id, "version": final_v,
                     "touched_buckets": 0, "rows_hit": 0}
-        cur = self.read_buckets(
-            touched, version=m["version"], include_tombstones=True
+        # File-level scoping (zone maps): within a touched CLEAN bucket
+        # holding several range-split files, a file whose stats exclude
+        # the condition's simple conjuncts provably holds no matching
+        # live row — carry it into the new manifest VERBATIM and rewrite
+        # only the overlapping files. Cost becomes ∝ files the predicate
+        # touches, not buckets it touches (the autoscaler's split layout
+        # makes this the dominant regime for fat buckets at scale).
+        # Dirty buckets always rewrite fully — the rewrite FOLDS their
+        # deltas, which needs every competing version. Skipping is only
+        # ever an optimization: the per-row predicate still decides every
+        # rewritten row, and an over-kept file merely rewrites no-ops.
+        conj = (
+            _condition_conjuncts(condition) if isinstance(condition, str) else None
         )
-        from pyspark.sql import Observation
+        stats = m.get("stats") or {}
+        aliases = {n: tuple(o) for n, o in (m.get("renames") or {}).items()}
+        kept_files: dict[str, list[str]] = {}
+        if conj and stats:
+            deltas_m = m.get("deltas", {})
+            for b in touched:
+                bk = str(b)
+                fl = m["files"].get(bk, [])
+                if deltas_m.get(bk) or len(fl) < 2:
+                    continue
+                skip = [
+                    p
+                    for p in fl
+                    if _stats_exclude(stats.get(p) or {}, conj, aliases)
+                ]
+                if skip:
+                    kept_files[bk] = skip
+        excluded = frozenset(p for fl in kept_files.values() for p in fl)
+        cur = self._read_resolved(
+            m, schema, touched, include_tombstones=True,
+            exclude=excluded or None,
+        )
+        npart, extra = self._fold_repartition(
+            m, set(touched), max(1, len(touched)), exclude=excluded or None
+        )
+        obs = None
+        if extra:
+            # range-split path: repartitionByRange runs a SAMPLING job
+            # over the same plan before the write, so an Observation
+            # would double-count rows_hit — count the hits in their own
+            # (filter-pushed) pass instead
+            rows_hit = int(cur.filter(hit).count())
+        else:
+            from pyspark.sql import Observation
 
-        obs = Observation(f"dml-{batch_id}")
-        cur = cur.observe(
-            obs, F.sum(hit.cast("long")).alias("rows_hit")
-        )
+            obs = Observation(f"dml-{batch_id}")
+            cur = cur.observe(
+                obs, F.sum(hit.cast("long")).alias("rows_hit")
+            )
         if assignments is None:
             out = cur.withColumn(
                 "__deleted",
@@ -3420,7 +3542,6 @@ class LakeTable:
             "__bucket", self._bucket_expr(schema=schema).cast("int")
         )
         snap_dir = self._provisional_snap_dir("snap", m["version"])
-        npart, extra = self._fold_repartition(m, set(touched), max(1, len(touched)))
         (
             self._fold_write(out, npart, extra)
             .sortWithinPartitions(*self.key_cols)
@@ -3432,7 +3553,12 @@ class LakeTable:
         deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
         base_rows = dict(m.get("base_rows", {}))
         delta_rows = dict(m.get("delta_rows", {}))
-        files.update(self._snap_bucket_files(snap_dir, touched))
+        new_by_bucket = self._snap_bucket_files(snap_dir, touched)
+        for bk, kept in kept_files.items():
+            # scope-skipped files stay resident; rewritten files replace
+            # only the overlapping remainder of the bucket
+            new_by_bucket[bk] = kept + new_by_bucket[bk]
+        files.update(new_by_bucket)
         for b in touched:
             bk = str(b)
             base_rows[bk] = self._count_rows(files[bk])
@@ -3459,9 +3585,12 @@ class LakeTable:
             "dml": dml_spec,
         }
         final_v = self._commit(manifest, expected_parent=m["version"])
+        if obs is not None:
+            rows_hit = int(obs.get["rows_hit"] or 0)
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "touched_buckets": len(touched),
-                "rows_hit": int(obs.get["rows_hit"] or 0)}
+                "files_kept": len(excluded),
+                "rows_hit": rows_hit}
 
     def maintain(
         self,

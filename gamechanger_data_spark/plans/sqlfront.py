@@ -202,6 +202,7 @@ _CREATE_RE = re.compile(
          KEY\s*\((?P<keys>[^()]*)\)\s*
          (?:ORDER\s+BY\s*\((?P<order>[^()]*)\)\s*)?
          (?:BUCKETS\s+(?P<nb>\d+)\s*)?
+         (?:STATS\s*\((?P<stats>[^()]*)\)\s*)?
          AS\s+(?P<select>.+?)\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -729,7 +730,8 @@ class SqlLake:
     def _create(self, query: str, batch_id: str) -> dict:
         """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name>
         LOCATION '<path>' KEY (k, ...) [ORDER BY (o, ...)] [BUCKETS n]
-        AS <select>`` — CTAS for the lake: builds a LakeTable at the
+        [STATS (c, ...)] AS <select>`` — CTAS for the lake: builds a
+        LakeTable at the
         location (atomic overwrite commit; the reference's
         truncate-and-reload materialization,
         ``gc_ingest/tools/db/utils.py:97-116``), registers it under
@@ -764,6 +766,12 @@ class SqlLake:
         kwargs = {"key_cols": keys, "n_buckets": nb}
         if order:
             kwargs["order_cols"] = order
+        if m.group("stats") is not None:
+            # STATS (col, ...) picks the zone-map columns (default:
+            # key+order); STATS () disables commit-time footer stats
+            kwargs["stats_cols"] = tuple(
+                c.strip() for c in m.group("stats").split(",") if c.strip()
+            )
         t = LakeTable(self.spark, m.group("loc"), **kwargs)
         if t.current_version() > 0:
             if m.group("ine"):

@@ -158,3 +158,23 @@ def test_sql_cte_shadow_not_pruned(lake):
         "WITH tr AS (SELECT 1 AS k) SELECT k FROM tr WHERE k = 1"
     ).collect()
     assert [r["k"] for r in got] == [1]
+
+
+def test_ctas_stats_clause(spark, tmp_path, lake):
+    sqll, t = lake
+    loc = str(tmp_path / "ctas")
+    r = sqll.sql(
+        f"CREATE TABLE rolled LOCATION '{loc}' KEY (k) ORDER BY (ts) "
+        "STATS (k, ts, val) AS SELECT k, ts, val, 'upsert' AS op FROM tr"
+    )
+    dst = sqll._tables["rolled"]
+    assert dst.stats_cols == ("k", "ts", "val")
+    stats = dst._load_manifest()["stats"]
+    assert stats and all(set(s) <= {"k", "ts", "val"} for s in stats.values())
+    # STATS () disables stats entirely
+    loc2 = str(tmp_path / "ctas2")
+    sqll.sql(
+        f"CREATE TABLE bare LOCATION '{loc2}' KEY (k) ORDER BY (ts) "
+        "STATS () AS SELECT k, ts, val, 'upsert' AS op FROM tr"
+    )
+    assert "stats" not in sqll._tables["bare"]._load_manifest()

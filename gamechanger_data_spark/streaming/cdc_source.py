@@ -1,0 +1,339 @@
+"""Structured Streaming CDC-out source for LakeTable — the Delta
+``readChangeFeed`` / Iceberg incremental-read analog, as a PySpark
+Python DataSource (``spark.readStream.format("lakecdc")``):
+
+    from gamechanger_data_spark.streaming.cdc_source import register_lakecdc
+    register_lakecdc(spark)
+    changes = (spark.readStream.format("lakecdc")
+               .option("path", "/data/transcripts")
+               .option("startingVersion", 0)     # offset = LAST CONSUMED version
+               .load())
+    changes.writeStream.foreachBatch(apply).option("checkpointLocation", cp).start()
+
+Offsets are snapshot VERSIONS (the manifest pointer is the write-ahead
+log), so exactly-once falls out of Spark's offset checkpointing: a
+micro-batch covers the half-open commit span ``(start, end]`` and its
+rows are the deterministic between-snapshots diff of that span — the
+same semantics as :meth:`LakeTable.diff`, intermediate overwritten
+states never surface. ``startingVersion`` is the version the stream has
+ALREADY consumed (0 streams the full table as inserts first); default
+is the head at stream start (only new commits stream).
+
+Scale shape: ``partitions(start, end)`` is driver-side manifest JSON
+only — one input partition per bucket whose file list changed across
+the span, so a trickle commit streams one partition, never a table
+scan. Each partition is read EXECUTOR-SIDE in pure pyarrow/pandas (no
+SparkSession in a Python data-source worker): resolve each side's
+winners (base files are already LWW-resolved; MOR delta files merge by
+a stable sort on the order columns), null-safe-compare the two states
+on the key join, and emit Arrow RecordBatches. The comparison is
+equality on every declared column — the executor-side twin of
+``_snapshot_diff``'s key+xxhash64 anti-join (a hash is only an equality
+proxy; tests pin row-parity against ``diff()`` on the same spans).
+
+Caveats (documented, loud): the declared schema is pinned at stream
+start (restart the stream to surface later-added columns — standard for
+Spark sources); a REBUCKET inside a span collapses that span to one
+partition (bucket ids are incomparable across specs); maintenance
+commits diff as empty (content-identical rewrites). ``change_op`` is
+delete / revoke / upsert, exactly like ``changelog()``.
+
+Reference analog: the reference's consumers tail crawler output by
+re-scanning timestamped prefixes (gc_crawler/status tracker); here the
+manifest chain IS the feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+META_DIR = "_meta"
+
+# ---------------- driver-side manifest helpers (stdlib only) ----------------
+
+
+def _pointer(root: str, branch: str) -> str:
+    fn = "VERSION" if branch == "main" else f"BRANCH-{branch}"
+    return os.path.join(root, META_DIR, fn)
+
+
+def _current_version(root: str, branch: str) -> int:
+    p = _pointer(root, branch)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    if version == 0:
+        return {"version": 0, "schema": None, "files": {}, "deltas": {},
+                "n_buckets": None, "renames": {}}
+    p = os.path.join(root, META_DIR, f"v{version:08d}.json")
+    if not os.path.exists(p):
+        raise ValueError(
+            f"snapshot v{version} is gone (expired?) — the stream cannot "
+            "resume from an offset older than the retention window"
+        )
+    with open(p) as f:
+        m = json.load(f)
+    m.setdefault("deltas", {})
+    m.setdefault("renames", {})
+    return m
+
+
+# ---------------- executor-side arrow/pandas kernel --------------------------
+
+
+def _arrow_type(t):
+    """Spark schema-JSON type -> pyarrow type (CDC tables are scalar-
+    typed; exotic types fail loudly rather than mis-diff)."""
+    import pyarrow as pa
+
+    if isinstance(t, dict):
+        if t.get("type") == "array":
+            return pa.list_(_arrow_type(t["elementType"]))
+        raise ValueError(f"unsupported CDC column type: {t.get('type')!r}")
+    return {
+        "boolean": pa.bool_(), "byte": pa.int8(), "short": pa.int16(),
+        "integer": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }[t]
+
+
+def _read_state(root, paths, delta_paths, schema_json, keys, order):
+    """One side's resolved winners as a pandas DataFrame under the
+    declared schema (missing columns null-filled by the dataset
+    projection). Base files already hold winners; outstanding MOR
+    deltas LWW-merge via a stable sort on the order columns (exact
+    duplicate events tie with identical payloads, so last-wins is
+    exact)."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    fields = [
+        pa.field(f["name"], _arrow_type(f["type"]))
+        for f in schema_json["fields"]
+    ]
+    schema = pa.schema(fields)
+    all_paths = [os.path.join(root, p) for p in paths + delta_paths]
+    if not all_paths:
+        return pa.Table.from_batches([], schema=schema).to_pandas()
+    tbl = ds.dataset(all_paths, schema=schema, format="parquet").to_table()
+    pdf = tbl.to_pandas()
+    if delta_paths:
+        pdf = (
+            pdf.sort_values(list(order), kind="mergesort")
+            .groupby(list(keys), as_index=False, dropna=False, sort=False)
+            .tail(1)
+        )
+    return pdf.reset_index(drop=True)
+
+
+def _null_safe_ne(a, b):
+    """Elementwise 'differs' with NULL == NULL (pandas eq treats NaN/NaT
+    as unequal to itself, which would report every null column as a
+    change)."""
+    both_null = a.isna() & b.isna()
+    eq = a.eq(b)
+    return ~(eq | both_null)
+
+
+def _bucket_diff(part):
+    """The per-bucket snapshot diff, executor-side: to-rows whose state
+    is absent from the from-state (any declared column differs, null-
+    safe), plus synthesized deletes for from-live keys the to-state
+    physically dropped. Returns a pandas DataFrame in declared-schema
+    order + change_op."""
+    import pandas as pd
+
+    keys = list(part.keys)
+    cur = _read_state(part.root, part.to_files, part.to_deltas,
+                      part.schema_json, part.keys, part.order)
+    prev = _read_state(part.root, part.from_files, part.from_deltas,
+                       part.from_schema_json or part.schema_json,
+                       part.keys, part.order)
+    # project prev onto the declared columns: renamed columns map
+    # through the to-side alias list, never-written columns null-fill
+    renames = part.renames or {}
+    for c in cur.columns:
+        if c not in prev.columns:
+            src = next((a for a in renames.get(c, []) if a in prev.columns), None)
+            prev[c] = prev[src] if src is not None else None
+    prev = prev[list(cur.columns)]
+
+    value_cols = [c for c in cur.columns if c not in keys]
+    j = cur.merge(prev, on=keys, how="left", suffixes=("", "__p"),
+                  indicator="__cdc_m")
+    changed = j["__cdc_m"] == "left_only"
+    for c in value_cols:
+        changed |= _null_safe_ne(j[c], j[c + "__p"])
+    out = j.loc[changed, list(cur.columns)].copy()
+
+    live_prev = prev
+    if "__deleted" in prev.columns:
+        live_prev = prev[prev["__deleted"].isna() | ~prev["__deleted"].astype("boolean").fillna(False)]
+    rm = live_prev.merge(cur[keys], on=keys, how="left", indicator="__cdc_m")
+    rm = rm.loc[rm["__cdc_m"] == "left_only", list(cur.columns)].copy()
+    if len(rm):
+        rm["__deleted"] = True
+    out = pd.concat([out, rm], ignore_index=True) if len(rm) else out
+
+    op = pd.Series("upsert", index=out.index, dtype="object")
+    if "__deleted" in out.columns:
+        op = op.mask(out["__deleted"].astype("boolean").fillna(False), "delete")
+        out = out.drop(columns=["__deleted"])
+    if "is_revoked" in out.columns:
+        dead = op == "delete"
+        op = op.mask(
+            out["is_revoked"].astype("boolean").fillna(False) & ~dead, "revoke"
+        )
+    out["change_op"] = op
+    return out
+
+
+@dataclass
+class _CDCPartition(InputPartition):
+    root: str
+    keys: tuple
+    order: tuple
+    renames: dict
+    schema_json: dict
+    from_schema_json: dict | None
+    to_files: list
+    to_deltas: list
+    from_files: list
+    from_deltas: list
+
+
+class LakeCDCStreamReader(DataSourceStreamReader):
+    def __init__(self, options, out_schema_json):
+        self.root = options["path"]
+        self.branch = options.get("branch", "main")
+        self._starting = options.get("startingversion")
+        self._out_schema_json = out_schema_json
+        head = _current_version(self.root, self.branch)
+        m = _load_manifest(self.root, head)
+        if m["schema"] is None:
+            raise ValueError("empty table: nothing to stream (commit first)")
+        self.keys = tuple(m.get("key_cols") or ("conv_id", "turn_idx"))
+        self.order = tuple(m.get("order_cols") or ("ts", "event_seq"))
+
+    def initialOffset(self) -> dict:
+        v = (
+            int(self._starting)
+            if self._starting is not None
+            else _current_version(self.root, self.branch)
+        )
+        return {"version": v}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version(self.root, self.branch)}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        # NOTE: no span truncation here — Spark checkpoints ``end`` as
+        # consumed, so partitions() must cover the whole (start, end]
+        # span or rows would be silently lost. A big span is still one
+        # diff (cost ∝ changed buckets), never a replay of every commit.
+        if e <= s:
+            return []
+        mt = _load_manifest(self.root, e)
+        mf = _load_manifest(self.root, s)
+        # the DECLARED stream schema is pinned at start: emit under it
+        declared = {
+            "type": "struct",
+            "fields": [
+                f for f in self._out_schema_json["fields"]
+                if f["name"] != "change_op"
+            ] + [{"name": "__deleted", "type": "boolean", "nullable": True,
+                  "metadata": {}}],
+        }
+        tf, td = mt.get("files", {}), mt.get("deltas", {})
+        ff, fd = mf.get("files", {}), mf.get("deltas", {})
+        common = dict(
+            root=self.root, keys=self.keys, order=self.order,
+            renames=mt.get("renames") or {},
+            schema_json=declared,
+            from_schema_json=declared if mf.get("schema") else None,
+        )
+        if mf.get("n_buckets") not in (None, mt.get("n_buckets")):
+            # rebucket inside the span: bucket ids are incomparable
+            # across specs — one partition carries both sides whole
+            return [_CDCPartition(
+                to_files=[p for fl in tf.values() for p in fl],
+                to_deltas=[p for fl in td.values() for p in fl],
+                from_files=[p for fl in ff.values() for p in fl],
+                from_deltas=[p for fl in fd.values() for p in fl],
+                **common,
+            )]
+        changed = [
+            b for b in set(tf) | set(td) | set(ff) | set(fd)
+            if tf.get(b) != ff.get(b) or td.get(b, []) != fd.get(b, [])
+        ]
+        return [
+            _CDCPartition(
+                to_files=list(tf.get(b, [])), to_deltas=list(td.get(b, [])),
+                from_files=list(ff.get(b, [])), from_deltas=list(fd.get(b, [])),
+                **common,
+            )
+            for b in sorted(changed)
+        ]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        out = _bucket_diff(partition)
+        fields = [
+            pa.field(f["name"], _arrow_type(f["type"]))
+            for f in self._out_schema_json["fields"]
+        ]
+        schema = pa.schema(fields)
+        if not len(out):
+            return iter(())
+        tbl = pa.Table.from_pandas(
+            out[[f.name for f in schema]], schema=schema, preserve_index=False
+        )
+        return iter(tbl.to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; manifests are immutable
+
+
+class LakeCDCDataSource(DataSource):
+    """``format("lakecdc")`` — streaming CDC reads from a LakeTable."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakecdc"
+
+    def schema(self):
+        root = self.options["path"]
+        branch = self.options.get("branch", "main")
+        m = _load_manifest(root, _current_version(root, branch))
+        if m["schema"] is None:
+            raise ValueError("empty table: nothing to stream (commit first)")
+        base = T.StructType.fromJson(m["schema"])
+        fields = [f for f in base.fields if f.name != "__deleted"]
+        return T.StructType(fields + [T.StructField("change_op", T.StringType())])
+
+    def streamReader(self, schema: T.StructType):
+        return LakeCDCStreamReader(
+            {k.lower(): v for k, v in self.options.items()}, schema.jsonValue()
+        )
+
+
+def register_lakecdc(spark) -> None:
+    """Idempotent registration of the ``lakecdc`` source on a session."""
+    spark.dataSource.register(LakeCDCDataSource)

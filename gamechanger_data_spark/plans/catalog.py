@@ -1063,6 +1063,55 @@ def diff_versions_cdc_q(spark, sf_dir):
     return t.diff(2).select("conv_id", "turn_idx", "change_op")
 
 
+@q("stream_changelog_cdc", f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FEED}/*/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, op,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, event_seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role,
+       {_NORM_CHAIN_SQL.format(col='text')} AS text,
+       tool, ts,
+       CASE WHEN op = 'delete' THEN 'delete'
+            WHEN op = 'revoke' THEN 'revoke'
+            ELSE 'upsert' END AS change_op
+FROM w WHERE rn = 1
+""", "Structured Streaming CDC-out: readStream.format('lakecdc') drained "
+     "with an availableNow trigger from startingVersion=0 — the full "
+     "history streams as one exactly-once span whose rows are the table's "
+     "physical winners (tombstones as change_op=delete) — vs the pure-SQL "
+     "LWW winner-per-key reduction over the same raw feed; parity here "
+     "means the executor-side pyarrow diff kernel, the version-offset "
+     "bookkeeping, and the Arrow batch hand-off all reproduce the "
+     "engine's state bit-for-bit")
+def stream_changelog_cdc_q(spark, sf_dir):
+    import tempfile
+    import uuid as _uuid
+
+    from gamechanger_data_spark.streaming.cdc_source import register_lakecdc
+
+    t = _ensure_replay_table(spark)
+    register_lakecdc(spark)
+    name = f"lakecdc_drain_{_uuid.uuid4().hex[:8]}"
+    q_ = (
+        spark.readStream.format("lakecdc")
+        .option("path", t.root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lakecdc_cp_"))
+        .start()
+    )
+    q_.awaitTermination(300)
+    return spark.table(name).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "change_op"
+    )
+
+
 _SQLDML_ROOT = "/tmp/gcspark_sqldml_table_v1"
 
 

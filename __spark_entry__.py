@@ -61,12 +61,13 @@ _HEAD = [
     "ann_topk_cosine", "approx_distinct_users", "case_insensitive_dedup",
     "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
     "dedup_simhash", "defaulting_projection", "derived_key_join",
-    "dict_hash_contract", "embedding_neardup",
+    "dict_hash_contract",
     "es_publish_projection",
-    # round-7 new (late): zone-map data skipping + the lakecdc streaming
-    # source — first driver passes (displace lang_id_heuristic and
-    # doc_fingerprint, both multi-green, to the unpinned middle)
-    "replay_pruned_scan", "stream_changelog_cdc",
+    # round-7 new (late): zone-map data skipping, ts-clustering, and the
+    # lakecdc streaming source — first driver passes (displace
+    # lang_id_heuristic, doc_fingerprint, and embedding_neardup, all
+    # multi-green, to the unpinned middle)
+    "replay_pruned_scan", "replay_clustered_scan", "stream_changelog_cdc",
     # flagship engine machinery — pinned in-window every round
     "transcript_replay",
 ]

@@ -730,6 +730,49 @@ def replay_pruned_scan_q(spark, sf_dir):
     )
 
 
+_CLUSTERED_ROOT = "/tmp/gcspark_clustered_table_v1"
+
+
+def _ensure_clustered_table(spark):
+    """Replay the feed, then cluster_by('ts') with a tiny file target so
+    every bucket splits into disjoint-ts files — the layout where a ts
+    predicate actually skips."""
+    import shutil as _sh
+
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.driver import replay_feed
+
+    def build(tmp):
+        feed = _ensure_replay_feed()
+        t = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        replay_feed(spark, feed, t)
+        t.cluster_by("ts", target_file_bytes=64 << 10)
+
+    _publish_once(_CLUSTERED_ROOT, build)
+    return LakeTable(
+        spark, os.path.join(_CLUSTERED_ROOT, "table"), n_buckets=8
+    )
+
+
+@q("replay_clustered_scan",
+   _TRANSCRIPT_REPLAY_SQL + "  AND ts >= TIMESTAMP '2024-01-01 00:05:00'",
+   "cluster_by('ts') + zone-map skipping: the replayed table is range-"
+     "clustered on ts (rewrite_data_files-with-sort-order analog) so a "
+     "hash-bucketed table's buckets hold disjoint-ts files, then the same "
+     "ts-cut read runs over the clustered layout — must equal the LWW "
+     "oracle exactly (clustering is a maintenance rewrite: logical "
+     "content unchanged) while the manifest stats now skip files "
+     "(skip counts pinned in test_file_stats)")
+def replay_clustered_scan_q(spark, sf_dir):
+    from datetime import datetime
+
+    t = _ensure_clustered_table(spark)
+    cut = datetime(2024, 1, 1, 0, 5, 0)
+    return t.read(where=[("ts", ">=", cut)]).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
+    )
+
+
 @q("replay_as_of", _PREFIX_STATE_SQL,
    "TIMESTAMP time travel: read(as_of=<instant between the batch-1 and "
      "batch-2 commits>) must resolve through the commit history to the "

@@ -989,7 +989,7 @@ class SqlLake:
         "rollback_to_snapshot", "tag", "drop_tag", "create_branch",
         "drop_branch", "fast_forward", "expire_snapshots",
         "expire_tombstones", "compact", "rebucket", "rename_column",
-        "maintain",
+        "maintain", "cluster_by",
     }
 
     def _call(self, query: str) -> DataFrame:

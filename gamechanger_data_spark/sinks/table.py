@@ -2704,6 +2704,132 @@ class LakeTable:
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "compacted_buckets": len(dirty)}
 
+    def cluster_by(
+        self,
+        cols,
+        buckets: Iterable[int] | None = None,
+        batch_id: str = "__cluster__",
+        target_file_bytes: int | None = None,
+    ) -> dict:
+        """Range-cluster each bucket's base files by ``cols`` (Iceberg
+        ``rewrite_data_files`` with a sort order — the linear form of
+        Z-ordering): per bucket, resolved rows are range-partitioned on
+        ``cols`` into ~``target_file_bytes`` files holding DISJOINT
+        ``cols`` ranges, so the manifest zone maps prune a ``cols``
+        predicate to ~1 file per bucket. This is what makes TIME-range
+        scans skip on a table hash-bucketed by key: without it every
+        bucket is one file spanning the whole ts domain and there is
+        nothing to skip. Maintenance commit (logical content unchanged
+        — ``changelog()`` of it is empty, streams diff it as empty);
+        folds outstanding deltas like compact; pure function of current
+        state, so a commit conflict re-runs it whole.
+
+        Trade-off, stated: files are written sorted by
+        ``(cols, key_cols)``, so row-group locality moves from the key
+        to the cluster columns — point lookups still prune to the
+        bucket + (post-autoscaler) to files by the KEY zone maps, but
+        within a file the key-sorted row-group pruning weakens. Cluster
+        by the columns your scans filter on.
+
+        ``cols`` must be covered by ``stats_cols`` — clustering a
+        column the manifest doesn't stat would rewrite the table for
+        zero skipping; refused loudly instead."""
+        if isinstance(cols, str):
+            cols = (cols,)
+        cols = tuple(cols)
+        if not cols:
+            raise ValueError("cluster_by needs at least one column")
+        missing = [c for c in cols if c not in self.stats_cols]
+        if missing:
+            raise ValueError(
+                f"cluster_by columns {missing} are not in stats_cols "
+                f"{self.stats_cols} — the manifest would carry no zone "
+                "map for them and nothing would ever skip; reopen the "
+                "table with stats_cols covering them first"
+            )
+        return self._with_conflict_retry(
+            lambda: self._cluster_once(cols, buckets, batch_id,
+                                       target_file_bytes)
+        )
+
+    def _cluster_once(self, cols, buckets, batch_id, target_bytes) -> dict:
+        self._require_canonical_layout("cluster_by")
+        m = self._load_manifest()
+        self._pin_bucket_spec(m)
+        schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+        if schema is None:
+            return {"skipped": True, "batch_id": batch_id,
+                    "version": m["version"]}
+        names = {f.name for f in schema.fields}
+        unknown = [c for c in cols if c not in names]
+        if unknown:
+            raise ValueError(f"cluster_by: unknown columns {unknown}")
+        target = sorted(
+            int(b)
+            for b in set(m["files"]) | set(m.get("deltas", {}))
+            if (m["files"].get(b) or m.get("deltas", {}).get(b))
+            and (buckets is None or int(b) in set(buckets))
+        )
+        if not target:
+            return {"skipped": True, "batch_id": batch_id,
+                    "version": m["version"]}
+        out = self._read_resolved(
+            m, schema, target, include_tombstones=True
+        ).withColumn("__bucket", self._bucket_expr(schema=schema).cast("int"))
+        tb = target_bytes or FOLD_TARGET_PARTITION_BYTES
+        nbytes = 0
+        for src in (m["files"], m.get("deltas", {})):
+            for bk, fl in src.items():
+                if int(bk) in target:
+                    for p in fl:
+                        try:
+                            nbytes += os.path.getsize(os.path.join(self.root, p))
+                        except OSError:
+                            pass
+        npart = max(len(target), int(nbytes // tb))
+        snap_dir = self._provisional_snap_dir("snap", m["version"])
+        (
+            out.repartitionByRange(npart, "__bucket", *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols, *self.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        files = dict(m["files"])
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        base_rows = dict(m.get("base_rows", {}))
+        delta_rows = dict(m.get("delta_rows", {}))
+        files.update(self._snap_bucket_files(snap_dir, target))
+        nfiles = 0
+        for b in target:
+            bk = str(b)
+            base_rows[bk] = self._count_rows(files[bk])
+            deltas[bk] = []
+            delta_rows[bk] = 0
+            nfiles += len(files[bk])
+        tail, seg = self._carry_batches(m)
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": m["schema"],
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "deltas": deltas,
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": [],
+            "parent": m["version"],
+            "kind": "maintenance",
+            "touched_buckets": target,
+            "renames": m.get("renames") or {},
+            "dropped": m.get("dropped") or [],
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        return {"skipped": False, "batch_id": batch_id, "version": final_v,
+                "clustered_buckets": len(target), "files_written": nfiles,
+                "cluster_cols": list(cols)}
+
     def changelog(self, version: int | None = None) -> DataFrame:
         """CDC-out: the rows CHANGED by the commit that produced ``version``
         (default: current) — derived purely from metadata + time travel, no

@@ -270,3 +270,58 @@ def test_timestamp_stats_survive_write(spark, tmp_path):
     assert t.read(where=[("ts", ">", base + timedelta(seconds=19))]).count() == 0
     assert t.last_scan_report["pruned_files"] == 1
     assert t.read(where=[("ts", ">=", base)]).count() == 20
+
+
+# ---------------- cluster_by ------------------------------------------
+
+
+def test_cluster_by_enables_ts_skipping(spark, tmp_path):
+    """A hash-bucketed table's single-file buckets span the whole ts
+    domain (nothing skips); cluster_by('ts') range-splits each bucket
+    into disjoint-ts files, after which a ts predicate prunes."""
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    t.merge(_rows(spark, 0, 400), "b0")
+    t.merge(_rows(spark, 0, 10, ts=lambda i: 10_000 + i), "b1", mode="mor")
+    before = t.read(where=[("ts", ">=", 3000)])
+    n_before = before.count()
+    r = t.cluster_by("ts", target_file_bytes=1024)
+    assert not r["skipped"] and r["files_written"] > 2
+    m = t._load_manifest()
+    assert not any(m["deltas"].values())  # deltas folded
+    after = t.read(where=[("ts", ">=", 3000)])
+    rep = dict(t.last_scan_report)
+    assert after.count() == n_before
+    assert rep["pruned_files"] > 0
+    # logical content unchanged: the maintenance commit has no changelog
+    assert t.changelog(t.current_version()).count() == 0
+    # point lookups still resolve (key zone maps widen per file, bucket
+    # pruning still applies)
+    got = t.lookup_key(k=3).collect()
+    assert len(got) == 1 and got[0]["ts"] == 10_003
+
+
+def test_cluster_by_refuses_unstatted_column(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    t.merge(_rows(spark, 0, 20), "b0")
+    with pytest.raises(ValueError, match="stats_cols"):
+        t.cluster_by("val")
+    with pytest.raises(ValueError, match="unknown columns"):
+        LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2,
+                  stats_cols=("k", "ts", "nope")).cluster_by("nope")
+
+
+def test_cluster_by_via_sql_call(spark, tmp_path):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    t.merge(_rows(spark, 0, 400), "b0")
+    sqll = SqlLake(spark).register("tr", t)
+    row = sqll.sql("CALL tr.cluster_by('ts', null, '__c1__', 1024)").collect()[0]
+    assert row["procedure"] == "cluster_by"
+    out = sqll.sql("SELECT count(*) AS n FROM tr WHERE ts >= 3000")
+    assert out.collect()[0]["n"] == 100
+    assert t.last_scan_report["pruned_files"] > 0

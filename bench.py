@@ -185,6 +185,39 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
     table.rollback_to_snapshot(v0)
     table.drop_branch("bench-audit")
 
+    # CDC-out probe (round-7 surface): drain the table's full history
+    # through the lakecdc streaming source (startingVersion=0, one
+    # availableNow span, one partition per bucket, executor-side pyarrow
+    # diff kernel) and report streamed change-rows/sec.
+    import tempfile
+    import uuid as _uuid
+
+    from gamechanger_data_spark.streaming.cdc_source import register_lakecdc
+
+    register_lakecdc(spark)
+    name = f"bench_lakecdc_{_uuid.uuid4().hex[:8]}"
+    t1 = time.perf_counter()
+    q = (
+        spark.readStream.format("lakecdc")
+        .option("path", table.root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_cdc_cp_"))
+        .start()
+    )
+    q.awaitTermination(600)
+    streamed = spark.table(name).count()
+    drain_sec = time.perf_counter() - t1
+    cdc_out = {
+        "rows": int(streamed),
+        "drain_sec": round(drain_sec, 3),
+        "rows_per_sec": round(streamed / drain_sec, 1),
+    }
+    spark.catalog.dropTempView(name)
+
     return {
         "events": n_events,
         "batches": n_batches,
@@ -201,6 +234,7 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
         "trickle_2k": trickle,
         "dml_point_delete": dml,
         "wap_publish": wap,
+        "cdc_out_stream": cdc_out,
     }
 
 

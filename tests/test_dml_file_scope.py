@@ -158,3 +158,21 @@ def test_changelog_after_scoped_dml(split):
     assert any(r["k"] == 7 and r["change_op"] == "delete" for r in rows)
     # scope-kept files must not surface phantom changes
     assert all(r["k"] == 7 for r in rows)
+
+
+def test_verify_and_gc_after_scoped_dml(split, monkeypatch):
+    """Integrity + retention after a partial-bucket rewrite: verify()'s
+    per-bucket footer counts must cover kept+new files, and snapshot GC
+    must spare kept files that older expired snapshots also referenced
+    (per-file reference counting, not per-snapshot-dir)."""
+    t = split
+    r = t.delete_where("k = 7", "del-gc")
+    assert r["files_kept"] > 0
+    rep = t.verify()
+    assert rep["ok"], rep
+    n = t.expire_snapshots(keep_last=0, grace_sec=0)
+    assert n >= 0
+    # kept files survived the GC of the snapshots that first wrote them
+    assert t.verify()["ok"]
+    assert t.read().count() == 399
+    assert t.lookup_key(k=8).collect()[0]["val"] == "v8"

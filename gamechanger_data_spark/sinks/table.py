@@ -1727,13 +1727,22 @@ class LakeTable:
         version: int | None = None,
         include_tombstones: bool = False,
         resolve: bool = True,
+        where=None,
     ) -> DataFrame:
         """Bucket-pruned snapshot read — only the named buckets' files.
         ``include_tombstones=True`` is the merge-internal mode (tombstones
         must keep competing under LWW). ``resolve=False`` skips the
         base+delta LWW resolution and returns the raw union of base and
         delta rows — ONLY for callers that feed the result into their own
-        LWW pass (merge does; resolving twice would waste a shuffle)."""
+        LWW pass (merge does; resolving twice would waste a shuffle).
+        ``where`` composes bucket pruning with zone-map file skipping,
+        same contract as :meth:`read` (resolved mode only — the raw
+        union's rows are pre-LWW, where a filter would be unsound)."""
+        if where is not None and not resolve:
+            raise ValueError(
+                "where= requires resolve=True (a filter below the LWW "
+                "resolution would resurrect superseded versions)"
+            )
         # pinned like read(): schema from the same manifest load
         m = self._load_manifest(version)
         schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
@@ -1749,7 +1758,9 @@ class LakeTable:
             else:
                 out = self._scan_files(m, schema, paths)
             return out if include_tombstones else self._drop_tombstones(out)
-        return self._read_resolved(m, schema, list(buckets), include_tombstones)
+        return self._read_resolved(
+            m, schema, list(buckets), include_tombstones, where=where
+        )
 
     def _read_resolved(
         self,

@@ -325,3 +325,15 @@ def test_cluster_by_via_sql_call(spark, tmp_path):
     out = sqll.sql("SELECT count(*) AS n FROM tr WHERE ts >= 3000")
     assert out.collect()[0]["n"] == 100
     assert t.last_scan_report["pruned_files"] > 0
+
+
+def test_read_buckets_where_composes_with_skipping(split_table):
+    t = split_table
+    bs = t.buckets_for_keys([{"k": 7}])
+    out = t.read_buckets(bs, where=[("k", "=", 7)])
+    rep = dict(t.last_scan_report)
+    got = out.collect()
+    assert len(got) == 1 and got[0]["ts"] == 71
+    assert rep["pruned_files"] > 0
+    with pytest.raises(ValueError, match="resolve=True"):
+        t.read_buckets(bs, resolve=False, where=[("k", "=", 7)])

@@ -55,6 +55,62 @@ def build(spark, root: str, rows: int):
     return t, nfiles
 
 
+def bytes_written(t, version):
+    m = t._load_manifest(version)
+    pm = t._load_manifest(m["parent"])
+    old = {p for fl in pm["files"].values() for p in fl}
+    new = [p for fl in m["files"].values() for p in fl if p not in old]
+    return sum(
+        os.path.getsize(os.path.join(t.root, p)) for p in new
+    ), len(new)
+
+
+def dml_leg(spark, rows):
+    """Scoped vs unscoped predicate DML on the same split layout: table A
+    carries zone maps (file scoping active), table B was built with
+    stats_cols=() (no stats -> full-bucket rewrites). Same narrow ts-range
+    delete; report wall + bytes/files actually rewritten."""
+    import shutil
+
+    out = {}
+    for side, stats in (("scoped", None), ("unscoped", ())):
+        root = f"/dev/shm/gcspark_prune_dml_{side}"
+        shutil.rmtree(root, ignore_errors=True)
+        import pyspark.sql.functions as F
+
+        table_mod.FOLD_TARGET_PARTITION_BYTES = 2 << 20
+        kw = {} if stats is None else {"stats_cols": stats}
+        t = LakeTable(spark, root, key_cols=("k",), order_cols=("ts",),
+                      n_buckets=8, **kw)
+        mk = lambda ts0: spark.range(0, rows).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 10 + ts0).alias("ts"),
+            F.sha2(F.concat(F.lit("p-"), F.col("id").cast("string")), 256).alias("val"),
+            F.lit("upsert").alias("op"),
+        )
+        t.merge(mk(0), "b0")
+        t.merge(mk(1), "b1")
+        lo = rows * 10 // 2
+        s = time.perf_counter()
+        r = t.delete_where(f"ts >= {lo} AND ts < {lo + rows // 100}", "d1")
+        wall = time.perf_counter() - s
+        nbytes, nfiles = bytes_written(t, r["version"])
+        out[side] = {
+            "wall_sec": round(wall, 3),
+            "files_kept": r.get("files_kept", 0),
+            "files_rewritten": nfiles,
+            "bytes_rewritten": nbytes,
+        }
+    out["bytes_ratio"] = round(
+        out["unscoped"]["bytes_rewritten"]
+        / max(1, out["scoped"]["bytes_rewritten"]), 2
+    )
+    out["wall_ratio"] = round(
+        out["unscoped"]["wall_sec"] / max(1e-9, out["scoped"]["wall_sec"]), 2
+    )
+    return out
+
+
 def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -101,6 +157,7 @@ def main():
         "a_skipping_sec": round(am, 4), "b_pushdown_only_sec": round(bm, 4),
         "speedup": round(bm / am, 3),
         "saved_ms_per_skipped_file": round((bm - am) * 1000 / max(1, skipped), 3),
+        "dml_scoping": dml_leg(spark, rows // 4),
     }))
     spark.stop()
 

@@ -366,6 +366,26 @@ _SQL_KEYWORDS = frozenset(
     "and or not in is null like between exists case when then else end".split()
 )
 
+# ------------- metadata-answered global aggregates -------------
+# SELECT count(*)/count(col)/min(col)/max(col) [AS alias]... FROM t [pins]
+# with nothing else (no WHERE / GROUP BY / JOIN / DISTINCT / set ops)
+# routes to LakeTable.stats_agg: clean buckets answer from manifest
+# stats with zero data IO; anything unprovable scans through the same
+# resolved read the generic path uses, so routing never changes results.
+# Every item must carry an explicit alias — otherwise the generic path
+# runs so output column names stay exactly what Spark SQL would emit.
+
+_FAST_AGG_BLOCKERS = re.compile(
+    r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|JOIN|UNION|INTERSECT|EXCEPT|MINUS"
+    r"|DISTINCT|WITH|WINDOW|OVER|LATERAL|TABLESAMPLE|QUALIFY)\b",
+    re.IGNORECASE,
+)
+_AGG_ITEM = re.compile(
+    rf"""^\s*(?P<fn>count|min|max)\s*\(\s*(?P<col>\*|{_IDENT})\s*\)
+         \s+AS\s+(?P<alias>{_IDENT})\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
 
 def _extract_prunable(query: str) -> tuple[int, list] | None:
     """``(from_kw_offset, [(col, op, value), ...])`` when ``query`` is a
@@ -441,6 +461,7 @@ class SqlLake:
         self.spark = spark
         self._tables: dict[str, LakeTable] = {}
         self._seq = 0
+        self.last_fast_agg: dict | None = None
 
     def register(self, name: str, table: LakeTable) -> "SqlLake":
         if not re.fullmatch(_IDENT, name):
@@ -465,6 +486,9 @@ class SqlLake:
         m = _DML_KW.match(query)
         if m:
             return self._dml(m.group(1).upper(), query, batch_id)
+        fast = self._fast_agg(query)
+        if fast is not None:
+            return fast
         views: list[str] = []
         # Match against a literal-masked copy (string/comment contents
         # blanked, parens intact): a quoted "... FROM transcripts ..."
@@ -513,6 +537,78 @@ class SqlLake:
         finally:
             for v in views:
                 self.spark.catalog.dropTempView(v)
+
+    def _fast_agg(self, query: str) -> DataFrame | None:
+        """Route a bare global-aggregate SELECT over one registered
+        table to :meth:`LakeTable.stats_agg` (metadata-answered
+        count/min/max), honoring @branch and a single travel pin.
+        Returns None — run the generic path — on ANY structure this
+        can't prove equivalent; the generic path computes the same
+        answer by scan, so the route is only ever an optimization.
+        ``self.last_fast_agg`` records the serve report (how many
+        buckets were metadata-answered vs scanned) for observability."""
+        mask = _mask_literals(query)
+        top = _mask_tops(mask)
+        sel = re.match(r"^\s*SELECT\b", top, re.IGNORECASE)
+        if sel is None or _FAST_AGG_BLOCKERS.search(top):
+            return None
+        froms = list(re.finditer(r"\bFROM\b", top, re.IGNORECASE))
+        if len(froms) != 1:
+            return None
+        fm = froms[0]
+        ref = _TRAVEL.match(mask, fm.start())
+        if ref is None or ref.group("meta"):
+            return None
+        t = self._tables.get(ref.group("name"))
+        if t is None:
+            return None
+        if top[ref.end():].strip(" \t\r\n;"):
+            return None  # trailing clauses (alias etc.) — generic path
+        items = _split_top(mask[sel.end(): fm.start()])
+        normd: list[tuple[str, str, str]] = []
+        for it in items:
+            im = _AGG_ITEM.match(it)
+            if im is None:
+                return None
+            normd.append(
+                (im.group("fn").lower(), im.group("col"), im.group("alias"))
+            )
+        branch = ref.group("branch")
+        if branch and branch != t.branch:
+            t = LakeTable(
+                t.spark, t.root, n_buckets=t.n_buckets, branch=branch
+            )
+        clauses = (
+            query[ref.start("clauses"): ref.end("clauses")]
+            if ref.group("clauses")
+            else ""
+        )
+        vms = list(_VERSION.finditer(clauses))
+        sms = list(_SYSTIME.finditer(clauses))
+        if len(vms) + len(sms) > 1:
+            raise ValueError(
+                "one travel pin per reference (VERSION AS OF or "
+                "SYSTEM_TIME AS OF, not several): "
+                + query[ref.start(): ref.end()].strip()
+            )
+        version = None
+        if vms:
+            version = self._pin_version(t, vms[0])
+        elif sms:
+            version = t.version_as_of(datetime.fromisoformat(sms[0].group(1)))
+        # SQL identifiers are case-insensitive; stats_agg wants schema case
+        sch = t.schema(version)
+        byname = {f.name.lower(): f.name for f in sch.fields} if sch else {}
+        resolved = []
+        for fn, col, alias in normd:
+            if col != "*":
+                col = byname.get(col.lower())
+                if col is None:
+                    return None  # let the generic path raise Spark's error
+            resolved.append((fn, col, alias))
+        out, report = t.stats_agg(resolved, version=version, return_report=True)
+        self.last_fast_agg = report
+        return out
 
     def _resolve(
         self, t: LakeTable, m: re.Match, query: str, where=None

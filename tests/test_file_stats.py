@@ -103,7 +103,11 @@ def test_commit_records_base_stats_not_delta(spark, tmp_path):
     base = [p for fl in m["files"].values() for p in fl]
     assert base and all(p in stats for p in base)
     for p in base:
-        assert set(stats[p]) == {"k", "ts"}  # default stats_cols = key+order
+        # default stats_cols = key+order; __-prefixed keys are the
+        # reserved exact-count entries feeding stats_agg
+        zone = {k for k in stats[p] if not k.startswith("__")}
+        assert zone == {"k", "ts"}
+        assert stats[p]["__n"] >= 1 and stats[p]["__nd"] == 0
         lo, hi = stats[p]["k"]
         assert 0 <= lo <= hi <= 39
     # MOR append: delta files never enter the stats map
@@ -130,7 +134,7 @@ def test_files_metadata_exposes_stats_json(spark, tmp_path):
     t.merge(_rows(spark, 0, 20), "b0")
     row = t.files().filter(F.col("kind") == "base").limit(1).collect()[0]
     s = json.loads(row["stats_json"])
-    assert set(s) == {"k", "ts"}
+    assert {k for k in s if not k.startswith("__")} == {"k", "ts"}
 
 
 # ---------------- pruned reads ----------------------------------------

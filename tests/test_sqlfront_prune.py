@@ -170,7 +170,10 @@ def test_ctas_stats_clause(spark, tmp_path, lake):
     dst = sqll._tables["rolled"]
     assert dst.stats_cols == ("k", "ts", "val")
     stats = dst._load_manifest()["stats"]
-    assert stats and all(set(s) <= {"k", "ts", "val"} for s in stats.values())
+    assert stats and all(
+        {k for k in s if not k.startswith("__")} <= {"k", "ts", "val"}
+        for s in stats.values()
+    )
     # STATS () disables stats entirely
     loc2 = str(tmp_path / "ctas2")
     sqll.sql(

@@ -1,0 +1,232 @@
+"""Metadata-answered aggregates (LakeTable.stats_agg): exact
+count/count(col)/min/max folded out of commit-time per-file stats for
+clean buckets, with scan fallback for anything that can't prove
+exactness (MOR deltas, tombstones under min/max, string min/max, files
+without recorded counts).
+
+Reference analog: the reference answers corpus-size questions by
+re-walking exported prefixes and counting rows
+(dataPipelines/gc_ingest's manifest walks); here the commit protocol
+already recorded exact counts, so the answer is driver arithmetic.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gamechanger_data_spark.sinks.table import LakeTable
+
+SCH = T.StructType([
+    T.StructField("k", T.IntegerType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("val", T.StringType()),
+    T.StructField("op", T.StringType()),
+])
+
+BASE_TS = datetime(2024, 1, 1)
+
+
+def _rows(spark, lo, hi, op="upsert", val=lambda i: f"v{i}", bump=0):
+    # bump: seconds added to ts so a later batch out-orders the first
+    # under LWW (equal order columns keep the incumbent)
+    return spark.createDataFrame(
+        [(i, BASE_TS + timedelta(seconds=i + bump), val(i), op)
+         for i in range(lo, hi)],
+        SCH,
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4)
+    t.merge(_rows(spark, 0, 100, val=lambda i: None if i % 5 == 0 else f"v{i}"),
+            "b0")
+    return t
+
+
+def _truth(t, *cols):
+    exprs = [F.count(F.lit(1)).alias("count_star")]
+    for c in cols:
+        exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return t.read().agg(*exprs).collect()[0].asDict()
+
+
+def test_clean_table_fully_metadata_served(table):
+    out, rep = table.stats_agg(
+        [("count", "*"), ("count", "val"), ("min", "ts"), ("max", "ts"),
+         ("min", "k"), ("max", "k")],
+        return_report=True,
+    )
+    row = out.collect()[0].asDict()
+    assert rep["buckets_scanned"] == 0 and rep["buckets_meta"] == 4
+    truth = _truth(table, "ts", "k")
+    assert row["count_star"] == truth["count_star"] == 100
+    assert row["count_val"] == 80  # every 5th val is null
+    assert row["min_ts"] == truth["min_ts"]
+    assert row["max_ts"] == truth["max_ts"]
+    assert row["min_k"] == truth["min_k"] == 0
+    assert row["max_k"] == truth["max_k"] == 99
+    # result typing: count is long, min/max carry the column's type
+    sch = dict((f.name, f.dataType) for f in out.schema.fields)
+    assert isinstance(sch["count_star"], T.LongType)
+    assert isinstance(sch["min_ts"], T.TimestampType)
+    assert isinstance(sch["max_k"], T.IntegerType)
+
+
+def test_tombstones_keep_count_meta_but_force_minmax_scan(table):
+    table.merge(_rows(spark=table.spark, lo=90, hi=100, op="delete",
+                      bump=1000), "b1")
+    c, rep = table.stats_agg([("count", "*")], return_report=True)
+    assert rep["buckets_scanned"] == 0
+    assert c.collect()[0][0] == 90 == table.read().count()
+    mx, repm = table.stats_agg([("max", "k")], return_report=True)
+    # a tombstoned row's value may have been the max: every bucket that
+    # holds a tombstone must scan (buckets the deletes missed may not)
+    assert repm["buckets_scanned"] >= 1
+    assert mx.collect()[0][0] == 89
+    # count(col) is likewise unknowable from stats once tombstones exist
+    cv, repc = table.stats_agg([("count", "val")], return_report=True)
+    assert repc["buckets_scanned"] >= 1
+    assert cv.collect()[0][0] == table.read().filter(
+        F.col("val").isNotNull()).count()
+
+
+def test_mor_deltas_scan_only_dirty_buckets(table):
+    table.merge(_rows(spark=table.spark, lo=0, hi=3,
+                      val=lambda i: f"w{i}", bump=1000), "b1", mode="mor")
+    dirty = sum(
+        1 for fl in (table._load_manifest().get("deltas") or {}).values()
+        if fl
+    )
+    assert 1 <= dirty < 4
+    out, rep = table.stats_agg(
+        [("count", "*"), ("max", "ts")], return_report=True)
+    assert rep["buckets_scanned"] == dirty
+    assert rep["buckets_meta"] == 4 - dirty
+    row = out.collect()[0].asDict()
+    truth = _truth(table, "ts")
+    assert row["count_star"] == truth["count_star"] == 100
+    assert row["max_ts"] == truth["max_ts"]
+
+
+def test_string_minmax_always_scans(table):
+    out, rep = table.stats_agg([("min", "val"), ("max", "val")],
+                               return_report=True)
+    assert rep["buckets_meta"] == 0 and rep["buckets_scanned"] == 4
+    row = out.collect()[0].asDict()
+    truth = table.read().agg(F.min("val").alias("mn"),
+                             F.max("val").alias("mx")).collect()[0]
+    assert row["min_val"] == truth["mn"] and row["max_val"] == truth["mx"]
+
+
+def test_time_travel_pins_the_snapshot(table):
+    v1 = table.current_version()
+    table.merge(_rows(spark=table.spark, lo=100, hi=150), "b1")
+    old = table.stats_agg([("count", "*"), ("max", "k")], version=v1)
+    new = table.stats_agg([("count", "*"), ("max", "k")])
+    assert old.collect()[0][:] == (100, 99)
+    assert new.collect()[0][:] == (150, 149)
+
+
+def test_empty_and_validation(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "e"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    out = t.stats_agg([("count", "*")])
+    assert out.collect()[0][0] == 0
+    with pytest.raises(ValueError, match="count/min/max"):
+        t.stats_agg([("avg", "k")])
+    with pytest.raises(ValueError, match="not an aggregate"):
+        t.stats_agg([("min", "*")])
+    t2 = LakeTable(spark, str(tmp_path / "f"), key_cols=("k",),
+                   order_cols=("ts",), n_buckets=2)
+    t2.merge(_rows(spark, 0, 5), "b0")
+    with pytest.raises(ValueError, match="unknown column"):
+        t2.stats_agg([("min", "nope")])
+
+
+def test_stats_disabled_table_falls_back_to_lazy_footers(spark, tmp_path):
+    # stats_cols=() -> manifest carries no stats map; stats_agg still
+    # answers exactly via memoized per-file footer reads (counts) and
+    # scans for min/max (no zone maps recorded)
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2, stats_cols=())
+    t.merge(_rows(spark, 0, 30), "b0")
+    assert "stats" not in t._load_manifest()
+    c, rep = t.stats_agg([("count", "*")], return_report=True)
+    assert c.collect()[0][0] == 30
+    assert rep["buckets_scanned"] == 0  # footer counts suffice
+    mn, repm = t.stats_agg([("min", "k")], return_report=True)
+    assert repm["buckets_meta"] == 0  # no zone maps -> scan
+    assert mn.collect()[0][0] == 0
+
+
+def test_rename_aliases_resolve_old_file_stats(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2,
+                  stats_cols=("k", "ts", "val"))
+    t.merge(_rows(spark, 0, 40), "b0")
+    t.rename_column("val", "payload")
+    # files on disk still carry stats under 'val'; the alias map must
+    # serve count(payload) without a scan
+    c, rep = t.stats_agg([("count", "payload"), ("count", "*")],
+                         return_report=True)
+    assert rep["buckets_scanned"] == 0
+    assert c.collect()[0][:] == (40, 40)
+
+
+def test_count_col_beyond_stats_cols_is_meta_served(table):
+    # 'val' is not in default stats_cols (key+order) but null counts are
+    # recorded for every column
+    c, rep = table.stats_agg([("count", "val")], return_report=True)
+    assert rep["buckets_scanned"] == 0
+    assert c.collect()[0][0] == 80
+
+
+# ---------------- SQL front-end routing --------------------------------
+
+
+@pytest.fixture
+def sql_lake(spark, table):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    return SqlLake(spark).register("tr", table)
+
+
+def test_sql_global_agg_routes_to_stats(sql_lake, table):
+    out = sql_lake.sql(
+        "SELECT COUNT(*) AS n, COUNT(val) AS nv, MIN(ts) AS mn, "
+        "MAX(K) AS mx FROM tr"
+    )
+    assert sql_lake.last_fast_agg == {
+        "buckets_meta": 4, "buckets_scanned": 0, "files_meta": 4}
+    truth = table.read().agg(
+        F.count(F.lit(1)).alias("n"), F.count("val").alias("nv"),
+        F.min("ts").alias("mn"), F.max("k").alias("mx")).collect()[0]
+    assert out.collect()[0][:] == truth[:]
+
+
+def test_sql_agg_travel_pin_and_generic_fallbacks(sql_lake, table):
+    v1 = table.current_version()
+    table.merge(_rows(spark=table.spark, lo=100, hi=150), "b1")
+    old = sql_lake.sql(f"SELECT count(*) AS n FROM tr VERSION AS OF {v1}")
+    assert old.collect()[0][0] == 100
+    # un-aliased items keep the generic path (Spark's own column names)
+    sql_lake.last_fast_agg = None
+    g = sql_lake.sql("SELECT count(*) FROM tr")
+    assert sql_lake.last_fast_agg is None
+    assert g.columns == ["count(1)"] and g.collect()[0][0] == 150
+    # WHERE / GROUP BY / avg / DISTINCT / unknown column: generic path
+    for q_ in (
+        "SELECT count(*) AS n FROM tr WHERE k < 5",
+        "SELECT max(k) AS m FROM tr GROUP BY val",
+        "SELECT avg(k) AS a FROM tr",
+        "SELECT count(DISTINCT val) AS d FROM tr",
+    ):
+        sql_lake.sql(q_).collect()
+        assert sql_lake.last_fast_agg is None
+    import py4j.protocol
+    from pyspark.errors import AnalysisException
+    with pytest.raises((AnalysisException, py4j.protocol.Py4JJavaError)):
+        sql_lake.sql("SELECT min(nope) AS m FROM tr").collect()

@@ -61,7 +61,10 @@ _HEAD = [
     "ann_topk_cosine", "approx_distinct_users", "case_insensitive_dedup",
     "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
     "dedup_simhash", "defaulting_projection", "derived_key_join",
-    "dict_hash_contract",
+    # round-7 new (this session): metadata-answered aggregates through
+    # the SQL front-end (displaces dict_hash_contract — multi-green with
+    # a bit-exact python-mirror local test — to the unpinned middle)
+    "replay_stats_agg",
     "es_publish_projection",
     # round-7 new (late): zone-map data skipping, ts-clustering, and the
     # lakecdc streaming source — first driver passes (displace

@@ -730,6 +730,31 @@ def replay_pruned_scan_q(spark, sf_dir):
     )
 
 
+@q("replay_stats_agg", f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(tool) AS BIGINT) AS n_tool,
+       min(ts) AS min_ts, max(ts) AS max_ts,
+       max(turn_idx) AS max_turn
+FROM ({_TRANSCRIPT_REPLAY_SQL}) AS final_state
+""", "metadata-answered aggregates through the SQL front-end: a bare "
+     "global-agg SELECT over the replayed table routes to stats_agg — "
+     "count(*)/count(tool) fold out of the manifest's commit-time exact "
+     "counts (n minus tombstones, per-column nulls) for clean buckets, "
+     "min/max(ts) scan tombstoned buckets (a tombstone's value is "
+     "unknowable from stats) — vs the LWW oracle's aggregates over the "
+     "recomputed final state; one hash covers both serve paths")
+def replay_stats_agg_q(spark, sf_dir):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+
+    t = _ensure_replay_table(spark)
+    lake = SqlLake(spark).register("tstate", t)
+    return lake.sql(
+        "SELECT count(*) AS n_rows, count(tool) AS n_tool, "
+        "min(ts) AS min_ts, max(ts) AS max_ts, "
+        "max(turn_idx) AS max_turn FROM tstate"
+    )
+
+
 _CLUSTERED_ROOT = "/tmp/gcspark_clustered_table_v1"
 
 

@@ -112,6 +112,30 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
 
     final_rows = table.read().count()  # before the probe mutates the table
 
+    # Metadata-agg probe (round-7 surface): count(*) answered from the
+    # manifest's commit-time exact counts (stats_agg) vs the same count
+    # by resolved scan. Both sides warm first (the scan via the
+    # final_rows count above, the meta side via one throwaway call that
+    # pays the session's one-time local-relation materialization cost),
+    # so the timed numbers compare the steady paths.
+    table.stats_agg([("count", "*")]).collect()
+    t1 = time.perf_counter()
+    scan_n = table.read().count()
+    scan_sec = time.perf_counter() - t1
+    t1 = time.perf_counter()
+    meta_df, rep = table.stats_agg([("count", "*")], return_report=True)
+    meta_n = int(meta_df.collect()[0][0])
+    meta_sec = time.perf_counter() - t1
+    assert meta_n == scan_n == final_rows, (meta_n, scan_n, final_rows)
+    stats_probe = {
+        "rows": scan_n,
+        "scan_count_sec": round(scan_sec, 3),
+        "meta_count_sec": round(meta_sec, 4),
+        "speedup": round(scan_sec / max(meta_sec, 1e-9), 1),
+        "buckets_meta": rep["buckets_meta"],
+        "buckets_scanned": rep["buckets_scanned"],
+    }
+
     # Trickle-merge probe: a 2k-event batch against the multi-million-row
     # table, as a merge-on-read delta append vs a forced bucket-CoW
     # rewrite — the MOR write amplification evidence (wall time ∝ batch
@@ -235,6 +259,7 @@ def bench_cdc(spark, n_batches: int, events_per_batch: int, workdir: str) -> dic
         "dml_point_delete": dml,
         "wap_publish": wap,
         "cdc_out_stream": cdc_out,
+        "stats_agg_count": stats_probe,
     }
 
 

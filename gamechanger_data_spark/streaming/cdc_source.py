@@ -31,6 +31,18 @@ equality on every declared column — the executor-side twin of
 ``_snapshot_diff``'s key+xxhash64 anti-join (a hash is only an equality
 proxy; tests pin row-parity against ``diff()`` on the same spans).
 
+``maxVersionsPerBatch`` (Kafka ``maxOffsetsPerTrigger`` analog) caps
+how many commit versions one micro-batch spans, so a long-history
+tail drains in bounded steps. One documented edge, verified against
+the engine's actual call order: the FIRST batch of a brand-new stream
+is unthrottled — Spark asks for the latest offset before it reveals
+the initial one, and reporting anything below the (invisible)
+checkpoint could regress a committed offset into double-delivery, so
+the reader answers head until it has seen a planned span. Restarts ARE
+throttled from their first new batch: recovery re-plans the last
+checkpointed span through ``partitions()``, which resyncs the throttle
+cursor before any new offset is requested.
+
 Caveats (documented, loud): the declared schema is pinned at stream
 start (restart the stream to surface later-added columns — standard for
 Spark sources); a REBUCKET inside a span collapses that span to one
@@ -223,6 +235,20 @@ class LakeCDCStreamReader(DataSourceStreamReader):
         self.branch = options.get("branch", "main")
         self._starting = options.get("startingversion")
         self._out_schema_json = out_schema_json
+        # admission control (Kafka maxOffsetsPerTrigger analog): cap how
+        # many commit versions one micro-batch may span, so a backfill
+        # over a long history drains in bounded steps instead of one
+        # giant diff. The Python DataSource API has no ReadLimit hook,
+        # so the throttle lives in latestOffset with a MONOTONE cursor:
+        # it may only move forward, and partitions() (which sees the
+        # checkpointed start Spark actually planned) resyncs it — the
+        # reported offset therefore never regresses below a committed
+        # checkpoint, which would double-deliver on a second restart.
+        mv = int(options.get("maxversionsperbatch", 0) or 0)
+        if mv < 0:
+            raise ValueError("maxVersionsPerBatch must be >= 0")
+        self._max_versions = mv or None
+        self._cursor: int | None = None
         head = _current_version(self.root, self.branch)
         m = _load_manifest(self.root, head)
         if m["schema"] is None:
@@ -236,13 +262,39 @@ class LakeCDCStreamReader(DataSourceStreamReader):
             if self._starting is not None
             else _current_version(self.root, self.branch)
         )
+        # called only on a FRESH stream (no checkpoint): the consumed
+        # point is known exactly, so the throttle can start from it
+        self._cursor = v
         return {"version": v}
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version(self.root, self.branch)}
+        head = _current_version(self.root, self.branch)
+        if self._max_versions is None:
+            return {"version": head}
+        if self._cursor is None:
+            # no consumed point known yet. On a FRESH stream the engine
+            # asks for the latest offset BEFORE initialOffset (verified
+            # empirically), and on a restart the checkpoint is never
+            # shown to the reader — reporting anything below it could
+            # regress a committed offset into double-delivery. So answer
+            # head: the fresh stream's first batch is unthrottled, and a
+            # restart's recovery partitions() call resyncs the cursor
+            # before any NEW batch is planned, throttling from there.
+            return {"version": head}
+        # IDEMPOTENT by design: the engine calls latestOffset more than
+        # once per micro-batch (offset WAL + progress reporting), so the
+        # cursor must NOT advance here — only partitions(), which runs
+        # exactly once per planned batch, moves it. Advancing here let a
+        # double-call stack two throttle windows into one batch.
+        return {"version": min(head, self._cursor + self._max_versions)}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        # resync the throttle cursor with what Spark actually planned
+        # (authoritative on restart, where the checkpointed start is
+        # invisible to latestOffset)
+        if self._cursor is None or self._cursor < max(s, e):
+            self._cursor = max(s, e)
         # NOTE: no span truncation here — Spark checkpoints ``end`` as
         # consumed, so partitions() must cover the whole (start, end]
         # span or rows would be silently lost. A big span is still one

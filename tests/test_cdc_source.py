@@ -145,3 +145,106 @@ def test_empty_table_refused(spark, tmp_path):
     LakeTable(spark, root, key_cols=("k",), order_cols=("ts",), n_buckets=2)
     with pytest.raises(Exception, match="empty table"):
         (spark.readStream.format("lakecdc").option("path", root).load())
+
+
+# ---------------- maxVersionsPerBatch admission control ----------------
+
+
+def _reader(table, **opts):
+    from gamechanger_data_spark.streaming.cdc_source import (
+        LakeCDCDataSource,
+        LakeCDCStreamReader,
+    )
+    ds = LakeCDCDataSource({"path": table.root})
+    schema = ds.schema()
+    options = {"path": table.root}
+    options.update({k.lower(): str(v) for k, v in opts.items()})
+    return LakeCDCStreamReader(options, schema.jsonValue())
+
+
+def test_throttle_bounds_offset_advance(spark, table):
+    # table has 2 commits; add 3 more so the history is 5 deep
+    for i in range(3):
+        table.merge(_mk(spark, [(i, 30 + i, f"x{i}", "upsert")]), f"bx{i}")
+    head = table.current_version()
+    r = _reader(table, startingVersion=0, maxVersionsPerBatch=2)
+    assert r.initialOffset() == {"version": 0}
+    seen = [0]
+    for _ in range(10):
+        end = r.latestOffset()["version"]
+        if end == seen[-1]:
+            break
+        # the planned batch is (prev, end]; partitions() must accept it
+        r.partitions({"version": seen[-1]}, {"version": end})
+        assert end - seen[-1] <= 2
+        seen.append(end)
+    assert seen[-1] == head          # converges to head
+    assert len(seen) >= 3            # ... in more than one throttled step
+
+
+def test_throttle_restart_resyncs_and_throttles(spark, table):
+    head = table.current_version()
+    # before ANY consumed point is known (fresh stream pre-initialOffset,
+    # or a restart before recovery), latestOffset must report head —
+    # anything lower could regress a committed checkpoint offset
+    r = _reader(table, startingVersion=0, maxVersionsPerBatch=1)
+    assert r.latestOffset() == {"version": head}
+    # restart recovery: Spark re-plans the last checkpointed span via
+    # partitions(), which resyncs the cursor — new batches throttle
+    r.partitions({"version": head}, {"version": head})
+    table.merge(_mk(spark, [(50, 99, "z", "upsert")]), "bz")
+    table.merge(_mk(spark, [(51, 99, "z", "upsert")]), "bz2")
+    nxt = r.latestOffset()["version"]
+    assert nxt == head + 1  # one version per batch from here on
+    # idempotent: repeated latestOffset calls (offset WAL + progress
+    # reporting happen in the same micro-batch) must NOT stack windows
+    assert r.latestOffset()["version"] == head + 1
+
+
+def test_throttled_stream_delivers_all_rows_exactly_once(spark, tmp_path, table):
+    # end-to-end: a fresh stream's FIRST batch is unthrottled (the
+    # engine asks for latest before initial — see latestOffset); every
+    # restarted run recovers its checkpoint and then consumes exactly
+    # one throttled span per availableNow invocation
+    cp = str(tmp_path / "cp_throttle")
+    got = []
+
+    def run():
+        q = (
+            spark.readStream.format("lakecdc")
+            .option("path", table.root)
+            .option("startingVersion", 0)
+            .option("maxVersionsPerBatch", 1)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _e: got.append(
+                    [(x["k"], x["val"], x["change_op"]) for x in df.collect()]
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    head0 = table.current_version()
+    run()  # fresh: one unthrottled batch covering (0, head0]
+    assert len(got) == 1
+    assert sorted(got[0]) == sorted(
+        (x["k"], x["val"], x["change_op"])
+        for x in table.diff(0, head0).collect()
+    )
+    # three more commits; each restarted run must consume ONE span
+    for i in range(3):
+        table.merge(_mk(spark, [(40 + i, 99, f"z{i}", "upsert")]), f"bz{i}")
+    for step in range(3):
+        run()
+        span = (head0 + step, head0 + step + 1)
+        assert sorted(got[-1]) == sorted(
+            (x["k"], x["val"], x["change_op"])
+            for x in table.diff(*span).collect()
+        ), f"run {step} did not consume exactly span {span}"
+    # nothing left: one more run delivers nothing new
+    n = len([r for b in got for r in b])
+    run()
+    assert len([r for b in got for r in b]) == n

@@ -734,25 +734,36 @@ def replay_pruned_scan_q(spark, sf_dir):
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(tool) AS BIGINT) AS n_tool,
        min(ts) AS min_ts, max(ts) AS max_ts,
-       max(turn_idx) AS max_turn
+       max(turn_idx) AS max_turn,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM ({_TRANSCRIPT_REPLAY_SQL}) recent
+        WHERE ts >= TIMESTAMP '2024-01-01 00:05:00') AS n_recent
 FROM ({_TRANSCRIPT_REPLAY_SQL}) AS final_state
 """, "metadata-answered aggregates through the SQL front-end: a bare "
      "global-agg SELECT over the replayed table routes to stats_agg — "
      "count(*)/count(tool) fold out of the manifest's commit-time exact "
      "counts (n minus tombstones, per-column nulls) for clean buckets, "
      "min/max(ts) scan tombstoned buckets (a tombstone's value is "
-     "unknowable from stats) — vs the LWW oracle's aggregates over the "
-     "recomputed final state; one hash covers both serve paths")
+     "unknowable from stats) — and a WHERE count routes to the "
+     "file-granular predicate count (zone-map excluded files free, "
+     "fully-included files from metadata, boundary files scanned) — vs "
+     "the LWW oracle's aggregates over the recomputed final state; one "
+     "hash covers all three serve paths")
 def replay_stats_agg_q(spark, sf_dir):
     from gamechanger_data_spark.plans.sqlfront import SqlLake
 
     t = _ensure_replay_table(spark)
     lake = SqlLake(spark).register("tstate", t)
-    return lake.sql(
+    g = lake.sql(
         "SELECT count(*) AS n_rows, count(tool) AS n_tool, "
         "min(ts) AS min_ts, max(ts) AS max_ts, "
         "max(turn_idx) AS max_turn FROM tstate"
     )
+    p = lake.sql(
+        "SELECT count(*) AS n_recent FROM tstate "
+        "WHERE ts >= '2024-01-01 00:05:00'"
+    )
+    return g.crossJoin(p)
 
 
 _CLUSTERED_ROOT = "/tmp/gcspark_clustered_table_v1"

@@ -376,7 +376,7 @@ _SQL_KEYWORDS = frozenset(
 # runs so output column names stay exactly what Spark SQL would emit.
 
 _FAST_AGG_BLOCKERS = re.compile(
-    r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|JOIN|UNION|INTERSECT|EXCEPT|MINUS"
+    r"\b(GROUP|HAVING|ORDER|LIMIT|JOIN|UNION|INTERSECT|EXCEPT|MINUS"
     r"|DISTINCT|WITH|WINDOW|OVER|LATERAL|TABLESAMPLE|QUALIFY)\b",
     re.IGNORECASE,
 )
@@ -562,7 +562,35 @@ class SqlLake:
         t = self._tables.get(ref.group("name"))
         if t is None:
             return None
-        if top[ref.end():].strip(" \t\r\n;"):
+        tail = top[ref.end():]
+        wkw = re.match(r"\s*WHERE\b", tail, re.IGNORECASE)
+        where = None
+        if wkw:
+            # a WHERE routes only when EVERY top-level conjunct is a
+            # simple `col op literal` (unlike _extract_prunable, which
+            # hoists a SUBSET and leaves the SQL to re-filter, this
+            # predicate IS the filter — partial coverage would be wrong)
+            wtop = tail[wkw.end():]
+            if _TOP_OR.search(wtop):
+                return None
+            base = ref.end() + wkw.end()
+            spans = [x.start() for x in _TOP_AND.finditer(wtop)]
+            spans.append(len(wtop))
+            prev = 0
+            where = []
+            for cut in spans:
+                frag = query[base + prev: base + cut].rstrip("; \t\r\n")
+                prev = cut + 3  # past "AND"
+                c = _CONJ.match(frag)
+                if c is None or c.group("q"):
+                    return None
+                if c.group("num") is not None:
+                    tok = c.group("num")
+                    val = float(tok) if "." in tok else int(tok)
+                else:
+                    val = c.group("str")[1:-1].replace("''", "'")
+                where.append((c.group("col"), c.group("op"), val))
+        elif tail.strip(" \t\r\n;"):
             return None  # trailing clauses (alias etc.) — generic path
         items = _split_top(mask[sel.end(): fm.start()])
         normd: list[tuple[str, str, str]] = []
@@ -606,7 +634,17 @@ class SqlLake:
                 if col is None:
                     return None  # let the generic path raise Spark's error
             resolved.append((fn, col, alias))
-        out, report = t.stats_agg(resolved, version=version, return_report=True)
+        if where is not None:
+            fixed = []
+            for col, op, val in where:
+                col = byname.get(col.lower())
+                if col is None:
+                    return None
+                fixed.append((col, op, val))
+            where = fixed
+        out, report = t.stats_agg(
+            resolved, version=version, where=where, return_report=True
+        )
         self.last_fast_agg = report
         return out
 

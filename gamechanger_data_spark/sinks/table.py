@@ -233,6 +233,51 @@ def _stats_exclude(fstats: dict, preds, aliases) -> bool:
     return False
 
 
+def _stats_include(fstats: dict, preds, aliases) -> bool:
+    """True iff a file's stats PROVE every row satisfies the conjunction
+    ``preds`` — the dual of :func:`_stats_exclude`, used by
+    ``stats_agg(where=...)`` to count fully-covered files from metadata
+    alone. Requirements per predicate: a zone-map entry for the column
+    (rename aliases honored), an encodable same-kind literal, bounds
+    entirely inside the predicate range, and a RECORDED ZERO null count
+    (a null row satisfies no comparison, so any null — or an unrecorded
+    null count — disqualifies the file). Anything unprovable returns
+    False: the caller scans, never miscounts."""
+    nl = fstats.get("__nulls") or {}
+    for col, op, val in preds:
+        s = None
+        nc = None
+        for name in (col, *aliases.get(col, ())):
+            if s is None:
+                s = fstats.get(name)
+            if nc is None:
+                nc = nl.get(name)
+        if not s or nc != 0:
+            return False
+        ev = _enc_stat(val)
+        lo, hi = s
+        if isinstance(ev, str) and isinstance(lo, (int, float)):
+            try:
+                ev = _enc_stat(datetime.fromisoformat(ev))
+            except ValueError:
+                return False
+        if ev is None or isinstance(ev, str) != isinstance(lo, str):
+            return False
+        try:
+            ok = (
+                (op in ("=", "==") and lo == ev == hi)
+                or (op == ">" and lo > ev)
+                or (op == ">=" and lo >= ev)
+                or (op == "<" and hi < ev)
+                or (op == "<=" and hi <= ev)
+            )
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
 _COND_CONJ = re.compile(
     r"""^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*
         (?P<op><=|>=|==|=|<|>)\s*
@@ -1999,6 +2044,7 @@ class LakeTable:
         aggs,
         version: int | None = None,
         as_of=None,
+        where=None,
         return_report: bool = False,
     ):
         """Metadata-answered aggregates — the Iceberg/Delta
@@ -2024,6 +2070,18 @@ class LakeTable:
           in every file, and the column is NOT a string — parquet binary
           stats may be truncated *bounds*, sound for pruning but not for
           answering. String min/max always scans.
+
+        ``where`` (same ``[(col, op, literal)]`` conjuncts as
+        :meth:`read`) turns ``count(*)`` into a PREDICATE count served
+        at file granularity: per clean bucket, files whose zone maps
+        EXCLUDE the predicate contribute zero, files whose stats PROVE
+        every row satisfies it (:func:`_stats_include` — bounds inside
+        the range, zero recorded nulls) contribute ``n − nd`` from
+        metadata, and only BOUNDARY files are scanned (with the
+        predicate pushed down). On a ts-clustered table a time-range
+        count touches ~2 boundary files per bucket regardless of table
+        size. Any agg other than ``count(*)`` combined with ``where``
+        falls back to one predicate scan — correct, never clever.
 
         ``self.last_agg_report`` records how much was metadata-served;
         ``return_report=True`` also returns it. Reference analog: the
@@ -2091,6 +2149,12 @@ class LakeTable:
                 if name in nl:
                     return nl[name]
             return None
+
+        if where is not None:
+            return self._stats_agg_where(
+                m, schema, normd, list(where), out_schema,
+                man_stats, aliases, files, deltas, return_report,
+            )
 
         need_live = [
             (fn, col) for fn, col, _ in normd if not (fn == "count" and col == "*")
@@ -2198,6 +2262,106 @@ class LakeTable:
             "buckets_meta": len(meta_buckets),
             "buckets_scanned": len(scan_buckets),
             "files_meta": files_meta,
+        }
+        self.last_agg_report = report
+        return (out, report) if return_report else out
+
+    def _stats_agg_where(
+        self, m, schema, normd, where, out_schema,
+        man_stats, aliases, files, deltas, return_report,
+    ):
+        """Predicate-scoped aggregate (stats_agg where= branch): see
+        :meth:`stats_agg`. count(*)-only requests serve excluded files
+        for free, fully-included files from metadata, and scan boundary
+        files with the predicate pushed; any other agg scans all
+        buckets through the same resolved+filtered read the generic
+        query path uses."""
+        only_count_star = all(
+            fn == "count" and col == "*" for fn, col, _ in normd
+        )
+        all_buckets = sorted(set(files) | set(deltas), key=int)
+        meta_cnt = 0
+        files_meta = files_skipped = 0
+        boundary: list[str] = []
+        meta_buckets: list[str] = []
+        scan_buckets: list[str] = []
+        if not only_count_star:
+            scan_buckets = all_buckets
+        else:
+            for b in all_buckets:
+                if deltas.get(b):
+                    scan_buckets.append(b)
+                    continue
+                bad = False
+                b_cnt = 0
+                b_meta = b_skip = 0
+                b_boundary: list[str] = []
+                for p in files.get(b, []):
+                    st = man_stats.get(p) or {}
+                    if "__n" not in st:
+                        st = self._file_stats(p)
+                    if "__n" not in st or "__nd" not in st:
+                        bad = True
+                        break
+                    if _stats_exclude(st, where, aliases):
+                        b_skip += 1
+                    elif _stats_include(st, where, aliases):
+                        b_cnt += st["__n"] - st["__nd"]
+                        b_meta += 1
+                    else:
+                        b_boundary.append(p)
+                if bad:
+                    scan_buckets.append(b)
+                else:
+                    meta_buckets.append(b)
+                    meta_cnt += b_cnt
+                    files_meta += b_meta
+                    files_skipped += b_skip
+                    boundary.extend(b_boundary)
+
+        scanned = 0
+        acc: dict[str, object] = {}
+        exprs = []
+        for fn, col, alias in normd:
+            if fn == "count" and col == "*":
+                exprs.append(F.count(F.lit(1)).alias(alias))
+            elif fn == "count":
+                exprs.append(F.count(F.col(col)).alias(alias))
+            elif fn == "min":
+                exprs.append(F.min(F.col(col)).alias(alias))
+            else:
+                exprs.append(F.max(F.col(col)).alias(alias))
+        if scan_buckets:
+            df = self._read_resolved(
+                m, schema, [int(b) for b in scan_buckets], False, where=where
+            )
+            row = df.agg(*exprs).collect()[0]
+            for fn, col, alias in normd:
+                acc[alias] = row[alias]
+        if boundary:
+            # boundary files live in CLEAN buckets: base files hold the
+            # resolved state with disjoint keys, so a per-file residual
+            # scan + predicate is exact
+            paths = [os.path.join(self.root, p) for p in boundary]
+            bdf = self._drop_tombstones(
+                self._scan_files(m, schema, paths)
+            ).filter(_where_column(where))
+            scanned = int(bdf.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+        vals = []
+        for fn, col, alias in normd:
+            if fn == "count" and col == "*":
+                vals.append(meta_cnt + scanned + int(acc.get(alias) or 0))
+            elif fn == "count":
+                vals.append(int(acc.get(alias) or 0))
+            else:
+                vals.append(acc.get(alias))
+        out = self.spark.createDataFrame([tuple(vals)], out_schema)
+        report = {
+            "buckets_meta": len(meta_buckets),
+            "buckets_scanned": len(scan_buckets),
+            "files_meta": files_meta,
+            "files_skipped": files_skipped,
+            "files_boundary": len(boundary),
         }
         self.last_agg_report = report
         return (out, report) if return_report else out

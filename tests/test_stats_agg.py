@@ -217,9 +217,9 @@ def test_sql_agg_travel_pin_and_generic_fallbacks(sql_lake, table):
     g = sql_lake.sql("SELECT count(*) FROM tr")
     assert sql_lake.last_fast_agg is None
     assert g.columns == ["count(1)"] and g.collect()[0][0] == 150
-    # WHERE / GROUP BY / avg / DISTINCT / unknown column: generic path
+    # OR-WHERE / GROUP BY / avg / DISTINCT / unknown column: generic path
     for q_ in (
-        "SELECT count(*) AS n FROM tr WHERE k < 5",
+        "SELECT count(*) AS n FROM tr WHERE k < 5 OR k > 120",
         "SELECT max(k) AS m FROM tr GROUP BY val",
         "SELECT avg(k) AS a FROM tr",
         "SELECT count(DISTINCT val) AS d FROM tr",
@@ -230,3 +230,80 @@ def test_sql_agg_travel_pin_and_generic_fallbacks(sql_lake, table):
     from pyspark.errors import AnalysisException
     with pytest.raises((AnalysisException, py4j.protocol.Py4JJavaError)):
         sql_lake.sql("SELECT min(nope) AS m FROM tr").collect()
+
+
+# ---------------- predicate counts (where=) -----------------------------
+
+
+def test_predicate_count_file_granular(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4)
+    t.merge(_rows(spark, 0, 12000), "b0")
+    t.cluster_by("ts", target_file_bytes=8 << 10)
+    cut = BASE_TS + timedelta(seconds=3000)
+    out, rep = t.stats_agg([("count", "*", "n")], where=[("ts", ">=", cut)],
+                           return_report=True)
+    truth = t.read(where=[("ts", ">=", cut)]).count()
+    assert out.collect()[0][0] == truth == 9000
+    # clustered layout: most files answer from metadata or are skipped;
+    # only the boundary file per bucket scans
+    assert rep["files_meta"] > 0 and rep["files_skipped"] > 0
+    assert rep["files_boundary"] <= 4 and rep["buckets_scanned"] == 0
+
+
+def test_predicate_count_with_tombstones_and_deltas(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4)
+    t.merge(_rows(spark, 0, 300), "b0")
+    t.merge(_rows(spark, 0, 30, op="delete", bump=5000), "b1")
+    t.merge(_rows(spark, 100, 110, bump=9000, val=lambda i: "vv"), "b2",
+            mode="mor")
+    cut = BASE_TS + timedelta(seconds=150)
+    for preds in ([("ts", "<", cut)], [("k", ">=", 150)],
+                  [("k", ">=", 50), ("k", "<", 250)]):
+        out = t.stats_agg([("count", "*", "n")], where=preds)
+        assert out.collect()[0][0] == t.read(where=preds).count(), preds
+
+
+def test_predicate_count_null_column_forces_residual(spark, tmp_path):
+    # val is null every 5th row; a predicate on val can never be proven
+    # fully-included (nulls fail comparisons), so files scan residually
+    # — and the count must still be exact
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2,
+                  stats_cols=("k", "ts", "val"))
+    t.merge(_rows(spark, 0, 100, val=lambda i: None if i % 5 == 0 else f"v{i:03d}"),
+            "b0")
+    out, rep = t.stats_agg([("count", "*", "n")],
+                           where=[("val", ">=", "v000")], return_report=True)
+    assert out.collect()[0][0] == 80
+    assert rep["files_meta"] == 0  # nulls disqualify full-inclusion proof
+
+
+def test_sql_predicate_count_routes(spark, tmp_path):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4)
+    t.merge(_rows(spark, 0, 2000), "b0")
+    t.cluster_by("ts", target_file_bytes=16 << 10)
+    lake = SqlLake(spark).register("tr", t)
+    out = lake.sql(
+        "SELECT count(*) AS n FROM tr "
+        "WHERE ts >= '2024-01-01 00:10:00' AND k < 1800"
+    )
+    assert lake.last_fast_agg is not None
+    assert lake.last_fast_agg["buckets_scanned"] == 0
+    truth = lake.spark.sql  # silence linters; truth via generic path:
+    gen = t.read().filter(
+        (F.col("ts") >= "2024-01-01 00:10:00") & (F.col("k") < 1800)
+    ).count()
+    assert out.collect()[0][0] == gen
+    # string-literal escaping survives the conjunct slice
+    t2 = LakeTable(spark, str(tmp_path / "s"), key_cols=("k",),
+                   order_cols=("ts",), n_buckets=2,
+                   stats_cols=("k", "ts", "val"))
+    t2.merge(_rows(spark, 0, 10, val=lambda i: "a'b" if i == 3 else f"v{i}"),
+             "b0")
+    lake.register("ts2", t2)
+    n = lake.sql("SELECT count(*) AS n FROM ts2 WHERE val = 'a''b'")
+    assert n.collect()[0][0] == 1

@@ -207,7 +207,7 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+{_TABLE_REF}\s*"
+    rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE(?:\s+TABLE)?)\s+{_TABLE_REF}\s*"
     rf"(?:\((?P<cols>[^()]*)\)\s*)?(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1066,7 +1066,13 @@ class SqlLake:
         is safe to retry and safe against out-of-order arrival, instead
         of failing on duplicates. ``VALUES`` requires a column list
         (there are no positional names to adopt); a SELECT with a
-        column list is renamed positionally."""
+        column list is renamed positionally.
+
+        ``INSERT OVERWRITE [TABLE] t`` routes to :meth:`LakeTable.overwrite`
+        — the atomic truncate-and-reload (CREATE OR REPLACE semantics:
+        the replacement schema is the source's, pre-replace snapshots
+        stay time-travelable, the applied-batch history carries
+        forward)."""
         m = _INSERT_RE.match(query)
         if not m:
             raise ValueError(f"cannot parse INSERT statement: {query!r}")
@@ -1111,6 +1117,8 @@ class SqlLake:
                 source = source.toDF(*cols)
         from pyspark.sql import functions as F
 
+        if m.group("mode").upper() != "INTO":
+            return t.overwrite(source, batch_id=batch_id)
         return t.merge(
             source.withColumn("op", F.lit("insert")), batch_id=batch_id
         )

@@ -256,3 +256,36 @@ def test_call_guard_rails(spark, table):
         lake.sql("CALL tt.rollback_to_snapshot(current_version())")
     with pytest.raises(ValueError, match="unregistered"):
         lake.sql("CALL nosuch.maintain()")
+
+
+# ---------------- INSERT OVERWRITE -----------------------------------
+
+
+def test_insert_overwrite_replaces_atomically(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    v_before = table.current_version()
+    lake.sql(
+        "INSERT OVERWRITE tt (k, ts, op, text) "
+        "VALUES ('x', 50, 'insert', 'ex'), ('y', 51, 'insert', 'why')"
+    )
+    assert _state(table) == {"x": (50, "ex"), "y": (51, "why")}
+    # pre-replace snapshot stays time-travelable
+    old = {r["k"] for r in table.read(version=v_before).collect()}
+    assert old == {"a", "b", "c"}
+    # OVERWRITE TABLE spelling + SELECT body (no op column: overwrite
+    # defaults it to insert), replacing again
+    lake.sql(
+        "INSERT OVERWRITE TABLE tt SELECT k, ts + 100 AS ts, text FROM tt"
+    )
+    assert _state(table) == {"x": (150, "ex"), "y": (151, "why")}
+
+
+def test_insert_overwrite_exactly_once_with_batch_id(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    q = ("INSERT OVERWRITE tt (k, ts, op, text) "
+         "VALUES ('solo', 9, 'insert', 'one')")
+    lake.sql(q, batch_id="ow-1")
+    v_after = table.current_version()
+    lake.sql(q, batch_id="ow-1")  # replay: must be a no-op
+    assert table.current_version() == v_after
+    assert _state(table) == {"solo": (9, "one")}

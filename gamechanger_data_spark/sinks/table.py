@@ -93,6 +93,14 @@ VERSION_FILE = "VERSION"
 # instead of rewriting the full batch history every commit.
 BATCH_SEGMENT_SIZE = 64
 
+# Per-file stats live inline in the manifest while small; above this
+# many entries they roll into immutable statsseg-*.json files (Iceberg's
+# manifest-file split) so each commit writes O(new files), not
+# O(all files). Segments merge back into one once the list exceeds
+# STATS_SEGMENT_ROLL (amortized O(files / ROLL) per commit).
+STATS_INLINE_MAX = 512
+STATS_SEGMENT_ROLL = 16
+
 # CoW rewrites split buckets across shuffle partitions once the touched
 # resident bytes exceed this per default task (see _fold_repartition) —
 # tune down for memory-tight executors, up to favor fewer/larger files.
@@ -496,6 +504,8 @@ class LakeTable:
             else tuple(dict.fromkeys(self.key_cols + self.order_cols))
         )
         self._stats_cache: dict[str, dict] = {}
+        # statsseg files are immutable once written: cache per relpath
+        self._segstats_cache: dict[str, dict] = {}
         # observability: candidate vs zone-map-pruned file counts of the
         # most recent pruning-aware read on THIS handle (tests + bench)
         self.last_scan_report: dict = {"clean_files": 0, "pruned_files": 0}
@@ -726,16 +736,12 @@ class LakeTable:
         # even if the pointer advances between here and the lock. Base
         # files only: MOR delta appends stay stat-free to keep the CDC hot
         # loop at zero added driver IO (deltas are always read anyway —
-        # they are never pruned, so stats on them buy nothing). At 10^5+
-        # files, segment this map like batches_segment (Iceberg's avro
-        # manifest split); at sandbox/table scales inline JSON is fine.
+        # they are never pruned, so stats on them buy nothing). Small
+        # tables keep the map inline; past STATS_INLINE_MAX entries it
+        # segments into statsseg files like batches_segment (Iceberg's
+        # manifest split) so commits write O(new files), not O(all).
         if self.stats_cols:
-            prev = self._load_manifest().get("stats") or {}
-            manifest["stats"] = {
-                p: (prev[p] if p in prev else self._file_stats(p))
-                for fl in manifest.get("files", {}).values()
-                for p in fl
-            }
+            self._stats_for_commit(manifest, self._load_manifest())
         with self._commit_lock():
             cur = self.current_version()
             if expected_parent is not None and cur != expected_parent:
@@ -1094,6 +1100,98 @@ class LakeTable:
             pq.ParquetFile(os.path.join(self.root, p)).metadata.num_rows
             for p in relpaths
         )
+
+    def _manifest_stats(self, m: dict) -> dict:
+        """The snapshot's full per-file stats map. Small tables keep it
+        inline in the manifest (``stats``); once segmented (see
+        :meth:`_stats_for_commit`), ``stats_segments`` lists immutable
+        statsseg files (oldest first) and the inline map is only the
+        un-rolled TAIL — the union, later entries winning, is the map.
+        Segment files are cached per relpath (immutable once written);
+        a vanished segment (expired by GC while reading a version past
+        retention) contributes nothing — its files simply never prune
+        and stats_agg falls back to scanning them."""
+        segs = m.get("stats_segments")
+        if not segs:
+            return m.get("stats") or {}
+        out: dict = {}
+        for rel in segs:
+            cached = self._segstats_cache.get(rel)
+            if cached is None:
+                try:
+                    with open(os.path.join(self.root, rel)) as f:
+                        cached = json.load(f)
+                except (OSError, ValueError):
+                    cached = {}
+                self._segstats_cache[rel] = cached
+            out.update(cached)
+        out.update(m.get("stats") or {})
+        return out
+
+    def _write_statsseg(self, payload: dict) -> str:
+        rel = os.path.join(META_DIR, f"statsseg-{uuid.uuid4().hex}.json")
+        with open(os.path.join(self.root, rel), "w") as f:
+            json.dump(payload, f)
+        return rel
+
+    def _stats_for_commit(self, manifest: dict, pm: dict) -> None:
+        """Attach per-file stats to an outgoing manifest. Inline while
+        the map is small (≤ STATS_INLINE_MAX entries — byte-identical to
+        the pre-segmentation format); beyond that, segmented: the
+        manifest carries only stats for files NEW since the last roll
+        (the tail), full history lives in immutable statsseg files
+        written OUTSIDE the commit lock (an orphan from a losing CAS
+        attempt is GC'd like an orphan batchseg). The tail rolls into a
+        new segment at STATS_INLINE_MAX entries; segments merge into one
+        — restricted to the manifest's live files, dropping entries for
+        rewritten-away files — at STATS_SEGMENT_ROLL. Net commit cost:
+        O(new files) footer IO + O(new files) JSON, with an amortized
+        O(live files / ROLL) merge, instead of rewriting the whole map
+        every commit."""
+        prev = self._manifest_stats(pm)
+        cur_files = [
+            p for fl in manifest.get("files", {}).values() for p in fl
+        ]
+        cur_set = set(cur_files)
+        segs = list(pm.get("stats_segments") or [])
+        if not segs and len(cur_files) <= STATS_INLINE_MAX:
+            manifest["stats"] = {
+                p: (prev[p] if p in prev else self._file_stats(p))
+                for p in cur_files
+            }
+            manifest.pop("stats_segments", None)
+            return
+        if not segs:
+            # first crossing: the parent's full inline map becomes
+            # segment #1; the tail restarts empty
+            segs = [self._write_statsseg(pm.get("stats") or {})]
+            tail: dict = {}
+        else:
+            tail = dict(pm.get("stats") or {})
+        for p in cur_files:
+            if p not in prev:
+                tail[p] = self._file_stats(p)
+        # hygiene: tail entries for files this commit rewrote away
+        tail = {p: v for p, v in tail.items() if p in cur_set}
+        if len(tail) > STATS_INLINE_MAX:
+            segs.append(self._write_statsseg(tail))
+            tail = {}
+        if len(segs) > STATS_SEGMENT_ROLL:
+            merged: dict = {}
+            for rel in segs:
+                cached = self._segstats_cache.get(rel)
+                if cached is None:
+                    try:
+                        with open(os.path.join(self.root, rel)) as f:
+                            cached = json.load(f)
+                    except (OSError, ValueError):
+                        cached = {}
+                    self._segstats_cache[rel] = cached
+                merged.update(cached)
+            merged = {p: v for p, v in merged.items() if p in cur_set}
+            segs = [self._write_statsseg(merged)]
+        manifest["stats"] = tail
+        manifest["stats_segments"] = segs
 
     def _file_stats(self, relpath: str) -> dict:
         """Zone map + exact counts for ONE immutable parquet file:
@@ -1727,13 +1825,14 @@ class LakeTable:
                 reachable.add(seg)
                 with open(os.path.join(self.root, seg)) as f:
                     seg = json.load(f).get("prev")
-            # chain-log segments are flat (bounds indexed in the
-            # manifest), so reachability is the manifest's own list
+            # chain-log and stats segments are flat (listed in the
+            # manifest), so reachability is the manifest's own lists
             reachable.update(s[0] for s in m.get("chain_segments", []))
+            reachable.update(m.get("stats_segments") or [])
         for fn in os.listdir(meta_dir):
             rel = os.path.join(META_DIR, fn)
             is_orphan_seg = (
-                fn.startswith(("batchseg-", "chainseg-"))
+                fn.startswith(("batchseg-", "chainseg-", "statsseg-"))
                 and fn.endswith(".json")
                 and rel not in reachable
             )
@@ -1920,7 +2019,7 @@ class LakeTable:
         dirty = [b for b in keys if deltas.get(b)]
 
         cond = _where_column(where) if where else None
-        stats = m.get("stats") or {}
+        stats = self._manifest_stats(m)
         aliases = {
             n: tuple(olds) for n, olds in (m.get("renames") or {}).items()
         }
@@ -2015,7 +2114,7 @@ class LakeTable:
         # range-splits a fat bucket by key, this drops a point lookup from
         # bucket-files to ~1 file before any footer is opened.
         preds = [(c, "=", key_values[c]) for c in self.key_cols]
-        stats = m.get("stats") or {}
+        stats = self._manifest_stats(m)
         aliases = {n: tuple(o) for n, o in (m.get("renames") or {}).items()}
         base_all = m["files"].get(str(bucket), [])
         base = [
@@ -2132,7 +2231,7 @@ class LakeTable:
             self.last_agg_report = report
             return (out, report) if return_report else out
 
-        man_stats = m.get("stats") or {}
+        man_stats = self._manifest_stats(m)
         aliases = {
             n: tuple(olds) for n, olds in (m.get("renames") or {}).items()
         }
@@ -2384,7 +2483,7 @@ class LakeTable:
             # files committed before stats tracking
             T.StructField("stats_json", T.StringType(), True),
         ])
-        stats = m.get("stats") or {}
+        stats = self._manifest_stats(m)
         rows = []
         for kind, src, counts in (
             ("base", m["files"], m.get("base_rows", {})),
@@ -4074,7 +4173,7 @@ class LakeTable:
         conj = (
             _condition_conjuncts(condition) if isinstance(condition, str) else None
         )
-        stats = m.get("stats") or {}
+        stats = self._manifest_stats(m)
         aliases = {n: tuple(o) for n, o in (m.get("renames") or {}).items()}
         kept_files: dict[str, list[str]] = {}
         if conj and stats:

@@ -326,8 +326,14 @@ def test_cluster_by_via_sql_call(spark, tmp_path):
     sqll = SqlLake(spark).register("tr", t)
     row = sqll.sql("CALL tr.cluster_by('ts', null, '__c1__', 1024)").collect()[0]
     assert row["procedure"] == "cluster_by"
+    # an aliased WHERE count now routes to the metadata-agg path: the
+    # skip evidence moves to the fast-agg report
     out = sqll.sql("SELECT count(*) AS n FROM tr WHERE ts >= 3000")
     assert out.collect()[0]["n"] == 100
+    assert sqll.last_fast_agg["files_skipped"] > 0
+    # a projecting SELECT still goes through the scan path and prunes
+    rows = sqll.sql("SELECT k FROM tr WHERE ts >= 3000").collect()
+    assert len(rows) == 100
     assert t.last_scan_report["pruned_files"] > 0
 
 
@@ -341,3 +347,83 @@ def test_read_buckets_where_composes_with_skipping(split_table):
     assert rep["pruned_files"] > 0
     with pytest.raises(ValueError, match="resolve=True"):
         t.read_buckets(bs, resolve=False, where=[("k", "=", 7)])
+
+
+# ---------------- stats segmentation (manifest-split analog) -----------
+
+
+@pytest.fixture
+def seg_env(monkeypatch):
+    # force segmentation at toy scale: inline map caps at 3 entries,
+    # segments merge once more than 3 accumulate
+    monkeypatch.setattr(table_mod, "STATS_INLINE_MAX", 3)
+    monkeypatch.setattr(table_mod, "STATS_SEGMENT_ROLL", 3)
+
+
+def test_stats_segment_crossover_parity_and_pruning(spark, tmp_path, seg_env):
+    # 8 buckets -> 8 live files: over the toy inline cap from commit 1
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=8)
+    for i in range(6):
+        t.merge(_rows(spark, i * 50, (i + 1) * 50), f"b{i}")
+    m = t._load_manifest()
+    assert m.get("stats_segments"), "expected the map to have segmented"
+    assert len(m.get("stats") or {}) <= 3  # inline is only the tail
+    # parity: the union equals a fresh footer derivation for every file
+    full = t._manifest_stats(m)
+    base = [p for fl in m["files"].values() for p in fl]
+    assert set(base) <= set(full)
+    fresh = LakeTable(spark, str(tmp_path / "t"), n_buckets=8)
+    for p in base:
+        assert full[p] == fresh._file_stats(p)
+    # consumers unaffected: skipping and metadata counts still work
+    assert t.read(where=[("k", ">", 10_000)]).count() == 0
+    assert t.last_scan_report["pruned_files"] > 0
+    c, rep = t.stats_agg([("count", "*")], return_report=True)
+    assert c.collect()[0][0] == 300 and rep["buckets_scanned"] == 0
+    # time travel: an old version's segments still resolve
+    old = t._manifest_stats(t._load_manifest(2))
+    old_files = [p for fl in t._load_manifest(2)["files"].values() for p in fl]
+    assert set(old_files) <= set(old)
+
+
+def test_stats_segment_rollup_restricts_to_live_files(spark, tmp_path, seg_env):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=8)
+    # enough commits to force at least one segment merge (ROLL=3);
+    # every merge rewrites both buckets, killing the previous files
+    for i in range(12):
+        t.merge(_rows(spark, 0, 40, ts=lambda x, i=i: 1000 * i + x), f"b{i}")
+    m = t._load_manifest()
+    segs = m.get("stats_segments") or []
+    assert segs and len(segs) <= 3 + 1
+    live = {p for fl in m["files"].values() for p in fl}
+    merged_total = set(t._manifest_stats(m))
+    # after a roll-up, dead entries are dropped: the union holds the
+    # live files plus at most the post-roll tail/segment additions
+    dead = merged_total - live
+    total_ever = 8 * 12  # up to 8 bucket files rewritten per commit
+    assert len(dead) < total_ever - len(live) - 8, (
+        "roll-up kept every dead entry — restriction never happened")
+    assert t.read().count() == 40
+
+
+def test_statsseg_gc_keeps_reachable_removes_orphans(spark, tmp_path, seg_env):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=8)
+    for i in range(6):
+        t.merge(_rows(spark, i * 30, (i + 1) * 30), f"b{i}")
+    m = t._load_manifest()
+    segs = m.get("stats_segments") or []
+    assert segs
+    import os
+    orphan = os.path.join(t.root, "_meta", "statsseg-deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    t.expire_snapshots(keep_last=1, grace_sec=0)
+    assert not os.path.exists(orphan)
+    for rel in segs:
+        assert os.path.exists(os.path.join(t.root, rel)), rel
+    # and the stats still serve after GC
+    c, rep = t.stats_agg([("count", "*")], return_report=True)
+    assert c.collect()[0][0] == 180 and rep["buckets_scanned"] == 0

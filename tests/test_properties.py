@@ -164,3 +164,47 @@ def test_sync_machinery_tracks_any_batching(spark, tmp_path, seed):
     wr = conv_rollup(src.read()).orderBy("conv_id").toPandas()[cols].reset_index(drop=True)
     gr = roll.read().select(*cols).orderBy("conv_id").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(gr, wr, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed,merge_mode", [(11, "auto"), (12, "mor"), (13, "cow")])
+def test_stats_agg_equals_scan_under_random_replay(spark, tmp_path, seed, merge_mode):
+    """Metadata-answered aggregates are EXACT regardless of how events
+    were grouped, which buckets hold tombstones, and whether deltas are
+    outstanding — stats_agg must equal the resolved scan on every mix."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    events = all_events(SPEC)
+    idx = rng.permutation(len(events))
+    cuts = sorted(rng.choice(np.arange(1, len(events)), size=3, replace=False))
+    groups = np.split(idx, cuts)
+    table = LakeTable(spark, str(tmp_path / f"p{seed}"), n_buckets=4,
+                      merge_mode=merge_mode)
+    # pin the schema from the FULL event set: a tiny random group whose
+    # tool column is all-null would otherwise infer a bogus type
+    sch = spark.createDataFrame(events).schema
+    for i, g in enumerate(groups):
+        if len(g):
+            apply_batch(table, spark.createDataFrame(events.iloc[g], sch),
+                        f"p{seed}-b{i}")
+    agg = table.stats_agg([
+        ("count", "*", "n"), ("count", "tool", "nt"),
+        ("min", "ts", "mn"), ("max", "ts", "mx"),
+        ("min", "turn_idx", "mnt"), ("max", "turn_idx", "mxt"),
+    ]).collect()[0]
+    truth = table.read().agg(
+        F.count(F.lit(1)).alias("n"), F.count("tool").alias("nt"),
+        F.min("ts").alias("mn"), F.max("ts").alias("mx"),
+        F.min("turn_idx").alias("mnt"), F.max("turn_idx").alias("mxt"),
+    ).collect()[0]
+    assert agg[:] == truth[:]
+    # predicate counts at three random ts cuts
+    lo, hi = truth["mn"], truth["mx"]
+    span = (hi - lo).total_seconds() or 1.0
+    for f in rng.uniform(0.1, 0.9, size=3):
+        cut = lo + pd.Timedelta(seconds=float(f) * span)
+        got = table.stats_agg(
+            [("count", "*", "n")], where=[("ts", ">=", cut)]
+        ).collect()[0][0]
+        want = table.read().filter(F.col("ts") >= F.lit(cut)).count()
+        assert got == want, (seed, merge_mode, cut)

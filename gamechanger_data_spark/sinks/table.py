@@ -1153,6 +1153,13 @@ class LakeTable:
             p for fl in manifest.get("files", {}).values() for p in fl
         ]
         cur_set = set(cur_files)
+        # Footer derivation stays SERIAL on purpose: on local/page-cached
+        # storage a footer read is ~0.3 ms and a 16-thread pool measured
+        # 5x SLOWER (1.4 ms/call — pool dispatch dominates when there is
+        # no IO latency to hide). On object storage (S3-class 10-50 ms
+        # footer GETs) a bulk commit should derive stats in a thread
+        # pool or push them to the write job; revisit when the engine
+        # targets such a store.
         segs = list(pm.get("stats_segments") or [])
         if not segs and len(cur_files) <= STATS_INLINE_MAX:
             manifest["stats"] = {

@@ -307,3 +307,39 @@ def test_sql_predicate_count_routes(spark, tmp_path):
     lake.register("ts2", t2)
     n = lake.sql("SELECT count(*) AS n FROM ts2 WHERE val = 'a''b'")
     assert n.collect()[0][0] == 1
+
+
+def test_sql_routing_parity_battery(spark, tmp_path, monkeypatch):
+    """Adversarial SQL strings: whatever the router decides (route or
+    fall through), the result must equal the generic resolver's. The
+    generic side is obtained by disabling _fast_agg wholesale."""
+    from gamechanger_data_spark.plans import sqlfront as sf
+
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4,
+                  stats_cols=("k", "ts", "val"))
+    t.merge(_rows(spark, 0, 200,
+                  val=lambda i: "it's" if i == 7 else ("x AND k < 5" if i == 8 else f"v{i}")),
+            "b0")
+    v1 = t.current_version()
+    t.merge(_rows(spark, 200, 260), "b1")
+    lake = sf.SqlLake(spark).register("tr", t)
+    queries = [
+        "SELECT COUNT(*) AS n FROM tr WHERE val = 'x AND k < 5'",
+        "select count(*) as n from tr where K >= 10 and TS <= "
+        "'2024-01-01 00:02:00'",
+        "SELECT count( * ) AS n FROM tr;",
+        "SELECT count(*) AS n FROM tr WHERE k = 3 AND k = 3",
+        "SELECT count(*) AS n FROM tr WHERE val = 'it''s'",
+        "SELECT count(*) AS n FROM tr WHERE k BETWEEN 1 AND 5",
+        "SELECT count(*) AS n FROM tr -- trailing comment WHERE k < 0",
+        f"SELECT min(k) AS a, max(k) AS b FROM tr VERSION AS OF {v1}",
+        "SELECT count(*) AS n FROM tr WHERE k in (1, 2)",
+        "SELECT count(val) AS nv, max(ts) AS mx FROM tr",
+    ]
+    for q_ in queries:
+        routed = [r[:] for r in lake.sql(q_).collect()]
+        monkeypatch.setattr(sf.SqlLake, "_fast_agg", lambda self, q: None)
+        generic = [r[:] for r in lake.sql(q_).collect()]
+        monkeypatch.undo()
+        assert routed == generic, q_

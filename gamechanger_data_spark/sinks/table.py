@@ -3272,12 +3272,29 @@ class LakeTable:
         return {"skipped": False, "batch_id": batch_id, "version": final_v,
                 "compacted_buckets": len(dirty)}
 
+    @staticmethod
+    def _z_value(norm_cols):
+        """Morton/Z-order interleave of normalized rank columns (each an
+        int in [0, 2^nbits)): bit i of column j lands at position
+        ``i * len(cols) + j``. Pure bitwise column expressions — one
+        whole-stage-codegen pass, no UDF. nbits shrinks with column
+        count so the result stays inside a signed long."""
+        n = len(norm_cols)
+        nbits = min(16, 62 // n)
+        z = F.lit(0).cast("long")
+        for bit in range(nbits):
+            for j, c in enumerate(norm_cols):
+                piece = F.shiftright(c, bit).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(piece, bit * n + j))
+        return z
+
     def cluster_by(
         self,
         cols,
         buckets: Iterable[int] | None = None,
         batch_id: str = "__cluster__",
         target_file_bytes: int | None = None,
+        zorder: bool = False,
     ) -> dict:
         """Range-cluster each bucket's base files by ``cols`` (Iceberg
         ``rewrite_data_files`` with a sort order — the linear form of
@@ -3299,11 +3316,25 @@ class LakeTable:
         within a file the key-sorted row-group pruning weakens. Cluster
         by the columns your scans filter on.
 
+        ``zorder=True`` interleaves the cluster columns on a Morton
+        curve instead of sorting them lexically (Delta ``OPTIMIZE
+        ZORDER BY`` analog): each file then covers a compact region of
+        the multi-dimensional space, so a predicate on ANY clustered
+        column skips files — lexical clustering only ever skips on a
+        prefix of ``cols``. Ranks are linear min/max normalizations to
+        ``2^16/len(cols)``-grade grids (one global agg; skewed
+        distributions degrade skipping, never correctness — zone maps
+        stay exact per file). Z-order columns must be numeric, date, or
+        timestamp: strings have no order-preserving fixed-width
+        embedding, refused loudly.
+
         ``cols`` must be covered by ``stats_cols`` — clustering a
         column the manifest doesn't stat would rewrite the table for
         zero skipping; refused loudly instead."""
         if isinstance(cols, str):
-            cols = (cols,)
+            # 'a,b' accepted so the CALL procedure form (string literals
+            # only) can name several cluster columns
+            cols = tuple(c.strip() for c in cols.split(",") if c.strip())
         cols = tuple(cols)
         if not cols:
             raise ValueError("cluster_by needs at least one column")
@@ -3315,12 +3346,18 @@ class LakeTable:
                 "map for them and nothing would ever skip; reopen the "
                 "table with stats_cols covering them first"
             )
+        if zorder and len(cols) < 2:
+            raise ValueError(
+                "zorder needs at least two columns (one column is plain "
+                "range clustering — drop zorder=True)"
+            )
         return self._with_conflict_retry(
             lambda: self._cluster_once(cols, buckets, batch_id,
-                                       target_file_bytes)
+                                       target_file_bytes, zorder)
         )
 
-    def _cluster_once(self, cols, buckets, batch_id, target_bytes) -> dict:
+    def _cluster_once(self, cols, buckets, batch_id, target_bytes,
+                      zorder=False) -> dict:
         self._require_canonical_layout("cluster_by")
         m = self._load_manifest()
         self._pin_bucket_spec(m)
@@ -3356,9 +3393,60 @@ class LakeTable:
                             pass
         npart = max(len(target), int(nbytes // tb))
         snap_dir = self._provisional_snap_dir("snap", m["version"])
+        if zorder:
+            types = {f.name: f.dataType for f in schema.fields}
+            bad = [
+                c for c in cols
+                if not isinstance(
+                    types[c],
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                     T.FloatType, T.DoubleType, T.DateType,
+                     T.TimestampType, T.TimestampNTZType),
+                )
+            ]
+            if bad:
+                raise ValueError(
+                    f"zorder columns {bad} are not numeric/date/timestamp "
+                    "(strings have no order-preserving fixed-width "
+                    "embedding)"
+                )
+
+            def _as_num(c):
+                dt, col = types[c], F.col(c)
+                if isinstance(dt, T.DateType):
+                    col = col.cast("timestamp")
+                elif isinstance(dt, T.TimestampNTZType):
+                    col = col.cast("timestamp_ltz")
+                return col.cast("double")
+
+            nbits = min(16, 62 // len(cols))
+            grid = (1 << nbits) - 1
+            bounds = out.agg(*[
+                f for c in cols
+                for f in (F.min(_as_num(c)), F.max(_as_num(c)))
+            ]).collect()[0]
+            norm = []
+            for i, c in enumerate(cols):
+                mn, mx = bounds[2 * i], bounds[2 * i + 1]
+                x = _as_num(c)
+                if mn is not None and mx is not None and mx > mn:
+                    e = F.floor(
+                        (x - F.lit(mn)) / F.lit(mx - mn) * grid
+                    ).cast("long")
+                    e = F.least(F.greatest(e, F.lit(0)), F.lit(grid))
+                else:
+                    e = F.lit(0).cast("long")
+                norm.append(F.coalesce(e, F.lit(0)))
+            out = out.withColumn("__z", self._z_value(norm))
+            part_cols = [F.col("__z")]
+            sort_cols = ["__z", *self.key_cols]
+        else:
+            part_cols = [F.col(c) for c in cols]
+            sort_cols = [*cols, *self.key_cols]
         (
-            out.repartitionByRange(npart, "__bucket", *[F.col(c) for c in cols])
-            .sortWithinPartitions(*cols, *self.key_cols)
+            out.repartitionByRange(npart, "__bucket", *part_cols)
+            .sortWithinPartitions(*sort_cols)
+            .drop("__z")
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(snap_dir)

@@ -427,3 +427,63 @@ def test_statsseg_gc_keeps_reachable_removes_orphans(spark, tmp_path, seg_env):
     # and the stats still serve after GC
     c, rep = t.stats_agg([("count", "*")], return_report=True)
     assert c.collect()[0][0] == 180 and rep["buckets_scanned"] == 0
+
+
+# ---------------- Z-order clustering -----------------------------------
+
+
+def test_zorder_skips_on_every_dimension(spark, tmp_path):
+    def build(root):
+        t = LakeTable(spark, root, key_cols=("k",), order_cols=("ts",),
+                      n_buckets=2, stats_cols=("k", "ts", "a", "b"))
+        df = spark.range(20000).select(
+            F.col("id").cast("int").alias("k"), F.col("id").alias("ts"),
+            (F.col("id") % 100).cast("long").alias("a"),
+            ((F.col("id") * 7919) % 100).cast("long").alias("b"),
+            F.lit("upsert").alias("op"))
+        t.merge(df, "b0")
+        return t
+
+    tz = build(str(tmp_path / "z"))
+    tl = build(str(tmp_path / "l"))
+    tz.cluster_by(("a", "b"), zorder=True, target_file_bytes=16 << 10)
+    tl.cluster_by(("a", "b"), target_file_bytes=16 << 10)
+    # maintenance rewrite: logical content identical across layouts
+    assert tz.read().count() == tl.read().count() == 20000
+    assert tz.read().exceptAll(tl.read()).isEmpty()
+    pruned = {}
+    for t, name in ((tz, "z"), (tl, "lex")):
+        for col in ("a", "b"):
+            n = t.read(where=[(col, "<", 10)]).count()
+            # capture BEFORE the truth read below overwrites the report
+            pruned[(name, col)] = t.last_scan_report["pruned_files"]
+            assert n == t.read().filter(F.col(col) < 10).count()
+    # lexical: leading column skips, trailing column cannot
+    assert pruned[("lex", "a")] > 0 and pruned[("lex", "b")] == 0
+    # z-order: BOTH dimensions skip
+    assert pruned[("z", "a")] > 0 and pruned[("z", "b")] > 0
+
+
+def test_zorder_validation(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2,
+                  stats_cols=("k", "ts", "val"))
+    t.merge(_rows(spark, 0, 50), "b0")
+    with pytest.raises(ValueError, match="at least two columns"):
+        t.cluster_by("ts", zorder=True)
+    with pytest.raises(ValueError, match="numeric/date/timestamp"):
+        t.cluster_by(("ts", "val"), zorder=True)
+
+
+def test_zorder_via_sql_call(spark, tmp_path):
+    from gamechanger_data_spark.plans.sqlfront import SqlLake
+
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    t.merge(_rows(spark, 0, 400), "b0")
+    sqll = SqlLake(spark).register("tr", t)
+    row = sqll.sql(
+        "CALL tr.cluster_by('k,ts', null, '__cz__', 4096, true)"
+    ).collect()[0]
+    assert row["procedure"] == "cluster_by"
+    assert t.read().count() == 400

@@ -343,3 +343,28 @@ def test_sql_routing_parity_battery(spark, tmp_path, monkeypatch):
         generic = [r[:] for r in lake.sql(q_).collect()]
         monkeypatch.undo()
         assert routed == generic, q_
+
+
+def test_stats_agg_across_schema_evolution(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    t.merge(_rows(spark, 0, 60), "b0")
+    # metadata-only ADD: old files lack the column entirely -> count(c)
+    # cannot be metadata-proven there, must scan, and must come back 0
+    t.add_columns({"score": "double"})
+    c, rep = t.stats_agg([("count", "score")], return_report=True)
+    assert c.collect()[0][0] == 0
+    # rows arriving WITH the column: count reflects the mix exactly
+    newer = spark.createDataFrame(
+        [(100 + i, BASE_TS + timedelta(seconds=5000 + i), f"n{i}",
+          "upsert", float(i)) for i in range(10)],
+        T.StructType(SCH.fields + [T.StructField("score", T.DoubleType())]),
+    )
+    t.merge(newer, "b1")
+    assert t.stats_agg([("count", "score")]).collect()[0][0] == 10
+    assert t.stats_agg([("max", "score")]).collect()[0][0] == 9.0
+    # DROP: the aggregate surface follows the schema
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.stats_agg([("count", "score")])
+    assert t.stats_agg([("count", "*")]).collect()[0][0] == 70

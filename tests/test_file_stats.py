@@ -487,3 +487,28 @@ def test_zorder_via_sql_call(spark, tmp_path):
     ).collect()[0]
     assert row["procedure"] == "cluster_by"
     assert t.read().count() == 400
+
+
+def test_segmented_stats_survive_multi_writer(spark, tmp_path, seg_env):
+    """Two handles on one table (separate caches, interleaved commits):
+    each commit must carry forward the OTHER writer's segment history —
+    stats stay complete and counts exact."""
+    root = str(tmp_path / "t")
+    a = LakeTable(spark, root, key_cols=("k",), order_cols=("ts",),
+                  n_buckets=8)
+    a.merge(_rows(spark, 0, 60), "a0")
+    # second handle opens AFTER the table exists: adopts the spec
+    b = LakeTable(spark, root, n_buckets=8)
+    b.merge(_rows(spark, 60, 120), "b0")
+    a.merge(_rows(spark, 120, 180), "a1")
+    b.merge(_rows(spark, 180, 240), "b1")
+    m = b._load_manifest()
+    assert m.get("stats_segments"), "toy cap should have segmented"
+    full = b._manifest_stats(m)
+    base = [p for fl in m["files"].values() for p in fl]
+    assert set(base) <= set(full)
+    c, rep = b.stats_agg([("count", "*")], return_report=True)
+    assert c.collect()[0][0] == 240 and rep["buckets_scanned"] == 0
+    # the other handle (stale segment cache) agrees
+    c2 = a.stats_agg([("count", "*")]).collect()[0][0]
+    assert c2 == 240

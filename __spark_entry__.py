@@ -62,10 +62,10 @@ _HEAD = [
     "dedup_exact", "dedup_jaccard_query", "dedup_minhash_lsh",
     "dedup_simhash", "defaulting_projection", "derived_key_join",
     # round-7 new (this session): metadata-answered aggregates through
-    # the SQL front-end (displaces dict_hash_contract — multi-green with
-    # a bit-exact python-mirror local test — to the unpinned middle)
-    "replay_stats_agg",
-    "es_publish_projection",
+    # the SQL front-end and the lakecdc->laketable streaming replication
+    # (displace dict_hash_contract and es_publish_projection — both
+    # multi-green with strong local evidence — to the unpinned middle)
+    "replay_stats_agg", "stream_sink_replication",
     # round-7 new (late): zone-map data skipping, ts-clustering, and the
     # lakecdc streaming source — first driver passes (displace
     # lang_id_heuristic, doc_fingerprint, and embedding_neardup, all

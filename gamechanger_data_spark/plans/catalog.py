@@ -766,6 +766,80 @@ def replay_stats_agg_q(spark, sf_dir):
     return g.crossJoin(p)
 
 
+_SINK_TABLE_ROOT = "/tmp/gcspark_sink_table_v1"
+
+
+def _ensure_sink_table(spark):
+    """Streaming lake-to-lake replication, cached once per host: the
+    replayed table drained through readStream.format('lakecdc') into
+    writeStream.format('laketable') — source AND sink are the engine's
+    own Python DataSources (executor-side pyarrow staging bucketed by
+    the xxh64 twin, pure-metadata MOR commits)."""
+    import tempfile
+    import uuid as _uuid
+
+    from gamechanger_data_spark.sinks.table import LakeTable
+    from gamechanger_data_spark.streaming.cdc_source import register_lakecdc
+    from gamechanger_data_spark.streaming.sink import register_laketable
+
+    def build(tmp):
+        src = _ensure_replay_table(spark)
+        register_lakecdc(spark)
+        register_laketable(spark)
+        dst = LakeTable(spark, os.path.join(tmp, "table"), n_buckets=8)
+        # the sink appends to an existing schema: seed with ONE real,
+        # non-revoked state row under the source's FULL schema — the
+        # replication re-delivers the identical values, so the seed is
+        # content-neutral whatever way the exact-tie resolves
+        seed = (
+            src.read()
+            .filter("NOT is_revoked")
+            .orderBy("conv_id", "turn_idx")
+            .limit(1)
+            .drop("is_revoked")
+            .withColumn("op", F.lit("upsert"))
+        )
+        dst.merge(seed, "__sink_seed__")
+        q_ = (
+            spark.readStream.format("lakecdc")
+            .option("path", src.root)
+            .option("startingVersion", 0)
+            .load()
+            .withColumn("op", F.col("change_op"))
+            .drop("change_op")
+            .writeStream.format("laketable")
+            .option("path", dst.root)
+            .option("sinkId", f"cat-{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="lakesink_cp_"))
+            .start()
+        )
+        q_.awaitTermination(300)
+
+    _publish_once(_SINK_TABLE_ROOT, build)
+    from gamechanger_data_spark.sinks.table import LakeTable
+
+    return LakeTable(spark, os.path.join(_SINK_TABLE_ROOT, "table"),
+                     n_buckets=8)
+
+
+@q("stream_sink_replication", _TRANSCRIPT_REPLAY_SQL,
+   "streaming source->sink symmetry: the replayed table drained through "
+     "readStream.format('lakecdc') INTO writeStream.format('laketable') — "
+     "executor-side pyarrow staging bucketed by the pure-Python xxhash64 "
+     "twin (bit-parity with the JVM hash), committed as exactly-once "
+     "pure-metadata MOR delta appends with no SparkSession in the sink "
+     "worker — must reproduce the LWW oracle's final state exactly; one "
+     "hash covers the CDC-out kernel, the bucket-parity hash, the Arrow "
+     "write path, and append_deltas' manifest arithmetic")
+def stream_sink_replication_q(spark, sf_dir):
+    t = _ensure_sink_table(spark)
+    return t.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "is_revoked"
+    )
+
+
 _CLUSTERED_ROOT = "/tmp/gcspark_clustered_table_v1"
 
 

@@ -3189,6 +3189,104 @@ class LakeTable:
             resident += base_rows.get(bk, 0) + delta_rows.get(bk, 0)
         return "mor" if src_rows < self.mor_fraction * resident else "cow"
 
+    def append_deltas(
+        self,
+        staged: dict,
+        batch_id: str,
+        lineage_rows: list[dict] | None = None,
+    ) -> dict:
+        """Metadata-only MOR commit: register ALREADY-WRITTEN delta
+        parquet files as a delta append — no Spark job anywhere on the
+        path, which is what lets the ``laketable`` streaming sink commit
+        from a Python data-source worker that has no SparkSession.
+
+        ``staged``: ``{bucket: [relpath, ...]}`` with paths relative to
+        the table root, files already durable (data before pointer, like
+        every commit — an aborted batch's files are GC'd unreferenced).
+        Caller contract, enforced by the sink not re-validated from
+        footers: rows follow the table's STATE layout (key + order +
+        payload + ``is_revoked`` + ``__deleted``) under the CURRENT
+        schema, and each row sits in the bucket the canonical key hash
+        assigns (functions/xxh64.py is the bit-parity twin). Exactly-once
+        by ``batch_id``. Delta stacks may exceed ``mor_max_deltas`` here
+        (folding needs a Spark job); the result reports
+        ``over_mor_bound`` buckets for the caller's compaction cadence
+        (replay_feed's ``maintain_every`` or an explicit ``compact()``)."""
+        return self._with_conflict_retry(
+            lambda: self._append_deltas_once(staged, batch_id, lineage_rows)
+        )
+
+    def _append_deltas_once(self, staged, batch_id, lineage_rows) -> dict:
+        self._require_canonical_layout("append_deltas")
+        m = self._load_manifest()
+        if batch_id in self._applied_ids(m):
+            return {"skipped": True, "batch_id": batch_id,
+                    "version": m["version"]}
+        if m["schema"] is None:
+            raise ValueError(
+                "append_deltas needs an existing schema — create the "
+                "table with a merge/CTAS first (the sink cannot invent "
+                "key columns)"
+            )
+        self._pin_bucket_spec(m)
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        delta_rows = dict(m.get("delta_rows", {}))
+        touched = []
+        total = 0
+        for b, fl in sorted(staged.items(), key=lambda kv: int(kv[0])):
+            fl = list(fl)
+            if not fl:
+                continue
+            bi = int(b)
+            if not (0 <= bi < self.n_buckets):
+                raise ValueError(
+                    f"staged bucket {bi} outside 0..{self.n_buckets - 1}"
+                )
+            bk = str(bi)
+            rows = self._count_rows(fl)
+            deltas[bk] = deltas.get(bk, []) + fl
+            delta_rows[bk] = delta_rows.get(bk, 0) + rows
+            touched.append(bi)
+            total += rows
+        if not touched:
+            return {"skipped": True, "batch_id": batch_id,
+                    "version": m["version"], "rows": 0}
+        if lineage_rows is None:
+            lineage_rows = [{
+                "batch_id": batch_id, "partition_id": 0,
+                "offset_min": None, "offset_max": None,
+                "rows_in": total, "rows_upserted": total,
+                "rows_deleted": None, "rows_revoked": None,
+                "applied_at": _utcnow(),
+            }]
+        tail, seg = self._advance_batches(m, batch_id)
+        manifest = {
+            "version": m["version"] + 1,  # provisional; finalized in _commit
+            "schema": m["schema"],
+            "n_buckets": self.n_buckets,
+            "files": dict(m["files"]),
+            "deltas": deltas,
+            "base_rows": dict(m.get("base_rows", {})),
+            "delta_rows": delta_rows,
+            "applied_batches": tail,
+            "batches_segment": seg,
+            "lineage": lineage_rows,
+            "parent": m["version"],
+            "kind": "data",
+            "commit_op": "merge",
+            "touched_buckets": touched,
+            "renames": m.get("renames") or {},
+            "dropped": m.get("dropped") or [],
+        }
+        final_v = self._commit(manifest, expected_parent=m["version"])
+        over = [
+            b for b in touched
+            if len(deltas[str(b)]) > self.mor_max_deltas
+        ]
+        return {"skipped": False, "batch_id": batch_id, "version": final_v,
+                "rows": total, "touched_buckets": len(touched),
+                "mode": "mor", "over_mor_bound": over}
+
     def compact(
         self,
         buckets: Iterable[int] | None = None,

@@ -190,6 +190,9 @@ _DROP_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+{_TABLE_REF}\s*;?\s*$", re.IGNORECASE
+)
 _DESC_RE = re.compile(
     rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})"
     rf"(?:@(?P<branch>{_BRANCH}))?\s*;?\s*$",
@@ -999,10 +1002,17 @@ class SqlLake:
 
     def _show_tables(self, query: str) -> DataFrame:
         """``SHOW TABLES`` — one row per registered table: name,
-        location, branch, head version."""
+        location, branch, head version. ``SHOW CREATE TABLE <name>`` —
+        the canonical DDL that would recreate the table's spec through
+        this front-end (location, key/order columns, bucket count, and
+        the STATS clause when it differs from the key+order default)."""
+        mc = _SHOW_CREATE_RE.match(query)
+        if mc:
+            return self._show_create(mc)
         if not _SHOW_RE.match(query):
             raise ValueError(
-                f"cannot parse SHOW statement (only SHOW TABLES): {query!r}"
+                "cannot parse SHOW statement (SHOW TABLES / "
+                f"SHOW CREATE TABLE <name>): {query!r}"
             )
         from pyspark.sql import types as T
 
@@ -1019,6 +1029,30 @@ class SqlLake:
             for n, t in self._tables.items()
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def _show_create(self, m: re.Match) -> DataFrame:
+        name = m.group("name")
+        t = self._target(name, m.group("branch"), "SHOW CREATE TABLE")
+        parts = [
+            f"CREATE TABLE {name}",
+            f"LOCATION '{t.root}'",
+            f"KEY ({', '.join(t.key_cols)})",
+            f"ORDER BY ({', '.join(t.order_cols)})",
+            f"BUCKETS {t.n_buckets}",
+        ]
+        default_stats = tuple(dict.fromkeys(t.key_cols + t.order_cols))
+        if tuple(t.stats_cols) != default_stats:
+            parts.append(f"STATS ({', '.join(t.stats_cols)})")
+        ddl = " ".join(parts)
+        from pyspark.sql import types as T
+
+        return self.spark.createDataFrame(
+            [(name, ddl)],
+            T.StructType([
+                T.StructField("table", T.StringType(), False),
+                T.StructField("create_statement", T.StringType(), False),
+            ]),
+        )
 
     def _describe(self, query: str) -> DataFrame:
         """``DESCRIBE [TABLE] <name>[@branch]`` — one row per stored

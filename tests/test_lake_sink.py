@@ -156,3 +156,29 @@ def test_two_sinks_need_distinct_sink_ids(spark, tmp_path, pair):
     after = _state(dst)
     assert ("other", 7, 50, "x", False) in after
     assert set(before) <= set(after)
+
+
+def test_chained_replication_a_to_b_to_c(spark, tmp_path, pair):
+    # composability: a sink-written table is itself a valid lakecdc
+    # source — A -> B -> C must converge to A's state
+    src, mid = pair
+    _replicate(spark, src, mid, str(tmp_path / "cp_ab"))
+    end = LakeTable(spark, str(tmp_path / "end"), key_cols=("k", "turn"),
+                    order_cols=("ts",), n_buckets=4)
+    end.merge(_mk(spark, [("c0", 0, 1, "seed", "upsert")]), "seed")
+    q = (
+        spark.readStream.format("lakecdc")
+        .option("path", mid.root)
+        .option("startingVersion", 0)
+        .load()
+        .withColumn("op", F.col("change_op"))
+        .drop("change_op")
+        .writeStream.format("laketable")
+        .option("path", end.root)
+        .option("sinkId", "chain-bc")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cp_bc"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _state(end) == _state(src)

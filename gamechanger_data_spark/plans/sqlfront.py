@@ -206,6 +206,7 @@ _CREATE_RE = re.compile(
          (?:ORDER\s+BY\s*\((?P<order>[^()]*)\)\s*)?
          (?:BUCKETS\s+(?P<nb>\d+)\s*)?
          (?:STATS\s*\((?P<stats>[^()]*)\)\s*)?
+         (?:CODEC\s+'(?P<codec>[A-Za-z0-9_]+)'\s*)?
          AS\s+(?P<select>.+?)\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -909,6 +910,9 @@ class SqlLake:
             kwargs["stats_cols"] = tuple(
                 c.strip() for c in m.group("stats").split(",") if c.strip()
             )
+        if m.group("codec"):
+            # CODEC 'zstd' — parquet compression for this table's writes
+            kwargs["codec"] = m.group("codec").lower()
         t = LakeTable(self.spark, m.group("loc"), **kwargs)
         if t.current_version() > 0:
             if m.group("ine"):
@@ -1043,6 +1047,8 @@ class SqlLake:
         default_stats = tuple(dict.fromkeys(t.key_cols + t.order_cols))
         if tuple(t.stats_cols) != default_stats:
             parts.append(f"STATS ({', '.join(t.stats_cols)})")
+        if t.codec != "snappy":
+            parts.append(f"CODEC '{t.codec}'")
         ddl = " ".join(parts)
         from pyspark.sql import types as T
 

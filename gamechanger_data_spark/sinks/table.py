@@ -418,6 +418,7 @@ class LakeTable:
         branch: str = "main",
         allow_legacy_layout: bool = False,
         stats_cols: tuple[str, ...] | None = None,
+        codec: str | None = None,
     ):
         """``dedup_strategy`` picks the physical LWW form used by merge:
 
@@ -488,6 +489,7 @@ class LakeTable:
         # a constructor mismatch would silently mis-prune future merges
         # (wrong bucket hash) or mis-order LWW. Old manifests without the
         # spec fields keep the constructor's values.
+        self.codec = str(codec) if codec is not None else None
         existing = self._load_manifest()
         if existing["version"] > 0:
             self.n_buckets = int(existing["n_buckets"])
@@ -495,6 +497,13 @@ class LakeTable:
                 self.key_cols = tuple(existing["key_cols"])
             if existing.get("order_cols"):
                 self.order_cols = tuple(existing["order_cols"])
+            if self.codec is None and existing.get("codec"):
+                # adopt the stamped codec; an explicit constructor value
+                # wins (changing codecs mid-life is fine — parquet codecs
+                # are per-file, old files keep reading)
+                self.codec = str(existing["codec"])
+        if self.codec is None:
+            self.codec = "snappy"
         # zone-map columns (per-file min/max in the manifest): defaults to
         # key+order AFTER spec adoption so a reopened table stats the real
         # spec. Footer min/max are immutable per path -> memoized.
@@ -764,6 +773,7 @@ class LakeTable:
             # writes canonically-hashed data, so it stamps the layout
             manifest.setdefault("key_cols", list(self.key_cols))
             manifest.setdefault("order_cols", list(self.order_cols))
+            manifest["codec"] = self.codec
             manifest["layout"] = LAYOUT_VERSION
             mp = self._meta_path(v)
             tmp = mp + ".tmp"
@@ -3034,6 +3044,7 @@ class LakeTable:
             self._fold_write(merged, npart, extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
@@ -3334,6 +3345,7 @@ class LakeTable:
             self._fold_write(keep, npart, extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
@@ -3546,6 +3558,7 @@ class LakeTable:
             .sortWithinPartitions(*sort_cols)
             .drop("__z")
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
@@ -3776,6 +3789,7 @@ class LakeTable:
         (
             self._fold_write(keep, npart, extra)
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
@@ -4426,6 +4440,7 @@ class LakeTable:
             self._fold_write(out, npart, extra)
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
@@ -4558,6 +4573,7 @@ class LakeTable:
         (
             self._fold_write(keep, npart, extra)
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )
@@ -4649,6 +4665,7 @@ class LakeTable:
             merged.repartition(self.n_buckets, "__bucket")
             .sortWithinPartitions(*self.key_cols)
             .write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("__bucket")
             .parquet(snap_dir)
         )

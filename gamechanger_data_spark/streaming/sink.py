@@ -127,6 +127,7 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         # __deleted, excluding the partition-dir column
         self.state_json = m["schema"]
         self.has_op = "op" in in_names
+        self.codec = str(m.get("codec") or "snappy")
 
     # ---- executor side -------------------------------------------------
 
@@ -198,7 +199,7 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
             )
             full = os.path.join(self.root, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(part, full)
+            pq.write_table(part, full, compression=self.codec)
             staged.append((b, rel, part.num_rows))
         return _StagedFiles(staged)
 

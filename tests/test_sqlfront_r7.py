@@ -317,3 +317,32 @@ def test_show_create_table_roundtrip(spark, table, tmp_path):
     lake.register("tt3", t3)
     ddl3 = lake.sql("SHOW CREATE TABLE tt3").collect()[0]["create_statement"]
     assert "STATS (k, ts, text)" in ddl3
+
+
+# ---------------- table write codec ------------------------------------
+
+
+def test_codec_stamped_adopted_and_round_trips(spark, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from gamechanger_data_spark.sinks.table import LakeTable as LT
+
+    t = LT(spark, str(tmp_path / "z"), key_cols=("k",), order_cols=("ts",),
+           n_buckets=2, codec="zstd")
+    t.merge(spark.createDataFrame(
+        [("a", 1, "upsert", "x")], SCH), "b0")
+    m = t._load_manifest()
+    p0 = os.path.join(t.root, next(iter(m["files"].values()))[0])
+    assert pq.ParquetFile(p0).metadata.row_group(0).column(0).compression \
+        == "ZSTD"
+    # reopened handles adopt the stamped codec; explicit values win
+    assert LT(spark, t.root, n_buckets=2).codec == "zstd"
+    assert LT(spark, t.root, n_buckets=2, codec="snappy").codec == "snappy"
+    # SQL surface: SHOW CREATE emits it, CTAS parses it
+    lake = SqlLake(spark).register("z", t)
+    ddl = lake.sql("SHOW CREATE TABLE z").collect()[0]["create_statement"]
+    assert "CODEC 'zstd'" in ddl
+    loc = str(tmp_path / "z2")
+    lake.sql(f"CREATE TABLE z2 LOCATION '{loc}' KEY (k) ORDER BY (ts) "
+             "CODEC 'zstd' AS SELECT k, ts, text, 'upsert' AS op FROM z")
+    assert lake._tables["z2"].codec == "zstd"

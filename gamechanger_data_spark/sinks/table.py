@@ -3205,6 +3205,7 @@ class LakeTable:
         staged: dict,
         batch_id: str,
         lineage_rows: list[dict] | None = None,
+        expected_n_buckets: int | None = None,
     ) -> dict:
         """Metadata-only MOR commit: register ALREADY-WRITTEN delta
         parquet files as a delta append — no Spark job anywhere on the
@@ -3224,10 +3225,13 @@ class LakeTable:
         ``over_mor_bound`` buckets for the caller's compaction cadence
         (replay_feed's ``maintain_every`` or an explicit ``compact()``)."""
         return self._with_conflict_retry(
-            lambda: self._append_deltas_once(staged, batch_id, lineage_rows)
+            lambda: self._append_deltas_once(
+                staged, batch_id, lineage_rows, expected_n_buckets
+            )
         )
 
-    def _append_deltas_once(self, staged, batch_id, lineage_rows) -> dict:
+    def _append_deltas_once(self, staged, batch_id, lineage_rows,
+                            expected_n_buckets=None) -> dict:
         self._require_canonical_layout("append_deltas")
         m = self._load_manifest()
         if batch_id in self._applied_ids(m):
@@ -3240,6 +3244,14 @@ class LakeTable:
                 "key columns)"
             )
         self._pin_bucket_spec(m)
+        if (expected_n_buckets is not None
+                and int(expected_n_buckets) != self.n_buckets):
+            raise ValueError(
+                f"staged files were bucketed under n_buckets="
+                f"{expected_n_buckets} but the table now has "
+                f"{self.n_buckets} (rebucketed mid-stream) — restart the "
+                "sink so staging re-hashes under the new spec"
+            )
         deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
         delta_rows = dict(m.get("delta_rows", {}))
         touched = []

@@ -219,7 +219,10 @@ class LakeSinkWriter(DataSourceStreamArrowWriter):
         if not staged:
             return
         table = LakeTable(None, self.root, n_buckets=self.n_buckets)
-        table.append_deltas(staged, batch_id=f"{self.sink_id}-{batchId}")
+        table.append_deltas(
+            staged, batch_id=f"{self.sink_id}-{batchId}",
+            expected_n_buckets=self.n_buckets,
+        )
 
     def abort(self, messages, batchId: int) -> None:
         for msg in messages or []:

@@ -182,3 +182,14 @@ def test_chained_replication_a_to_b_to_c(spark, tmp_path, pair):
     )
     q.awaitTermination(180)
     assert _state(end) == _state(src)
+
+
+def test_rebucket_mid_stream_refused(spark, tmp_path, pair):
+    # a rebucket between staging and commit would misplace rows; the
+    # commit must refuse instead of silently corrupting placement
+    src, dst = pair
+    from gamechanger_data_spark.sinks.table import LakeTable as LT
+    with pytest.raises(ValueError, match="rebucketed"):
+        LT(spark, dst.root, n_buckets=4).append_deltas(
+            {0: []}, batch_id="x", expected_n_buckets=8
+        )

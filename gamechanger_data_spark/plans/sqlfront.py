@@ -49,7 +49,8 @@ API — the WHERE/SET text is recorded verbatim as the manifest's dml
 spec, so synced copies replay it):
 
     CREATE TABLE rollup LOCATION '/data/rollup' KEY (conv_id)
-      ORDER BY (last_ts) AS SELECT ... FROM transcripts GROUP BY conv_id
+      ORDER BY (last_ts) [BUCKETS 64] [STATS (cols)] [CODEC 'zstd']
+      AS SELECT ... FROM transcripts GROUP BY conv_id
     INSERT INTO transcripts (conv_id, turn_idx, ...) VALUES (...), (...)
     INSERT INTO transcripts SELECT ... FROM staged
     DELETE FROM transcripts WHERE role = 'tool'
@@ -66,8 +67,10 @@ SQL:
     ALTER TABLE transcripts ADD COLUMNS (quality double, lang string)
     ALTER TABLE transcripts RENAME COLUMN tool TO tool_name
     ALTER TABLE transcripts DROP COLUMN scratch
+    INSERT OVERWRITE transcripts SELECT ...   -- atomic truncate-and-reload
     DROP TABLE [IF EXISTS] transcripts        -- deregister (data stays)
     SHOW TABLES
+    SHOW CREATE TABLE transcripts             -- canonical recreate DDL
     DESCRIBE transcripts[@branch]
 
 Maintenance/ops procedures take the Iceberg ``CALL`` form against a
@@ -1171,7 +1174,7 @@ class SqlLake:
         "rollback_to_snapshot", "tag", "drop_tag", "create_branch",
         "drop_branch", "fast_forward", "expire_snapshots",
         "expire_tombstones", "compact", "rebucket", "rename_column",
-        "maintain", "cluster_by",
+        "maintain", "cluster_by", "verify", "verify_layout",
     }
 
     def _call(self, query: str) -> DataFrame:

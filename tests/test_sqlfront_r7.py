@@ -346,3 +346,11 @@ def test_codec_stamped_adopted_and_round_trips(spark, tmp_path):
     lake.sql(f"CREATE TABLE z2 LOCATION '{loc}' KEY (k) ORDER BY (ts) "
              "CODEC 'zstd' AS SELECT k, ts, text, 'upsert' AS op FROM z")
     assert lake._tables["z2"].codec == "zstd"
+
+
+def test_call_verify_procedures(spark, table):
+    lake = SqlLake(spark).register("tt", table)
+    row, res = _result(lake.sql("CALL tt.verify()"))
+    assert row["procedure"] == "verify" and res.get("ok", True)
+    _, res2 = _result(lake.sql("CALL tt.verify_layout()"))
+    assert res2.get("ok", res2.get("clean", True)) or "sampled" in res2

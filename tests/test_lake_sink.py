@@ -193,3 +193,20 @@ def test_rebucket_mid_stream_refused(spark, tmp_path, pair):
         LT(spark, dst.root, n_buckets=4).append_deltas(
             {0: []}, batch_id="x", expected_n_buckets=8
         )
+
+
+def test_sink_deltas_compact_back_to_clean(spark, tmp_path, pair):
+    # the sink's MOR stacks fold through the ordinary maintenance path:
+    # after compact(), buckets are clean again and stats_agg answers
+    # count(*) from metadata alone
+    src, dst = pair
+    _replicate(spark, src, dst, str(tmp_path / "cp"))
+    before = _state(dst)
+    assert any(fl for fl in (dst._load_manifest().get("deltas") or {}).values())
+    dst.compact()
+    m = dst._load_manifest()
+    assert not any(fl for fl in (m.get("deltas") or {}).values())
+    assert _state(dst) == before == _state(src)
+    c, rep = dst.stats_agg([("count", "*")], return_report=True)
+    assert rep["buckets_scanned"] == 0
+    assert c.collect()[0][0] == len(before)

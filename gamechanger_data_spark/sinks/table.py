@@ -2200,10 +2200,17 @@ class LakeTable:
         falls back to one predicate scan — correct, never clever.
 
         ``self.last_agg_report`` records how much was metadata-served;
-        ``return_report=True`` also returns it. Reference analog: the
-        reference counts corpus rows by re-scanning exported prefixes
-        (gamechanger-data dataPipelines manifest walks); here the commit
-        protocol already paid for the counts."""
+        ``return_report=True`` also returns it. One deliberate asymmetry
+        with scans: manifests outlive data files (GC removes files, never
+        manifests), so a fully metadata-servable aggregate of an EXPIRED
+        snapshot still answers — historically exact — where ``read()``
+        of the same version fails loudly on missing files. Anything that
+        needs a scan fails the same way read does.
+
+        Reference analog: the reference counts corpus rows by
+        re-scanning exported prefixes (gamechanger-data dataPipelines
+        manifest walks); here the commit protocol already paid for the
+        counts."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of, not both")

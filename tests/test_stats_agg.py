@@ -368,3 +368,19 @@ def test_stats_agg_across_schema_evolution(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown column"):
         t.stats_agg([("count", "score")])
     assert t.stats_agg([("count", "*")]).collect()[0][0] == 70
+
+
+def test_expired_snapshot_counts_survive_retention(spark, tmp_path):
+    # manifests outlive data files: a fully metadata-servable aggregate
+    # of an EXPIRED snapshot still answers (historically exact), while
+    # read() of that version fails loudly on the missing files
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=2)
+    t.merge(_rows(spark, 0, 50), "b0")
+    v1 = t.current_version()
+    t.merge(_rows(spark, 0, 80, bump=1000), "b1")  # rewrites every bucket
+    t.expire_snapshots(keep_last=1, grace_sec=0)
+    c = t.stats_agg([("count", "*")], version=v1)
+    assert c.collect()[0][0] == 50
+    with pytest.raises(Exception):
+        t.read(version=v1).count()

@@ -2188,16 +2188,17 @@ class LakeTable:
           answering. String min/max always scans.
 
         ``where`` (same ``[(col, op, literal)]`` conjuncts as
-        :meth:`read`) turns ``count(*)`` into a PREDICATE count served
-        at file granularity: per clean bucket, files whose zone maps
-        EXCLUDE the predicate contribute zero, files whose stats PROVE
-        every row satisfies it (:func:`_stats_include` — bounds inside
-        the range, zero recorded nulls) contribute ``n − nd`` from
-        metadata, and only BOUNDARY files are scanned (with the
+        :meth:`read`) turns counts into PREDICATE counts served at file
+        granularity: per clean bucket, files whose zone maps EXCLUDE
+        the predicate contribute zero, files whose stats PROVE every
+        row satisfies it (:func:`_stats_include` — bounds inside the
+        range, zero recorded nulls; ``count(col)`` additionally needs a
+        recorded null count and zero tombstones in the file) contribute
+        from metadata, and only BOUNDARY files are scanned (with the
         predicate pushed down). On a ts-clustered table a time-range
         count touches ~2 boundary files per bucket regardless of table
-        size. Any agg other than ``count(*)`` combined with ``where``
-        falls back to one predicate scan — correct, never clever.
+        size. A ``min``/``max`` combined with ``where`` falls back to
+        one predicate scan — correct, never clever.
 
         ``self.last_agg_report`` records how much was metadata-served;
         ``return_report=True`` also returns it. One deliberate asymmetry
@@ -2394,21 +2395,30 @@ class LakeTable:
         man_stats, aliases, files, deltas, return_report,
     ):
         """Predicate-scoped aggregate (stats_agg where= branch): see
-        :meth:`stats_agg`. count(*)-only requests serve excluded files
-        for free, fully-included files from metadata, and scan boundary
-        files with the predicate pushed; any other agg scans all
-        buckets through the same resolved+filtered read the generic
-        query path uses."""
-        only_count_star = all(
-            fn == "count" and col == "*" for fn, col, _ in normd
-        )
+        :meth:`stats_agg`. Count-only requests (count(*) and count(col))
+        serve excluded files for free and fully-included files from
+        metadata — count(col) additionally needs a recorded null count
+        and zero tombstones per file (a tombstoned row's nulls are
+        unknowable) — and scan boundary files with the predicate pushed;
+        a min/max in the mix scans all buckets through the same
+        resolved+filtered read the generic query path uses."""
+        only_counts = all(fn == "count" for fn, _, _ in normd)
+        count_cols = [c for fn, c, _ in normd if fn == "count" and c != "*"]
+
+        def _nulls(st: dict, col: str):
+            nl = st.get("__nulls") or {}
+            for name in (col, *aliases.get(col, ())):
+                if name in nl:
+                    return nl[name]
+            return None
+
         all_buckets = sorted(set(files) | set(deltas), key=int)
-        meta_cnt = 0
+        meta: dict[str, int] = {a: 0 for _, _, a in normd}
         files_meta = files_skipped = 0
         boundary: list[str] = []
         meta_buckets: list[str] = []
         scan_buckets: list[str] = []
-        if not only_count_star:
+        if not only_counts:
             scan_buckets = all_buckets
         else:
             for b in all_buckets:
@@ -2416,7 +2426,7 @@ class LakeTable:
                     scan_buckets.append(b)
                     continue
                 bad = False
-                b_cnt = 0
+                b_meta_vals = {a: 0 for _, _, a in normd}
                 b_meta = b_skip = 0
                 b_boundary: list[str] = []
                 for p in files.get(b, []):
@@ -2428,8 +2438,20 @@ class LakeTable:
                         break
                     if _stats_exclude(st, where, aliases):
                         b_skip += 1
-                    elif _stats_include(st, where, aliases):
-                        b_cnt += st["__n"] - st["__nd"]
+                        continue
+                    servable = _stats_include(st, where, aliases)
+                    if servable and count_cols:
+                        servable = st["__nd"] == 0 and all(
+                            _nulls(st, c) is not None for c in count_cols
+                        )
+                    if servable:
+                        for fn, col, alias in normd:
+                            if col == "*":
+                                b_meta_vals[alias] += st["__n"] - st["__nd"]
+                            else:
+                                b_meta_vals[alias] += (
+                                    st["__n"] - _nulls(st, col)
+                                )
                         b_meta += 1
                     else:
                         b_boundary.append(p)
@@ -2437,13 +2459,14 @@ class LakeTable:
                     scan_buckets.append(b)
                 else:
                     meta_buckets.append(b)
-                    meta_cnt += b_cnt
+                    for a, v in b_meta_vals.items():
+                        meta[a] += v
                     files_meta += b_meta
                     files_skipped += b_skip
                     boundary.extend(b_boundary)
 
-        scanned = 0
         acc: dict[str, object] = {}
+        bacc: dict[str, int] = {}
         exprs = []
         for fn, col, alias in normd:
             if fn == "count" and col == "*":
@@ -2469,13 +2492,15 @@ class LakeTable:
             bdf = self._drop_tombstones(
                 self._scan_files(m, schema, paths)
             ).filter(_where_column(where))
-            scanned = int(bdf.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+            brow = bdf.agg(*exprs).collect()[0]
+            bacc = {a: int(brow[a] or 0) for _, _, a in normd}
         vals = []
         for fn, col, alias in normd:
-            if fn == "count" and col == "*":
-                vals.append(meta_cnt + scanned + int(acc.get(alias) or 0))
-            elif fn == "count":
-                vals.append(int(acc.get(alias) or 0))
+            if fn == "count":
+                vals.append(
+                    meta[alias] + bacc.get(alias, 0)
+                    + int(acc.get(alias) or 0)
+                )
             else:
                 vals.append(acc.get(alias))
         out = self.spark.createDataFrame([tuple(vals)], out_schema)

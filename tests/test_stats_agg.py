@@ -384,3 +384,29 @@ def test_expired_snapshot_counts_survive_retention(spark, tmp_path):
     assert c.collect()[0][0] == 50
     with pytest.raises(Exception):
         t.read(version=v1).count()
+
+
+def test_predicate_count_col_hybrid(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), key_cols=("k",),
+                  order_cols=("ts",), n_buckets=4,
+                  stats_cols=("k", "ts", "val"))
+    t.merge(_rows(spark, 0, 8000,
+                  val=lambda i: None if i % 4 == 0 else f"v{i:05d}"), "b0")
+    t.cluster_by("ts", target_file_bytes=8 << 10)
+    cut = BASE_TS + timedelta(seconds=2000)
+    out, rep = t.stats_agg(
+        [("count", "*", "n"), ("count", "val", "nv")],
+        where=[("ts", ">=", cut)], return_report=True)
+    row = out.collect()[0]
+    truth = t.read(where=[("ts", ">=", cut)]).agg(
+        F.count(F.lit(1)).alias("n"), F.count("val").alias("nv")
+    ).collect()[0]
+    assert row[:] == truth[:] == (6000, 4500)
+    assert rep["files_meta"] > 0 and rep["buckets_scanned"] == 0
+    # with tombstones, count(col) files fall to the boundary channel but
+    # the answer stays exact
+    t.merge(_rows(spark, 0, 200, op="delete", bump=99000), "b1")
+    out2 = t.stats_agg([("count", "val", "nv")], where=[("ts", ">=", cut)])
+    truth2 = t.read(where=[("ts", ">=", cut)]).agg(
+        F.count("val").alias("nv")).collect()[0]["nv"]
+    assert out2.collect()[0][0] == truth2

@@ -458,10 +458,15 @@ def test_zorder_skips_on_every_dimension(spark, tmp_path):
             # capture BEFORE the truth read below overwrites the report
             pruned[(name, col)] = t.last_scan_report["pruned_files"]
             assert n == t.read().filter(F.col(col) < 10).count()
-    # lexical: leading column skips, trailing column cannot
-    assert pruned[("lex", "a")] > 0 and pruned[("lex", "b")] == 0
-    # z-order: BOTH dimensions skip
-    assert pruned[("z", "a")] > 0 and pruned[("z", "b")] > 0
+    # lexical: leading column skips; the trailing column is essentially
+    # unskippable (a lucky small tail file may prune by chance, so the
+    # assertion is the CONTRAST, not an absolute zero)
+    assert pruned[("lex", "a")] > 0
+    assert pruned[("lex", "b")] <= 2
+    # z-order: BOTH dimensions skip, and the trailing dimension skips
+    # far more than lexical ever can
+    assert pruned[("z", "a")] > 0
+    assert pruned[("z", "b")] > pruned[("lex", "b")] + 2
 
 
 def test_zorder_validation(spark, tmp_path):

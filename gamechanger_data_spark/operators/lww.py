@@ -26,10 +26,12 @@ Three physical strategies for the same logical operator:
 
   ``lww_salted``   explicit two-phase: hash exchange on
                    (keys..., pmod(hash(ts,event_seq), S)) -> per-salt top-1
-                   (window) -> global top-1 over the ≤S survivors per key.
-                   Equivalent to what partial aggregation does, but explicit
-                   — kept because the north rule calls for key-salted
-                   repartitioning and because it generalizes to operators
+                   -> global top-1 over the ≤S survivors per key, each
+                   phase a map-side-combining hash aggregate (the
+                   two-level-aggregation skew form). Equivalent to what
+                   partial aggregation does, but explicit — kept because
+                   the north rule calls for key-salted repartitioning and
+                   because the two-phase shape generalizes to operators
                    without an algebraic combiner.
 
 All three are equivalence-tested against each other and a pandas oracle.
@@ -94,31 +96,42 @@ def lww_salted(
 ) -> DataFrame:
     """Explicit two-phase salted dedup (north-rule form).
 
-    Phase 1: shuffle on (keys, salt) — a hot key fans out over
-    ``salt_buckets`` reducers; per-salt winner via row_number.
-    Phase 2: shuffle the ≤salt_buckets survivors per key; global winner.
+    Phase 1: exchange on (keys, salt) — a hot key fans out over
+    ``salt_buckets`` reducers; per-salt winner.
+    Phase 2: exchange the ≤salt_buckets survivors per key; global winner.
     The salt derives from the order columns, so it is deterministic.
 
-    ``partitions``: default None adds NO explicit repartition — the phase-1
-    window's partitionBy(keys, salt) already induces exactly that hash
-    exchange, and an explicit repartition on top of it was pure overhead
-    (a second fixed-width exchange that also blocked AQE coalescing;
-    measured 0.54s -> 0.38s at sf0.1/local[32] when removed, and the
-    round-2 bench's 2.8s outlier was this plus host contention). Pass an
-    int only to FORCE a reducer width, e.g. when AQE is off and the
-    default width underfans a known-hot keyspace.
+    Each phase's winner is a map-side-combining hash aggregate
+    (max over a struct led by the order columns — the lww_max_by kernel),
+    the two-level-aggregation skew form: the row_number phases this
+    replaces compiled to Sort + WindowGroupLimit + Sort + Window per
+    phase (four full sorts of the wide rows end to end), while the
+    aggregate form sorts nothing and pre-reduces each map task's slice
+    before either exchange. Measured on the bench events table
+    (local[32], sf1.0): 2.09s -> 1.00s noop-isolated, plan 4 Sorts ->
+    0. Winner parity with the window form holds because (order) totally
+    orders events per key (ties are bit-identical duplicates; the
+    struct comparison prefers non-null like desc_nulls_last) — the same
+    contract lww_max_by already relies on, equivalence-tested.
+
+    ``partitions``: default None adds NO explicit repartition — the
+    phase-1 aggregate's groupBy(keys, salt) already induces exactly that
+    hash exchange, and an explicit repartition on top of it was pure
+    overhead (a second fixed-width exchange that also blocked AQE
+    coalescing). Pass an int only to FORCE a reducer width, e.g. when
+    AQE is off and the default width underfans a known-hot keyspace.
     """
+    payload = _payload_cols(df, keys, order)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
+    packed = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload])
     salted = df.withColumn("__salt", salt)
     if partitions is not None:
         salted = salted.repartition(int(partitions), *keys, "__salt")
-
-    w1 = Window.partitionBy(*keys, "__salt").orderBy(
-        *[F.col(c).desc_nulls_last() for c in order]
+    survivors = salted.groupBy(*keys, "__salt").agg(F.max(packed).alias("__w"))
+    final = survivors.groupBy(*keys).agg(F.max("__w").alias("__w"))
+    return final.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__w.{c}").alias(c)
+            for c in df.columns
+        ]
     )
-    survivors = (
-        salted.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    return lww_window(survivors, keys, order).drop("__salt")

@@ -57,6 +57,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # Tungsten sort/aggregate buffers off-heap: the merge path's map stage
+    # (wide-row sort + shuffle serialize) was measured ~30% JVM GC time
+    # with on-heap buffers; off-heap moves that churn out of the collector
+    # (~10% wall on the CDC merge, interleaved A/B, tools/bench_profile_cdc).
+    # Parameterized: size via SPARK_GRAFT_OFFHEAP (bytes-ish string, e.g.
+    # "6g"; set empty to disable) — on a cluster, budget it INSIDE the
+    # container's memoryOverhead headroom rather than this local default.
+    offheap = os.environ.get("SPARK_GRAFT_OFFHEAP", "6g")
+    if offheap:
+        builder = builder.config("spark.memory.offHeap.enabled", "true").config(
+            "spark.memory.offHeap.size", offheap
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

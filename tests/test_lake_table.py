@@ -628,3 +628,36 @@ def test_diff_between_snapshots_spans_commits(spark, tmp_path):
     t.rebucket(8)
     d2 = {(r["conv_id"], r["change_op"]) for r in t.diff(v1).collect()}
     assert d2 == {("a", "upsert"), ("b", "delete"), ("d", "upsert")}
+
+
+def test_dense_batch_declares_all_buckets_sparse_still_prunes(spark, tmp_path):
+    """The provably-dense merge shortcut: src_rows >= resident rows (and a
+    non-empty table) declares every bucket touched without the distinct
+    bucket scan; a sparse follow-up with src_rows < resident must still
+    derive (and prune to) its actual buckets. State stays oracle-correct
+    through both paths."""
+    table = LakeTable(spark, str(tmp_path / "t"), n_buckets=8)
+    b0 = generate_batch(SPEC, 0)
+    r0 = table.merge(spark.createDataFrame(b0), "b0", src_rows=len(b0))
+    # empty table: no resident proof -> actual bucket set derived
+    assert r0["touched_buckets"] <= 8
+
+    b1 = generate_batch(SPEC, 1)
+    r1 = table.merge(
+        spark.createDataFrame(b1), "b1", src_rows=len(b1)
+    )  # 420 src rows >= resident -> dense shortcut
+    assert r1["touched_buckets"] == 8 and r1["mode"] == "cow"
+
+    # sparse: one key's rows, src_rows << resident -> real bucket set
+    one = b1.iloc[[0]].copy()
+    r2 = table.merge(spark.createDataFrame(one), "b2", src_rows=1, mode="cow")
+    assert r2["touched_buckets"] == 1
+
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    ev = pd.concat([b0, b1, one], ignore_index=True)
+    want = pandas_oracle(ev)  # direct merge(): no winner normalization
+    cols = ["conv_id", "turn_idx", "text", "ts"]
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True), want[cols].reset_index(drop=True),
+        check_dtype=False,
+    )

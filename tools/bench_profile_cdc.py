@@ -58,7 +58,8 @@ def main():
                     "spark.eventLog.dir": "file:///tmp/sparklogs",
                     "spark.eventLog.compress": "false",
                     **({"spark.driver.extraJavaOptions": os.environ["GCSPARK_JAVAOPTS"]}
-                       if os.environ.get("GCSPARK_JAVAOPTS") else {})},
+                       if os.environ.get("GCSPARK_JAVAOPTS") else {}),
+                    **(__import__("json").loads(os.environ.get("GCSPARK_EXTRACONF", "{}")))},
     )
 
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"

@@ -1084,8 +1084,16 @@ class LakeTable:
     def _snap_bucket_files(self, snap_dir: str, buckets) -> dict[str, list[str]]:
         """root-relative parquet paths per bucket under a freshly-written
         snapshot dir, keyed by str(bucket); a bucket every row of which was
-        eliminated (no part dir written) maps to []."""
+        eliminated (no part dir written) maps to []. ``buckets=None``
+        discovers the set from the written partition dirs (deferred-touched
+        MOR merges)."""
         rel = os.path.relpath(snap_dir, self.root)
+        if buckets is None:
+            buckets = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(snap_dir)
+                if d.startswith("__bucket=")
+            )
         out: dict[str, list[str]] = {}
         for b in buckets:
             bdir = os.path.join(snap_dir, f"__bucket={b}")
@@ -3031,6 +3039,15 @@ class LakeTable:
             )
             if first_dense or (resident is not None and 0 < resident <= src_rows):
                 touched = list(range(self.n_buckets))
+            elif (self.merge_mode if mode is None else mode) == "mor":
+                # Forced merge-on-read never reads target buckets, so the
+                # touched set is not needed BEFORE the write — the delta
+                # write's partitionBy dirs reveal it for free afterwards
+                # (guide §2.4 remove-passes: drops the whole distinct-scan
+                # job, ~0.2-0.3 s of a trickle merge's fixed cost). CoW and
+                # auto still derive it up front (read_buckets / the MOR
+                # decision need it).
+                pass
             else:
                 # Derived from the SCHEMA-ALIGNED source: xxhash64 is
                 # type-sensitive, so a batch whose key column arrives as a
@@ -3115,7 +3132,8 @@ class LakeTable:
         if write_mode == "cow":
             npart, extra = self._fold_repartition(m, touched, max(1, len(touched)))
         else:
-            npart, extra = max(1, len(touched)), []
+            npart = max(1, len(touched)) if touched is not None else self.n_buckets
+            extra = []
         (
             self._fold_write(merged, npart, extra)
             .sortWithinPartitions(*self.key_cols)
@@ -3126,6 +3144,11 @@ class LakeTable:
         )
 
         written = self._snap_bucket_files(snap_dir, touched)
+        if touched is None:
+            # deferred-touched MOR: the write's partitionBy dirs ARE the
+            # touched set (a bucket with no winners wrote nothing and has
+            # nothing to register)
+            touched = sorted(int(bk) for bk in written)
         written_rows = {bk: self._count_rows(fl) for bk, fl in written.items()}
 
         all_lineage = list(lineage_rows or [])

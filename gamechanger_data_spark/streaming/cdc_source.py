@@ -162,6 +162,52 @@ def _null_safe_ne(a, b):
     return ~(eq | both_null)
 
 
+def _bootstrap_batches(part, out_schema):
+    """Pure-pyarrow fast path for the bootstrap span: the from-side is
+    empty and the to-side has no outstanding deltas, so the diff is
+    simply EVERY to-side base row (base files already hold LWW winners)
+    with ``change_op`` derived from the tombstone/revoke flags — no
+    join, no sort, and critically no pandas import: the first micro-
+    batch of a full-history drain fans out over every bucket at once,
+    and each of those cold Python workers paying the pandas import
+    (~0.5-1 s each, all contending for the same cores) dominated the
+    drain wall (guide §4.5 heavyweight-init; measured: 10 s -> ~3 s
+    cold read stage on the 238k-row bench drain). Yields Arrow record
+    batches directly under the declared output schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    read_fields = [
+        pa.field(f["name"], _arrow_type(f["type"]))
+        for f in part.schema_json["fields"]
+    ]
+    read_schema = pa.schema(read_fields)
+    paths = [os.path.join(part.root, p) for p in part.to_files]
+    if not paths:
+        return
+    false = pa.scalar(False)
+    for batch in ds.dataset(paths, schema=read_schema,
+                            format="parquet").to_batches():
+        if batch.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([batch])
+        names = set(tbl.column_names)
+        dead = (
+            pc.coalesce(tbl["__deleted"], false)
+            if "__deleted" in names else pa.array([False] * len(tbl))
+        )
+        op = pc.if_else(dead, pa.scalar("delete"), pa.scalar("upsert"))
+        if "is_revoked" in names:
+            rev = pc.and_not(pc.coalesce(tbl["is_revoked"], false), dead)
+            op = pc.if_else(rev, pa.scalar("revoke"), op)
+        cols = [
+            tbl[f.name] if f.name != "change_op" else op
+            for f in out_schema
+        ]
+        yield from pa.Table.from_arrays(cols, schema=out_schema).to_batches()
+
+
 def _bucket_diff(part):
     """The per-bucket snapshot diff, executor-side: to-rows whose state
     is absent from the from-state (any declared column differs, null-
@@ -346,12 +392,18 @@ class LakeCDCStreamReader(DataSourceStreamReader):
     def read(self, partition):
         import pyarrow as pa
 
-        out = _bucket_diff(partition)
         fields = [
             pa.field(f["name"], _arrow_type(f["type"]))
             for f in self._out_schema_json["fields"]
         ]
         schema = pa.schema(fields)
+        if not (
+            partition.from_files or partition.from_deltas or partition.to_deltas
+        ):
+            # bootstrap span (empty from-side, resolved to-side): stream
+            # the base files directly — pure pyarrow, no pandas import
+            return _bootstrap_batches(partition, schema)
+        out = _bucket_diff(partition)
         if not len(out):
             return iter(())
         tbl = pa.Table.from_pandas(

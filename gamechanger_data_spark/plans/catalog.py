@@ -102,6 +102,27 @@ def _scan_boost(df) -> int | None:
     return max(width, cores)
 
 
+def boosted(df) -> "DataFrame":
+    """Repartition an under-split scan to the session shuffle width
+    BEFORE an expensive narrow transform (guide §2.5 input-skew remedy).
+
+    The test tables are single-row-group parquet files, so their scans
+    plan ONE task no matter how many cores the session has; a downstream
+    projection that costs milliseconds per row (minhash signatures = 12
+    md5s per shingle, the 126-pattern reference-regex pass, per-vector
+    cosine math) then runs serially while every other core idles.
+    Exchanging the raw rows first is cheap (these tables are a few MB)
+    and fans the expensive work out; on healthily-split inputs
+    ``_scan_boost`` returns None and the plan is untouched, so clusters
+    reading 128MB-1GB multi-row-group files keep their scan-fused
+    pipelines. Only worth it when downstream per-row cost dwarfs one
+    row exchange — aggregation-dominated queries keep their map-side
+    combine instead (measured: dedup_minhash_lsh 43 s -> 4.9 s at
+    sf0.1/local[32], identical output)."""
+    width = _scan_boost(df)
+    return df.repartition(width) if width else df
+
+
 @q("lww_latest_salted", _LWW_SQL,
    "same logical op, explicit two-phase key-salted dedup (north-rule skew form)")
 def lww_latest_salted(spark, sf_dir):

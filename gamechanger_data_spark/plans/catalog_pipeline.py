@@ -34,7 +34,7 @@ from gamechanger_data_spark.operators.similarity import (
     lsh_bucketed_topk,
     random_hyperplanes,
 )
-from gamechanger_data_spark.plans.catalog import load, q
+from gamechanger_data_spark.plans.catalog import boosted, load, q
 
 # ---------------------------------------------------------------- SQL helpers
 
@@ -132,7 +132,7 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     # banding whose oracle SQL computes full shingle sets; the safe capped
     # defaults are exercised (and oracled) by dedup_minhash_verified
     return minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"),
+        boosted(load(spark, sf_dir, "documents")),
         n_hashes=_N_HASHES, bands=_BANDS,
         max_shingles=None, max_bucket=None,
     )
@@ -191,7 +191,7 @@ def dedup_minhash_verified_q(spark, sf_dir):
     from gamechanger_data_spark.operators.dedup import minhash_lsh_verified
 
     return minhash_lsh_verified(
-        load(spark, sf_dir, "documents"),
+        boosted(load(spark, sf_dir, "documents")),
         n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESH,
         max_shingles=_MH_CAP, max_bucket=_MH_BUCKET_CAP,
     )
@@ -225,7 +225,7 @@ def dedup_clusters_q(spark, sf_dir):
     from gamechanger_data_spark.operators.dedup import minhash_lsh_verified
     from gamechanger_data_spark.operators.graph import dedup_cluster_assignments
 
-    docs = load(spark, sf_dir, "documents")
+    docs = boosted(load(spark, sf_dir, "documents"))
     pairs = minhash_lsh_verified(
         docs, n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESH,
         max_shingles=_MH_CAP, max_bucket=_MH_BUCKET_CAP,
@@ -370,7 +370,7 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 def decontaminate_ngram_q(spark, sf_dir):
     from gamechanger_data_spark.operators.dedup import ngram_contamination
 
-    docs = load(spark, sf_dir, "documents")
+    docs = boosted(load(spark, sf_dir, "documents"))
     return ngram_contamination(docs, docs.filter(F.col("doc_id") < 5))
 
 
@@ -419,7 +419,7 @@ LEFT JOIN f3 ON d.doc_id = f3.doc_id
 def repetition_quality_q(spark, sf_dir):
     from gamechanger_data_spark.functions.analysis import repetition_metrics
 
-    return repetition_metrics(load(spark, sf_dir, "documents"))
+    return repetition_metrics(boosted(load(spark, sf_dir, "documents")))
 
 
 from gamechanger_data_spark.functions.pii import pii_oracle_sql as _pii_sql  # noqa: E402
@@ -443,7 +443,7 @@ WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
 def pii_scrub_q(spark, sf_dir):
     from gamechanger_data_spark.functions.pii import scrub_pii
 
-    d = load(spark, sf_dir, "documents").select(
+    d = boosted(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -489,7 +489,8 @@ def embedding_neardup_q(spark, sf_dir):
     # exact=True: the id-capped all-pairs exactness baseline; the default
     # (LSH-blocked) scale path is the embedding_neardup_lsh entry below
     return cosine_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.2, max_id=300, exact=True
+        boosted(load(spark, sf_dir, "embeddings")), threshold=0.2, max_id=300,
+        exact=True,
     )
 
 
@@ -518,7 +519,7 @@ FROM ranked WHERE rank <= 10
    "brute-force cosine top-10 per query vector (exact ANN baseline; "
    "queries broadcast, corpus never shuffles)")
 def ann_topk_cosine_q(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = boosted(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -773,7 +774,7 @@ FROM documents
 """, "document fingerprint: min-md5 over 5-gram shingles (rolling-hash / "
      "winnowing reduced to doc-window)")
 def doc_fingerprint_q(spark, sf_dir):
-    return load(spark, sf_dir, "documents").select(
+    return boosted(load(spark, sf_dir, "documents")).select(
         "doc_id", fingerprint_expr("text", 5).alias("fingerprint")
     )
 
@@ -1010,7 +1011,13 @@ def ref_extract_dictionary_q(spark, sf_dir):
     from gamechanger_data_spark.functions.refs import count_refs
 
     inject = _inject_case("CAST({} AS STRING)")
-    d = load(spark, sf_dir, "documents").select(
+    # boosted() here cuts DRIVER-side plan optimization, not just the
+    # serial scan: without the exchange barrier the 126-pattern projection
+    # is analyzed against the scan for pushdown and the optimizer spends
+    # ~17 s on the expression forest; with it, first collect drops to
+    # ~4 s and execution is unchanged (measured, /tmp/mb_refs decomposition
+    # in OPTIMIZATION_r08.md).
+    d = boosted(load(spark, sf_dir, "documents")).select(
         F.expr(f"{inject} || ' ' || text").alias("text")
     )
     return count_refs(d)
@@ -1272,27 +1279,39 @@ FROM events GROUP BY event_type
    "real correctness check; the bit-reproducible sketch alternative is "
    "kmv_distinct_users")
 def approx_distinct_users_q(spark, sf_dir):
+    # Two aggregation passes joined on the (5-value) group key, NOT one
+    # agg mixing COUNT(DISTINCT) with the sketch/percentile aggregates:
+    # a mixed distinct/non-distinct agg triggers Catalyst's Expand
+    # rewrite, which duplicates every input row per aggregate group and
+    # drags the heavy-buffer aggregates (HLL rsd=0.01, exact percentile,
+    # approx_percentile) through the expanded aggregate path — measured
+    # 5.9 s vs 0.45+0.8+0.44+0.26 s for the same aggregates unmixed
+    # (sf0.1/local[32]; restructured form ~1.2 s). Output identical:
+    # every aggregate sees the same rows, and the tolerance booleans are
+    # >=3-sigma robust to sketch-internal merge order.
     exact_users = F.count_distinct("user_id")
     exact_p50 = F.percentile("value", F.lit(0.5))
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            exact_users.cast("long").alias("exact_users"),
-            # rsd=0.01 puts the 5% tolerance at ~5 sigma of the sketch
-            # error (the default rsd=0.05 would make 5% a 1-sigma bar —
-            # ~30% false-negative odds per group at large cardinality);
-            # DuckDB's fixed-precision HLL sits near ~1.6% rsd, so the
-            # same bar is ~3 sigma on the oracle side.
-            (
-                F.abs(F.approx_count_distinct("user_id", 0.01) - exact_users)
-                <= 0.05 * exact_users
-            ).alias("hll_ok"),
-            (
-                F.abs(F.approx_percentile("value", F.lit(0.5)) - exact_p50)
-                <= 0.05 * F.abs(exact_p50) + F.lit(1e-9)
-            ).alias("p50_ok"),
-        )
+    ev = load(spark, sf_dir, "events")
+    # rsd=0.01 puts the 5% tolerance at ~5 sigma of the sketch
+    # error (the default rsd=0.05 would make 5% a 1-sigma bar —
+    # ~30% false-negative odds per group at large cardinality);
+    # DuckDB's fixed-precision HLL sits near ~1.6% rsd, so the
+    # same bar is ~3 sigma on the oracle side.
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("__hll"),
+        exact_p50.alias("__p50"),
+        F.approx_percentile("value", F.lit(0.5)).alias("__ap50"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        exact_users.cast("long").alias("exact_users")
+    )
+    return exact.join(sketches, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("__hll") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("hll_ok"),
+        (F.abs(F.col("__ap50") - F.col("__p50"))
+         <= 0.05 * F.abs(F.col("__p50")) + F.lit(1e-9)).alias("p50_ok"),
     )
 
 

@@ -3010,6 +3010,7 @@ class LakeTable:
             .withColumn("__src", F.lit(True))
         )
 
+        defer_mor = False
         if touched is None:
             # Provably-dense shortcut (guide §2.4 remove-passes): when the
             # batch's row count meets or exceeds the table's resident rows,
@@ -3039,15 +3040,22 @@ class LakeTable:
             )
             if first_dense or (resident is not None and 0 < resident <= src_rows):
                 touched = list(range(self.n_buckets))
-            elif (self.merge_mode if mode is None else mode) == "mor":
-                # Forced merge-on-read never reads target buckets, so the
-                # touched set is not needed BEFORE the write — the delta
-                # write's partitionBy dirs reveal it for free afterwards
-                # (guide §2.4 remove-passes: drops the whole distinct-scan
-                # job, ~0.2-0.3 s of a trickle merge's fixed cost). CoW and
-                # auto still derive it up front (read_buckets / the MOR
-                # decision need it).
-                pass
+            elif (self.merge_mode if mode is None else mode) == "mor" or (
+                (self.merge_mode if mode is None else mode) == "auto"
+                and old_schema is not None
+                and self._mor_provable_untouched(m, src_rows)
+            ):
+                # Merge-on-read never reads target buckets, so the touched
+                # set is not needed BEFORE the write — the delta write's
+                # partitionBy dirs reveal it for free afterwards (guide
+                # §2.4 remove-passes: drops the whole distinct-scan job,
+                # ~0.2-0.3 s of a trickle merge's fixed cost). Forced MOR
+                # always defers; AUTO defers only when the MOR decision is
+                # provable WITHOUT the touched set (see
+                # _mor_provable_untouched — decision-identical to the
+                # per-touched check by construction). CoW and unprovable
+                # auto still derive it up front.
+                defer_mor = True
             else:
                 # Derived from the SCHEMA-ALIGNED source: xxhash64 is
                 # type-sensitive, so a batch whose key column arrives as a
@@ -3061,7 +3069,10 @@ class LakeTable:
         else:
             touched = sorted(set(int(b) for b in touched))
 
-        write_mode = self._decide_mode(m, old_schema, touched, src_rows, mode)
+        write_mode = (
+            "mor" if defer_mor
+            else self._decide_mode(m, old_schema, touched, src_rows, mode)
+        )
 
         if old_schema is not None and touched and write_mode == "cow":
             # Target rows from ONLY the touched buckets become pseudo-events
@@ -3263,6 +3274,46 @@ class LakeTable:
         raise CommitConflictError(
             expected, self.current_version(), "rebase attempts exhausted"
         )
+
+    def _mor_provable_untouched(self, m: dict, src_rows: int | None) -> bool:
+        """True when the AUTO CoW-vs-MOR decision is provably ``mor`` for
+        EVERY possible touched-bucket set — which lets the merge skip the
+        pre-write distinct scan that exists only to feed that decision.
+
+        Decision-equivalence argument (vs :meth:`_decide_mode` on the
+        actual touched set): (a) no bucket anywhere is at the delta cap ⇒
+        no touched bucket is; (b) every bucket has manifest row counts ⇒
+        no conservative-cow fallback can fire; (c) every bucket is
+        non-empty and ``src_rows < mor_fraction * min(bucket resident)``
+        ⇒ ``src_rows < mor_fraction * resident(touched)`` for any
+        non-empty touched set. Any batch this returns True for would have
+        been decided ``mor`` by the per-touched check too; when it
+        returns False the merge simply derives the set and decides as
+        before — behavior-identical, one job cheaper in the common
+        trickle case."""
+        if not src_rows:
+            # None is unknown; 0 keeps the empty-batch path (and its
+            # reported mode) exactly as before
+            return False
+        deltas = m.get("deltas", {})
+        if any(len(fl) >= self.mor_max_deltas for fl in deltas.values()):
+            return False
+        br = m.get("base_rows", {})
+        dr = m.get("delta_rows", {})
+        residents = []
+        for b in range(self.n_buckets):
+            bk = str(b)
+            if bk not in br and m["files"].get(bk):
+                return False  # round-1 manifest without counts
+            r = br.get(bk, 0) + dr.get(bk, 0)
+            if r <= 0:
+                # an empty bucket could be touched; resident(touched)
+                # would then not be bounded below by min(residents)
+                return False
+            residents.append(r)
+        if not residents:
+            return False
+        return src_rows < self.mor_fraction * min(residents)
 
     def _decide_mode(
         self,

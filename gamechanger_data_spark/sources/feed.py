@@ -57,14 +57,76 @@ def list_ready_batches(
     return out
 
 
+def _uniform_batch_schema(batch_dir: str):
+    """Spark schema for a batch dir whose part files all carry ONE
+    identical arrow schema, read driver-side from the footers (a few ms);
+    None when files disagree (schema-evolution batch) or anything fails —
+    callers then fall back to Spark's ``mergeSchema`` inference job.
+
+    Why: ``mergeSchema=true`` schedules a whole Spark job that opens every
+    part footer just to union identical schemas — measured 0.4-0.9 s per
+    3M-event batch INSIDE the replay loop (guide §2.4 remove-passes: the
+    planning job disappears when the schema is supplied explicitly).
+    ``prefer_timestamp_ntz=True`` matches Spark's own parquet inference
+    default (``spark.sql.parquet.inferTimestampNTZ.enabled``), so the
+    fast path yields bit-identical types to the inference it replaces."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        files = sorted(_glob.glob(os.path.join(batch_dir, "*.parquet")))
+        if not files:
+            return None
+        pf0 = pq.ParquetFile(files[0])
+        first = pf0.schema_arrow
+        null_cols = [f.name for f in first if pa.types.is_null(f.type)]
+        if null_cols:
+            # An all-null column is null-typed in the ARROW view but is
+            # physically stored (pyarrow: as un-annotated INT32), and
+            # Spark's own inference types it from the physical type
+            # (observed: int). Reproduce exactly for the INT32 case;
+            # anything else keeps the inference job.
+            phys = {
+                pf0.metadata.schema.column(i).name:
+                    pf0.metadata.schema.column(i).physical_type
+                for i in range(pf0.metadata.num_columns)
+            }
+            if any(phys.get(c) != "INT32" for c in null_cols):
+                return None
+        for f in files[1:]:
+            if pq.ParquetFile(f).schema_arrow != first:
+                return None
+        spark_schema = from_arrow_schema(
+            pa.schema([f for f in first if not pa.types.is_null(f.type)]),
+            prefer_timestamp_ntz=True,
+        )
+        if not null_cols:
+            return spark_schema
+        out = []
+        for f in first:
+            if pa.types.is_null(f.type):
+                out.append(T.StructField(f.name, T.IntegerType(), True))
+            else:
+                out.append(spark_schema[f.name])
+        return T.StructType(out)
+    except Exception:
+        return None
+
+
 def read_batch(spark: SparkSession, batch_dir: str) -> DataFrame:
     """Read one batch directory. ``mergeSchema`` tolerates additive columns
-    appearing mid-feed (schema-evolution batches)."""
-    return (
-        spark.read.option("mergeSchema", "true")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(batch_dir)
-    )
+    appearing mid-feed (schema-evolution batches); uniform batches skip the
+    inference job entirely (footer-derived explicit schema)."""
+    schema = _uniform_batch_schema(batch_dir)
+    reader = spark.read.option("pathGlobFilter", "*.parquet")
+    if schema is not None:
+        return reader.schema(schema).parquet(batch_dir)
+    return reader.option("mergeSchema", "true").parquet(batch_dir)
 
 
 def read_feed_stream(spark: SparkSession, root: str, schema) -> DataFrame:

@@ -197,3 +197,74 @@ def test_manifest_csv_bad_cell_raises_even_when_pruned(spark, tmp_path):
     m = read_manifest_csv(spark, str(p)).select("op", "conv_id")
     with pytest.raises(Exception, match="bad manifest row"):
         m.collect()
+
+
+def test_read_batch_explicit_schema_matches_mergeschema(spark, tmp_path):
+    """Uniform batch dirs take the footer-derived explicit-schema fast path
+    (no Spark inference job); the schema must be bit-identical to what
+    mergeSchema inference yields, including across an evolution batch and
+    for a mixed-schema dir (which must fall back to inference)."""
+    from gamechanger_data_spark.datagen import write_feed
+    from gamechanger_data_spark.sources.feed import (
+        _uniform_batch_schema,
+        list_ready_batches,
+        read_batch,
+    )
+
+    spec = FeedSpec(n_convs=20, max_turns=4, n_batches=3, events_per_batch=120,
+                    seed=7, evolve_batch=2)
+    root = str(tmp_path / "feed")
+    write_feed(root, spec, parts_per_batch=3)
+    for bid, d in list_ready_batches(root):
+        assert _uniform_batch_schema(d) is not None
+        legacy = (
+            spark.read.option("mergeSchema", "true")
+            .option("pathGlobFilter", "*.parquet").parquet(d).schema
+        )
+        assert read_batch(spark, d).schema == legacy, bid
+
+    # mixed-schema dir: copy an evolved part beside a base part -> fallback
+    batches = list_ready_batches(root)
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    import glob as _glob
+    import shutil as _shutil
+    base_part = sorted(_glob.glob(os.path.join(batches[0][1], "*.parquet")))[0]
+    evolved_part = sorted(_glob.glob(os.path.join(batches[2][1], "*.parquet")))[0]
+    _shutil.copy(base_part, mixed / "a.parquet")
+    _shutil.copy(evolved_part, mixed / "b.parquet")
+    assert _uniform_batch_schema(str(mixed)) is None
+    merged = read_batch(spark, str(mixed)).schema
+    legacy = (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(str(mixed)).schema
+    )
+    assert merged == legacy
+
+
+def test_read_batch_null_typed_column_matches_inference(spark, tmp_path):
+    """A batch whose footer carries a null-typed (all-None) column must
+    reproduce Spark's inference EXACTLY: pyarrow stores such a column as
+    un-annotated physical INT32, which Spark types as int — a NullType
+    leaking into the table schema instead breaks downstream consumers
+    (lakecdc arrow mapping; the original bug surfaced in the bench feed's
+    with_version_hash=False column)."""
+    import pandas as pd
+
+    from gamechanger_data_spark.sources.feed import (
+        _uniform_batch_schema,
+        read_batch,
+    )
+
+    d = tmp_path / "b"
+    d.mkdir()
+    pdf = pd.DataFrame({"a": [1, 2], "allnull": [None, None]})
+    pdf.to_parquet(d / "p0.parquet")
+    legacy = (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(str(d)).schema
+    )
+    fast = _uniform_batch_schema(str(d))
+    assert fast == legacy  # int, not void
+    assert "void" not in fast.simpleString()
+    assert read_batch(spark, str(d)).schema == legacy
